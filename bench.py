@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion through the noop sink (full plan
+runs, nothing is collected to the driver — mirrors a production write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_etl_agent_spark.core.session import SparkManager  # noqa: E402
+from spark_etl_agent_spark.queries import registry  # noqa: E402
+
+
+def run_query_to_completion(df) -> None:
+    # noop datasource: full execution, zero sink cost, no driver collect
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    manager = SparkManager(app_name="spark_etl_agent_spark-bench")
+    spark = manager.spark
+
+    specs = registry()
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.perf_counter()
+        run_query_to_completion(specs[name].spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "inventory_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    manager.stop()
+
+
+if __name__ == "__main__":
+    main()

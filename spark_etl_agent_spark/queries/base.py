@@ -1,0 +1,116 @@
+"""Shared plumbing for the declared-query inventory.
+
+Cross-engine determinism rules (Spark vs the DuckDB oracle) used by every
+query module:
+
+- **Money / measure aggregation in exact decimals.** Double summation is
+  order-dependent, and Spark and DuckDB aggregate in different orders, so
+  a raw ``SUM(double)`` hash-mismatches in the low bits. Instead every
+  measure is cast to a bounded ``DECIMAL`` *before* aggregation, combined
+  with exact decimal arithmetic, and cast to ``DOUBLE`` only at the very
+  end — the exact decimal result rounds to the identical IEEE double in
+  both engines regardless of execution order or parallelism.
+- **Averages as (decimal-sum cast double) / count** — one IEEE division
+  of identical operands is bitwise deterministic.
+- **Window orderings always include a unique tie-break key** (row order
+  inside an ORDER BY tie is engine-dependent).
+- **Every computed column is aliased identically in Spark and SQL** (the
+  driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QuerySpec:
+    """One declared query: a Spark program and (optionally) its ANSI-SQL
+    oracle that DuckDB can execute on the same parquet tables."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None  # None → driver records rows-only check
+    doc: str = ""
+    tags: tuple = field(default_factory=tuple)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Columnar parquet scan → Catalyst pushes
+    filters/pruning into the scan; at 100 TB the same call reads a
+    partitioned table directory."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- deterministic numeric helpers --------------------------------------------
+
+def dec(col, precision: int = 12, scale: int = 4) -> Column:
+    """Cast a measure to a bounded decimal for order-independent exact
+    aggregation (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col, precision: int = 12, scale: int = 4) -> Column:
+    """Exact decimal SUM surfaced as DOUBLE (bit-identical across engines).
+
+    The sum is rescaled to DECIMAL(18,s) before the DOUBLE cast: with the
+    numerator under 2^53 both Spark (BigDecimal.doubleValue) and DuckDB
+    (int128→double→divide) perform exactly one correctly-rounded
+    conversion and agree bitwise. Casting a wide decimal directly would
+    hit DuckDB's two-rounding (not correctly rounded) path.
+    """
+    return F.sum(dec(col, precision, scale)).cast(f"decimal(18,{scale})").cast("double")
+
+
+def dsum_expr(expr: Column, scale: int = 4) -> Column:
+    """Same as :func:`dsum` for an already-built exact-decimal expression."""
+    return F.sum(expr).cast(f"decimal(18,{scale})").cast("double")
+
+
+def davg(col, precision: int = 12, scale: int = 4) -> Column:
+    """Exact-sum average: decimal-sum cast to double, divided by count
+    (one IEEE division of identical operands — deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(dec(c, precision, scale)).cast(f"decimal(18,{scale})").cast("double")
+        / F.count(c)
+    )
+
+
+SQL_DEC = "DECIMAL(12,4)"
+
+
+def _collect_modules():
+    # Imported lazily so a syntax error in one module surfaces clearly
+    # and so pyspark import cost is paid once.
+    from . import dedup, events, jcap, relational, similarity, text
+
+    return (relational, jcap, events, text, dedup, similarity)
+
+
+def registry() -> Dict[str, QuerySpec]:
+    out: Dict[str, QuerySpec] = {}
+    for mod in _collect_modules():
+        for name, spec in getattr(mod, "QUERIES", {}).items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = spec
+    return out

@@ -1,0 +1,43 @@
+"""Differential correctness: every declared query with an oracle must
+match DuckDB exactly (the driver's t2 gate, run locally at sf0.001 for
+speed — set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to mirror the
+driver exactly)."""
+
+import pytest
+
+from spark_etl_agent_spark.queries import registry
+
+from .parity import assert_frames_match
+
+SPECS = registry()
+ORACLED = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+def duck_df(duck, sql):
+    """Fetch an oracle result with DATE columns materialized as dates
+    (duckdb's .df() renders DATE as midnight Timestamps; Spark's
+    toPandas gives datetime.date — same logical type, different pandas
+    repr)."""
+    rel = duck.sql(sql)
+    pdf = rel.df()
+    for col, typ in zip(rel.columns, rel.types):
+        if str(typ) == "DATE":
+            pdf[col] = pdf[col].dt.date
+    return pdf
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    spec = SPECS[name]
+    spark_pdf = spec.spark(spark, sf_dir).toPandas()
+    duck_pdf = duck_df(duck, spec.oracle)
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    spec = SPECS[name]
+    df = spec.spark(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
