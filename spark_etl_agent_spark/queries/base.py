@@ -55,7 +55,18 @@ class QuerySpec:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Columnar parquet scan → Catalyst pushes
     filters/pruning into the scan; at 100 TB the same call reads a
-    partitioned table directory."""
+    partitioned table directory.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects by
+    default; it is read as a long (legacy conf) and truncated to
+    microseconds — the same truncation DuckDB's TIMESTAMP_NS→TIMESTAMP
+    cast performs, and lossless for this data (ns remainders are zero).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,3 +1,162 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream analytics over the ``events`` table (batch side).
 
-QUERIES = {}
+The reference has no streaming operators (SURVEY.md §2.9) — its only
+"streaming" is a driver-side re-run loop. This module provides the
+batch-expressible event-time semantics (tumbling windows, sessionization,
+JSON extraction); the true Structured Streaming path (watermarks,
+dropDuplicatesWithinWatermark, foreachBatch) lives in
+``spark_etl_agent_spark.streaming`` and is pytest-verified, since it is
+not SQL-oracle-expressible.
+
+Determinism notes:
+- Spark's ``F.window`` tumbling windows align to the Unix epoch (UTC);
+  6-hour buckets therefore equal day-trunc + 6h·⌊hour/6⌋, which is how
+  the DuckDB oracle states it.
+- double→DECIMAL(18,4) casts cannot tie (5·10⁻⁵ has no finite binary
+  representation), so both engines round-to-nearest identically.
+- Session ordering carries ``event_id`` as a tie-break; gap comparison
+  uses exact interval arithmetic (microsecond precision) in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .base import QuerySpec, dec, load
+
+
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 18, 4)).cast("decimal(18,4)").cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+EVENTS_TUMBLING_AGG_SQL = """
+SELECT
+  date_trunc('day', ts) + INTERVAL 6 HOUR * CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INTEGER) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    flag-sum — the classic batch pattern; the streaming twin is
+    ``session_window`` (streaming module)."""
+    ev = load(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(order)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr("ts - prev_ts > INTERVAL '30' MINUTE"),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(order))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start, CAST(MAX(ts) AS TIMESTAMP) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the props column (absent in reference,
+    SURVEY §2.8)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k_regex"),
+    )
+
+
+JSON_EXTRACTION_SQL = r"""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_json,
+  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_regex
+FROM events
+"""
+
+
+def event_type_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+EVENT_TYPE_DAILY_PIVOT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "events_tumbling_agg": QuerySpec(
+        "events_tumbling_agg", events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL,
+        "Tumbling 6h event-time windows (batch twin of the streaming agg)",
+        ("events", "window-agg"),
+    ),
+    "sessionization": QuerySpec(
+        "sessionization", sessionization, SESSIONIZATION_SQL,
+        "Gap-based sessionization via lag + running flag-sum",
+        ("events", "window"),
+    ),
+    "json_extraction": QuerySpec(
+        "json_extraction", json_extraction, JSON_EXTRACTION_SQL,
+        "JSON scalar extraction (get_json_object + regexp fallback)",
+        ("events", "functions"),
+    ),
+    "event_type_daily_pivot": QuerySpec(
+        "event_type_daily_pivot", event_type_daily_pivot,
+        EVENT_TYPE_DAILY_PIVOT_SQL,
+        "Daily event-type pivot counts", ("events", "pivot"),
+    ),
+}
