@@ -1,0 +1,211 @@
+"""Deduplication operators: exact, normalized, MinHash-LSH, SimHash.
+
+All pure DataFrame programs (no UDFs). Scale design:
+
+- exact/normalized dedup is a hash-groupBy — one shuffle on the content
+  hash, map-side partial aggregation; the hash key is uniform so no skew.
+- MinHash-LSH shuffles on *band keys* (bounded-width strings). Candidate
+  generation is a self-equi-join per band; only candidates are verified
+  with exact Jaccard (explode + join on shingle), so the quadratic step
+  never touches non-colliding documents. At 100 TB you add more bands /
+  rows-per-band to tune recall vs join fan-out; the plan shape is
+  unchanged.
+- The MinHash value is the *lexicographic* MIN of md5(seed || shingle):
+  hex-string order is a valid uniform hash order and is reproducible in
+  any engine with md5 (this is what makes the DuckDB oracle possible).
+- SimHash: per-bit majority vote over token hashes, materialized as a
+  64-char bit string; bit b of a token is extracted from its md5 hex
+  nibble (position arithmetic only, no binary casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words_of
+
+N_MINHASHES = 8
+BAND_SIZE = 2  # 8 minhashes → 4 bands of 2
+SHINGLE_K = 3
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeper =
+    min id (deterministic survivor policy)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def normalized_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup after canonicalization (lowercase, squash whitespace) —
+    catches formatting-only duplicates."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles_of(text: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-gram shingles as an array<string> (empty when < k words)."""
+    words = words_of(text)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(words, i + off) for off in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """Per-document MinHash signature: mh_i = lexicographic min over
+    shingles of md5('<i>|' + shingle). NULL signature for docs with no
+    shingles."""
+    sh = shingles_of(F.col(text_col))
+    out = df.select(F.col(id_col), sh.alias("shingles"))
+
+    def hasher(i: int):
+        # single-arg lambda on purpose: a 2-arg lambda would make
+        # F.transform pass the array *index* as the second argument
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    cols = [F.col(id_col)]
+    for i in range(n_hashes):
+        cols.append(
+            F.array_min(F.transform(F.col("shingles"), hasher(i))).alias(f"mh{i}")
+        )
+    return out.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_index, band_key) —
+    docs agreeing on any full band become candidate pairs."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
+    ).filter(F.col("band_key").isNotNull())
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for the candidate pairs
+    (verification step of the LSH pipeline)."""
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(shingles_of(F.col(text_col))).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # common shingles per pair: join the pair list to both sides' shingles
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        pairs.join(common, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            "n_a",
+            "n_b",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash as a bit string: explode (token, bit-position),
+    extract the bit from the token's md5 nibble, majority-vote per
+    position, reassemble ordered bits. Two shuffles on bounded keys."""
+    words = words_of(F.col(text_col))
+    toks = df.select(F.col(id_col), F.explode(words).alias("tok"))
+    bits = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit_pos"),
+        F.col("tok"),
+    )
+    # nibble = hex digit at position bit_pos/4 of md5(tok);
+    # bit = (nibble >> (3 - bit_pos%4)) & 1 — position arithmetic only
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', "
+        "substr(md5(tok), cast(bit_pos div 4 as int) + 1, 1)) - 1, "
+        "cast(3 - bit_pos % 4 as int)) % 2"
+    )
+    votes = (
+        bits.select(F.col(id_col), "bit_pos", bit.alias("bit"))
+        .groupBy(id_col, "bit_pos")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
+    )
+    return (
+        votes.withColumn("bitchar", F.when(F.col("vote") > 0, "1").otherwise("0"))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("bit_pos", "bitchar"))), lambda s: s["bitchar"])
+            ).alias("simhash")
+        )
+    )

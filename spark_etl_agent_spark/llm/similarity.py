@@ -1,0 +1,185 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+The reference has no vector operations (SURVEY.md §2.10 — no UDFs at
+all); these are the BASELINE.json north-star extensions. Two paths:
+
+- **Brute-force top-k** — the exactness baseline: broadcast the (small)
+  query set against every candidate vector; per-pair cosine; window
+  top-k. One broadcast join + one shuffle on query_id. At 100 TB the
+  candidate side streams through executors unchanged — the plan is the
+  classic "scan × tiny broadcast" shape that scales linearly.
+- **Sign-bucket ANN** — the scale path: coarse quantization on the sign
+  pattern of the leading components (axis-aligned random-hyperplane
+  LSH). Vectors shuffle once on a bounded-width bucket key; the
+  quadratic compare runs only within buckets. More buckets → smaller
+  partitions; skew is bounded because the bucket key has ≤ 2^b values
+  of roughly uniform occupancy for centered data.
+
+Cross-engine determinism (the reason for the scaled-integer trick):
+float addition is order-dependent, and Spark/DuckDB fold in different
+orders. Each component is mapped to ``floor(x * 1e6)`` — an
+integer-valued DOUBLE. Products (≤ 1e12) and their 64-element sums
+(≤ 6.4e13) stay below 2^53, so every intermediate is exactly
+representable and the dot product is *order-independent and exact* in
+both engines. The final ``dot / (sqrt(na) * sqrt(nb))`` is then a fixed
+sequence of correctly-rounded IEEE ops on identical inputs — bitwise
+reproducible. Quantization error (1e-6 per component) is far below any
+meaningful similarity difference; ties are broken by vector id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+N_SIGN_BITS = 8  # sign-bucket ANN: leading components used for the bucket key
+
+
+def scaled(col: Column) -> Column:
+    """array<float> → array<double> of floor(x * 1e6) (integer-valued)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * SCALE).cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two scaled vectors (see module docstring)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_scaled_and_norm(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Attach the scaled vector and its exact squared norm — computed
+    once per vector, reused across all pair comparisons."""
+    s = scaled(F.col(vec_col))
+    return df.select(F.col(id_col), s.alias("svec")).withColumn(
+        "norm_sq", dot(F.col("svec"), F.col("svec"))
+    )
+
+
+def cosine(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot_col / (F.sqrt(norm_a) * F.sqrt(norm_b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: tiny query set (vec_id < query_ids_below)
+    broadcast against every candidate; deterministic rank (cosine desc,
+    id asc)."""
+    base = with_scaled_and_norm(df, vec_col, id_col)
+    q = F.broadcast(
+        base.filter(F.col(id_col) < query_ids_below).select(
+            F.col(id_col).alias("query_id"),
+            F.col("svec").alias("q_svec"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    cand = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("svec").alias("c_svec"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    pairs = q.join(cand, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(
+            dot(F.col("q_svec"), F.col("c_svec")), F.col("q_norm"), F.col("c_norm")
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine_sim")
+    )
+
+
+def sign_bucket(vec: Column, n_bits: int = N_SIGN_BITS) -> Column:
+    """Axis-aligned hyperplane-LSH bucket: concatenated sign bits of the
+    leading components (bounded-width key → bounded shuffle)."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_bits)
+        ]
+    )
+
+
+def ann_bucketed_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate near-neighbor pairs: compare only within sign
+    buckets. One shuffle on the bucket key; quadratic work is per-bucket
+    (≈ n²/2^b for centered data) instead of global."""
+    base = with_scaled_and_norm(df, vec_col, id_col).withColumn(
+        "bucket", sign_bucket(F.col("svec"))
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("svec").alias("svec_a"),
+        F.col("norm_sq").alias("norm_a"),
+        "bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("svec").alias("svec_b"),
+        F.col("norm_sq").alias("norm_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            cosine(
+                dot(F.col("svec_a"), F.col("svec_b")),
+                F.col("norm_a"),
+                F.col("norm_b"),
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
+    )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-label centroid components in long form (label, dim,
+    centroid): posexplode → groupBy(label, dim). The sum of scaled
+    integer components is exact, so the final two divisions are
+    deterministic. At 100 TB this is a single shuffle on (label, dim) —
+    a bounded key space — with map-side partial aggregation."""
+    exploded = df.select(
+        "label", F.posexplode(scaled(F.col(vec_col))).alias("pos", "sval")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.sum("sval").alias("ssum"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.col("ssum") / F.col("n_vecs").cast("double") / F.lit(float(SCALE))
+            ).alias("centroid"),
+            "n_vecs",
+        )
+    )

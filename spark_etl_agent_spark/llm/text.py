@@ -1,0 +1,84 @@
+"""Text-analysis operators over a string column — all native
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen'd; no Python in
+the hot path).
+
+At 100 TB these are embarrassingly parallel per-row projections: no
+shuffle at all, limited only by scan bandwidth — exactly the shape you
+want for a corpus-wide quality pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def words_of(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics: chars, words, avg word length, vowel
+    ratio and a composite quality score (pure double arithmetic on
+    integer inputs — deterministic)."""
+    text = F.col(text_col)
+    words = words_of(text)
+    n_chars = F.length(text).cast("long")
+    n_words = F.size(words).cast("long")
+    alpha_chars = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    n_vowels = (
+        F.length(text) - F.length(F.regexp_replace(F.lower(text), "[aeiou]", ""))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        (alpha_chars.cast("double") / n_words).alias("avg_word_len"),
+        (n_vowels.cast("double") / n_chars).alias("vowel_ratio"),
+        # quality heuristic: length-normalized word density
+        (n_words.cast("double") / (n_chars + F.lit(1))).alias("word_density"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword-vote language heuristic. Real multilingual ID
+    would extend the vote table per language; the operator shape (array
+    filter + threshold vote, no UDF) is the point."""
+    words = words_of(F.col(text_col))
+    en_hits = F.size(
+        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        en_hits.alias("en_stopword_hits"),
+        F.when(en_hits >= 3, "en")
+        .when(en_hits >= 1, "mixed")
+        .otherwise("other")
+        .alias("predicted_lang"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish estimate (chars/4, the common
+    rule of thumb) via pure integer arithmetic."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(words_of(text)).cast("long").alias("ws_tokens"),
+        F.expr(f"(length({text_col}) + 3) div 4").alias("bpe_est_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-content hash and a prefix fingerprint
+    of the whitespace-squashed text (cheap near-dup prefilter)."""
+    text = F.col(text_col)
+    squashed = F.regexp_replace(F.lower(text), r"\s+", "")
+    return df.select(
+        F.col(id_col),
+        F.md5(text).alias("content_hash"),
+        F.md5(F.substring(squashed, 1, 64)).alias("prefix_fingerprint"),
+        F.length(squashed).cast("long").alias("squashed_len"),
+    )

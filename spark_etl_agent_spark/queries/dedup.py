@@ -1,3 +1,170 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication inventory over the ``documents`` table (north-star
+extension — the reference's only dedup is SELECT DISTINCT,
+SURVEY.md §2.4 A3). Pipelines live in ``llm.dedup``; every stage is a
+pure DataFrame program with a DuckDB oracle."""
 
-QUERIES = {}
+from __future__ import annotations
+
+from ..llm import dedup as D
+from .base import QuerySpec, load
+
+_WORDS = r"string_split_regex(lower(text), '\s+')"
+
+# word 3-gram shingles, mirroring llm.dedup.shingles_of (k=3)
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len({_WORDS}) >= 3 THEN
+      list_transform(range(1, len({_WORDS}) - 1),
+        i -> {_WORDS}[CAST(i AS INT)] || ' ' ||
+             {_WORDS}[CAST(i AS INT) + 1] || ' ' ||
+             {_WORDS}[CAST(i AS INT) + 2])
+    ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM documents
+)
+"""
+
+_MH = ",\n    ".join(
+    "list_min(list_transform(shingles, s -> md5('%d|' || s))) AS mh%d" % (i, i)
+    for i in range(D.N_MINHASHES)
+)
+
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig"
+    for b in range(D.N_MINHASHES // D.BAND_SIZE)
+)
+
+
+def exact_dedup(spark, sf_dir):
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash,
+  min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def normalized_dedup(spark, sf_dir):
+    return D.normalized_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+NORMALIZED_DEDUP_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+  min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+"""
+
+
+def minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+    {_MH}
+FROM sh
+"""
+
+
+def minhash_near_duplicates(spark, sf_dir):
+    """Full LSH pipeline: signatures → bands → candidate pairs → exact
+    Jaccard verification."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    return D.jaccard_verify(docs, pairs)
+
+
+MINHASH_NEAR_DUPLICATES_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    {_MH}
+  FROM sh
+),
+banded AS (
+  {_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE a.band_key IS NOT NULL
+),
+shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+  coalesce(c.n_common, 0) AS n_common,
+  na.n_shingles AS n_a, nb.n_shingles AS n_b,
+  CAST(coalesce(c.n_common, 0) AS DOUBLE)
+    / (na.n_shingles + nb.n_shingles - coalesce(c.n_common, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+JOIN sizes na ON na.doc_id = p.id_a
+JOIN sizes nb ON nb.doc_id = p.id_b
+"""
+
+
+def simhash_fingerprints(spark, sf_dir):
+    return D.simhash_bits(load(spark, sf_dir, "documents"))
+
+
+SIMHASH_FINGERPRINTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, bit_pos,
+    ((instr('0123456789abcdef',
+            substr(md5(tok), CAST(bit_pos // 4 AS INT) + 1, 1)) - 1)
+     >> CAST(3 - bit_pos % 4 AS INT)) % 2 AS bit
+  FROM toks, range(0, 64) t(bit_pos)
+),
+votes AS (
+  SELECT doc_id, bit_pos, sum(bit * 2 - 1) AS vote
+  FROM bits GROUP BY doc_id, bit_pos
+)
+SELECT doc_id,
+  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos)
+    AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "exact_dedup": QuerySpec(
+        "exact_dedup", exact_dedup, EXACT_DEDUP_SQL,
+        "Exact dedup groups via content-hash groupBy", ("dedup", "llm"),
+    ),
+    "normalized_dedup": QuerySpec(
+        "normalized_dedup", normalized_dedup, NORMALIZED_DEDUP_SQL,
+        "Dedup after lowercase/whitespace canonicalization", ("dedup", "llm"),
+    ),
+    "minhash_signatures": QuerySpec(
+        "minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_SQL,
+        "8-hash MinHash signatures over word 3-gram shingles",
+        ("dedup", "llm"),
+    ),
+    "minhash_near_duplicates": QuerySpec(
+        "minhash_near_duplicates", minhash_near_duplicates,
+        MINHASH_NEAR_DUPLICATES_SQL,
+        "Full MinHash-LSH: band join → candidates → exact Jaccard",
+        ("dedup", "llm", "join"),
+    ),
+    "simhash_fingerprints": QuerySpec(
+        "simhash_fingerprints", simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL,
+        "64-bit SimHash via per-bit majority vote", ("dedup", "llm"),
+    ),
+}

@@ -1,3 +1,101 @@
-"""Placeholder — populated in a later milestone."""
+"""Embedding similarity-search inventory (north-star extension — the
+reference has no vector ops, SURVEY.md §2.10).
 
-QUERIES = {}
+Determinism contract with the DuckDB oracle: components are quantized
+to integer-valued doubles (floor(x·1e6)) so dot products are exact and
+order-independent in both engines; see ``llm.similarity`` docstring.
+"""
+
+from __future__ import annotations
+
+from ..llm import similarity as sim
+from .base import QuerySpec, load
+
+_SVEC = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))"
+
+_SIGN_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN svec[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
+def ann_bruteforce_topk(spark, sf_dir):
+    return sim.brute_force_topk(load(spark, sf_dir, "embeddings"))
+
+
+ANN_BRUTEFORCE_TOPK_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.svec, c.svec) / (sqrt(q.norm_sq) * sqrt(c.norm_sq))
+      AS cosine_sim
+  FROM normed q JOIN normed c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rnk, cosine_sim FROM ranked WHERE rnk <= 5
+"""
+
+
+def ann_sign_bucket_pairs(spark, sf_dir):
+    return sim.ann_bucketed_pairs(load(spark, sf_dir, "embeddings"), min_cosine=0.2)
+
+
+ANN_SIGN_BUCKET_PAIRS_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq,
+    {_SIGN_BUCKET} AS bucket
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+  list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
+    AS cosine_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
+      >= 0.2
+"""
+
+
+def embedding_label_centroids(spark, sf_dir):
+    return sim.label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH exploded AS (
+  SELECT label, dim,
+    floor(CAST(embedding[CAST(dim AS INT)] AS DOUBLE) * 1000000) AS sval
+  FROM embeddings, range(1, 65) t(dim)
+)
+SELECT label, dim,
+  sum(sval) / CAST(count(*) AS DOUBLE) / 1000000.0 AS centroid,
+  count(*) AS n_vecs
+FROM exploded GROUP BY label, dim
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": QuerySpec(
+        "ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL,
+        "Exact cosine top-5 per query vector (broadcast × scan)",
+        ("similarity", "llm"),
+    ),
+    "ann_sign_bucket_pairs": QuerySpec(
+        "ann_sign_bucket_pairs", ann_sign_bucket_pairs, ANN_SIGN_BUCKET_PAIRS_SQL,
+        "Sign-bucket (hyperplane-LSH) approximate near-neighbor pairs",
+        ("similarity", "llm"),
+    ),
+    "embedding_label_centroids": QuerySpec(
+        "embedding_label_centroids", embedding_label_centroids,
+        EMBEDDING_LABEL_CENTROIDS_SQL,
+        "Per-label centroid components (posexplode → bounded-key agg)",
+        ("similarity", "llm", "agg"),
+    ),
+}

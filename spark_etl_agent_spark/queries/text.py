@@ -1,3 +1,101 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis inventory over the ``documents`` table (north-star
+extension — the reference has no text functions beyond UPPER,
+SURVEY.md §2.8). All operators are native-function projections: no
+shuffle, no Python, scan-bandwidth-bound at 100 TB."""
 
-QUERIES = {}
+from __future__ import annotations
+
+from ..llm import text as T
+from .base import QuerySpec, load
+
+_WORDS = r"string_split_regex(lower(text), '\s+')"
+
+
+def text_stats(spark, sf_dir):
+    return T.text_stats(load(spark, sf_dir, "documents"))
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(len({_WORDS}) AS BIGINT) AS n_words,
+  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+    / CAST(len({_WORDS}) AS BIGINT) AS avg_word_len,
+  CAST(length(text) - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+       AS DOUBLE) / CAST(length(text) AS BIGINT) AS vowel_ratio,
+  CAST(len({_WORDS}) AS DOUBLE) / (CAST(length(text) AS BIGINT) + 1)
+    AS word_density
+FROM documents
+"""
+
+
+def language_id(spark, sf_dir):
+    return T.language_id(load(spark, sf_dir, "documents"))
+
+
+LANGUAGE_ID_SQL = f"""
+WITH hits AS (
+  SELECT doc_id,
+    CAST(len(list_filter({_WORDS},
+      w -> w IN ('the','a','of','and','to','in'))) AS BIGINT)
+      AS en_stopword_hits
+  FROM documents
+)
+SELECT doc_id, en_stopword_hits,
+  CASE WHEN en_stopword_hits >= 3 THEN 'en'
+       WHEN en_stopword_hits >= 1 THEN 'mixed'
+       ELSE 'other' END AS predicted_lang
+FROM hits
+"""
+
+
+def token_counts(spark, sf_dir):
+    return T.token_counts(load(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CAST(len({_WORDS}) AS BIGINT) AS ws_tokens,
+  (length(text) + 3) // 4 AS bpe_est_tokens
+FROM documents
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    return T.fingerprints(load(spark, sf_dir, "documents"))
+
+
+DOC_FINGERPRINTS_SQL = r"""
+WITH squashed AS (
+  SELECT doc_id, text,
+    regexp_replace(lower(text), '\s+', '', 'g') AS sq
+  FROM documents
+)
+SELECT doc_id,
+  md5(text) AS content_hash,
+  md5(substr(sq, 1, 64)) AS prefix_fingerprint,
+  CAST(length(sq) AS BIGINT) AS squashed_len
+FROM squashed
+"""
+
+
+QUERIES = {
+    "text_stats": QuerySpec(
+        "text_stats", text_stats, TEXT_STATS_SQL,
+        "Per-doc chars/words/quality stats (no-shuffle projection)",
+        ("text", "llm"),
+    ),
+    "language_id": QuerySpec(
+        "language_id", language_id, LANGUAGE_ID_SQL,
+        "Stopword-vote language heuristic", ("text", "llm"),
+    ),
+    "token_counts": QuerySpec(
+        "token_counts", token_counts, TOKEN_COUNTS_SQL,
+        "Whitespace + BPE-estimate token counting", ("text", "llm"),
+    ),
+    "doc_fingerprints": QuerySpec(
+        "doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL,
+        "Content hash + prefix fingerprint (rolling-hash prefilter)",
+        ("text", "llm"),
+    ),
+}
