@@ -75,22 +75,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: mh_i = lexicographic min over
     shingles of md5('<i>|' + shingle). NULL signature for docs with no
-    shingles."""
+    shingles.
+
+    Shape: explode shingles → 8 md5s per row → groupBy(id).agg(8 mins).
+    Keeping the shingles as an array and taking 8 array_mins looks
+    cheaper (no shuffle) but Catalyst's projection collapse inlines the
+    shingle-building expression into every one of the 8 columns — an 8×
+    recompute. The explode form builds each shingle once, and the
+    min-agg is a map-side-combined shuffle on the doc id (uniform key,
+    no skew) — the shape that scales to 100 TB."""
     sh = shingles_of(F.col(text_col))
-    out = df.select(F.col(id_col), sh.alias("shingles"))
-
-    def hasher(i: int):
-        # single-arg lambda on purpose: a 2-arg lambda would make
-        # F.transform pass the array *index* as the second argument
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    cols = [F.col(id_col)]
-    for i in range(n_hashes):
-        cols.append(
-            F.array_min(F.transform(F.col("shingles"), hasher(i))).alias(f"mh{i}")
-        )
-    return out.select(*cols)
+    # explode_outer keeps shingle-less docs (their signature is NULL,
+    # matching array_min over an empty array)
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(sh).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -178,34 +182,40 @@ def jaccard_verify(
 def simhash_bits(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash as a bit string: explode (token, bit-position),
-    extract the bit from the token's md5 nibble, majority-vote per
-    position, reassemble ordered bits. Two shuffles on bounded keys."""
+    """64-bit SimHash as a bit string: per-token md5, per-bit ±1 votes,
+    majority per position.
+
+    Shape: one explode to token rows, 16 nibble columns decoded from the
+    md5 hex, then a single groupBy(id) with 64 sum aggregates — *one*
+    shuffle on the doc id with map-side combine, and no 64× bit-position
+    row blowup (the naive explode(token × bit_pos) form is 64× more
+    shuffle input for identical votes)."""
+    assert n_bits % 4 == 0
+    n_nibbles = n_bits // 4
     words = words_of(F.col(text_col))
-    toks = df.select(F.col(id_col), F.explode(words).alias("tok"))
-    bits = toks.select(
+    toks = df.select(F.col(id_col), F.explode(words).alias("tok")).select(
+        F.col(id_col), F.md5("tok").alias("h")
+    )
+    nibbles = toks.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit_pos"),
-        F.col("tok"),
+        *[
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring("h", i + 1, 1)) - 1
+            ).alias(f"nib{i}")
+            for i in range(n_nibbles)
+        ],
     )
-    # nibble = hex digit at position bit_pos/4 of md5(tok);
-    # bit = (nibble >> (3 - bit_pos%4)) & 1 — position arithmetic only
-    bit = F.expr(
-        "shiftright(instr('0123456789abcdef', "
-        "substr(md5(tok), cast(bit_pos div 4 as int) + 1, 1)) - 1, "
-        "cast(3 - bit_pos % 4 as int)) % 2"
+    # vote for bit (4i + j) = sum over tokens of ±1 by nibble bit j
+    votes = nibbles.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"nib{b // 4}"), 3 - b % 4) % 2 * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
     )
-    votes = (
-        bits.select(F.col(id_col), "bit_pos", bit.alias("bit"))
-        .groupBy(id_col, "bit_pos")
-        .agg(F.sum(F.col("bit") * 2 - 1).alias("vote"))
-    )
-    return (
-        votes.withColumn("bitchar", F.when(F.col("vote") > 0, "1").otherwise("0"))
-        .groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "", F.transform(F.array_sort(F.collect_list(F.struct("bit_pos", "bitchar"))), lambda s: s["bitchar"])
-            ).alias("simhash")
-        )
-    )
+    bitchars = [
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(n_bits)
+    ]
+    return votes.select(F.col(id_col), F.concat(*bitchars).alias("simhash"))

@@ -70,6 +70,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen an under-parallelized scan before compute-heavy per-row work
+    (hashing, decode). A small/single-row-group parquet file yields one
+    task, serializing everything downstream of it; at real scale the scan
+    has thousands of splits and this is a no-op — the repartition only
+    fires when the input has fewer partitions than the cluster has slots,
+    so it never adds a shuffle to a 100 TB read."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # -- deterministic numeric helpers --------------------------------------------
 
 def dec(col, precision: int = 12, scale: int = 4) -> Column:

@@ -6,7 +6,7 @@ pure DataFrame program with a DuckDB oracle."""
 from __future__ import annotations
 
 from ..llm import dedup as D
-from .base import QuerySpec, load
+from .base import QuerySpec, fan_out, load
 
 _WORDS = r"string_split_regex(lower(text), '\s+')"
 
@@ -60,7 +60,7 @@ GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 
 
 def minhash_signatures(spark, sf_dir):
-    return D.minhash_signatures(load(spark, sf_dir, "documents"))
+    return D.minhash_signatures(fan_out(load(spark, sf_dir, "documents")))
 
 
 MINHASH_SIGNATURES_SQL = f"""
@@ -74,7 +74,7 @@ FROM sh
 def minhash_near_duplicates(spark, sf_dir):
     """Full LSH pipeline: signatures → bands → candidate pairs → exact
     Jaccard verification."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
     return D.jaccard_verify(docs, pairs)
 
@@ -118,7 +118,7 @@ JOIN sizes nb ON nb.doc_id = p.id_b
 
 
 def simhash_fingerprints(spark, sf_dir):
-    return D.simhash_bits(load(spark, sf_dir, "documents"))
+    return D.simhash_bits(fan_out(load(spark, sf_dir, "documents")))
 
 
 SIMHASH_FINGERPRINTS_SQL = f"""

@@ -9,14 +9,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..llm import multimodal as M
-from .base import QuerySpec, load
+from .base import QuerySpec, fan_out, load
 
 
 def multimodal_decode(spark, sf_dir):
     """Binary payload → mapInPandas decode (deterministic stub
     dimensions) — exercises schema, Arrow batching, partition
     parallelism end-to-end."""
-    return M.decode_metadata(M.attach_payload(load(spark, sf_dir, "documents")))
+    return M.decode_metadata(M.attach_payload(fan_out(load(spark, sf_dir, "documents"))))
 
 
 MULTIMODAL_DECODE_SQL = """
