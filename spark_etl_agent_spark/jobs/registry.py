@@ -1,0 +1,171 @@
+"""Job registry + dispatch (reference parity:
+``services/job_service.py:14-209``): ``supported_job_types`` metadata,
+listing, per-type parameter extraction, a TypeError-probing generic
+fallback, result-envelope enrichment and the error envelope."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+from ..sources.catalog import Catalog
+from .alerts import Alerter
+from .etl import EtlService
+from .jcap import JcapPaEtlService
+
+
+class JobService:
+    def __init__(
+        self,
+        catalog: Catalog,
+        stage_path: str,
+        alerter: Optional[Alerter] = None,
+    ) -> None:
+        self.catalog = catalog
+        self.etl_service = EtlService(catalog)
+        self.jcap_pa_etl_service = JcapPaEtlService(
+            catalog, stage_path=stage_path, alerter=alerter
+        )
+        # registry shape mirrors services/job_service.py:23-38
+        self.supported_job_types: Dict[str, Dict[str, Any]] = {
+            "control_m_poc_etl": {
+                "service": self.etl_service,
+                "method": "run_control_m_poc_etl",
+                "description": (
+                    "Control M POC ETL - Development/testing with row limits "
+                    "and append mode"
+                ),
+                "parameters": ["load_date", "limit"],
+                "environment": "POC",
+            },
+            "jcap_pa_etl": {
+                "service": self.jcap_pa_etl_service,
+                "method": "run_jcap_pa_etl",
+                "description": (
+                    "JCAP PA ETL - Production workflow with backup/restore, "
+                    "variance validation, and alerts"
+                ),
+                "parameters": ["load_date"],
+                "environment": "Production",
+            },
+        }
+
+    def list_supported_job_types(self) -> Dict[str, str]:
+        """Reference :46-51."""
+        return {
+            job_type: f"[{cfg['environment']}] {cfg['description']}"
+            for job_type, cfg in self.supported_job_types.items()
+        }
+
+    def register_job_type(
+        self,
+        name: str,
+        service: Any,
+        method: str,
+        description: str = "",
+        parameters: Optional[list] = None,
+        environment: str = "Custom",
+    ) -> None:
+        """Extension point the reference hard-codes around: new job
+        types dispatch through the generic parameter prober."""
+        self.supported_job_types[name] = {
+            "service": service,
+            "method": method,
+            "description": description,
+            "parameters": parameters or [],
+            "environment": environment,
+        }
+
+    # -- dispatch ----------------------------------------------------------
+
+    def execute_job(self, job_config: Dict[str, Any]) -> Dict[str, Any]:
+        """Reference :53-124 — validate type, dispatch with per-type
+        parameter extraction, enrich the envelope, never raise."""
+        job_id = job_config.get("id", "unknown")
+        job_name = job_config.get("name", f"job-{job_id}")
+        job_type = job_config.get("type", "control_m_poc_etl")
+
+        if job_type not in self.supported_job_types:
+            return self._create_error_result(
+                job_id,
+                job_name,
+                job_type,
+                f"Unknown job type: {job_type}. Supported types: "
+                f"{list(self.supported_job_types.keys())}",
+            )
+
+        start_time = datetime.now()
+        job_info = self.supported_job_types[job_type]
+        try:
+            service, method_name = job_info["service"], job_info["method"]
+            if job_type == "control_m_poc_etl":
+                result = getattr(service, method_name)(
+                    load_date=job_config.get("load_date"),
+                    limit=job_config.get("limit", 10),
+                )
+            elif job_type == "jcap_pa_etl":
+                result = getattr(service, method_name)(
+                    load_date=job_config.get("load_date")
+                )
+            else:
+                result = self._execute_generic_job(service, method_name, job_config)
+            result.update(
+                {
+                    "job_id": job_id,
+                    "job_name": job_name,
+                    "job_type": job_type,
+                    "job_description": job_info["description"],
+                    "environment": job_info["environment"],
+                }
+            )
+            return result
+        except Exception as e:  # error envelope, reference :190-209
+            end_time = datetime.now()
+            return self._create_error_result(
+                job_id,
+                job_name,
+                job_type,
+                str(e),
+                start_time=start_time,
+                end_time=end_time,
+                duration=(end_time - start_time).total_seconds(),
+            )
+
+    def _execute_generic_job(
+        self, service: Any, method_name: str, job_config: Dict[str, Any]
+    ) -> Dict[str, Any]:
+        """TypeError-probing fallback (reference :147-164)."""
+        method = getattr(service, method_name)
+        try:
+            return method(
+                load_date=job_config.get("load_date"),
+                limit=job_config.get("limit", 10),
+            )
+        except TypeError:
+            try:
+                return method(load_date=job_config.get("load_date"))
+            except TypeError:
+                return method()
+
+    def _create_error_result(
+        self,
+        job_id: Any,
+        job_name: str,
+        job_type: str,
+        error: str,
+        start_time: Optional[datetime] = None,
+        end_time: Optional[datetime] = None,
+        duration: float = 0.0,
+    ) -> Dict[str, Any]:
+        now = datetime.now()
+        return {
+            "status": "Failed",
+            "error": error,
+            "rows_processed": 0,
+            "start_time": start_time or now,
+            "end_time": end_time or now,
+            "duration_seconds": duration,
+            "job_id": job_id,
+            "job_name": job_name,
+            "job_type": job_type,
+        }

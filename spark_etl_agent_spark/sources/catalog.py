@@ -1,0 +1,119 @@
+"""Parquet-backed table catalog — the engine's system of record.
+
+Replaces the reference's Redshift tables (SURVEY.md §1.5): a table named
+``schema.table`` lives at ``<root>/<schema>/<table>`` as a Parquet
+directory, and every reference verb (``utils/db_utils.py``:
+``read_table`` :68-95, ``write_table`` :119-143, ``truncate_table``
+:195-223, ``copy_table_data`` :225-247, ``get_table_count`` :178-193)
+has a native equivalent here, minus the reference's accidental
+semantics:
+
+- **truncate preserves schema** by writing an empty frame with the
+  captured schema (the reference's JDBC ``overwrite`` DROPs the table
+  and loses DDL — SURVEY.md §2.11 U1).
+- **no unconditional cache** after reads (the reference caches every
+  JDBC read, ``utils/db_utils.py:87`` — U7); callers cache when a frame
+  is genuinely reused.
+- **no repartition heuristic** before writes (U8): AQE coalescing plus
+  ``maxRecordsPerFile`` govern output file sizing at any scale.
+
+Scale posture: tables may be written partitioned (``partition_by``) so
+100 TB readers get partition pruning; counts run as metadata-only
+parquet scans (no row materialization).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableNotFoundError(Exception):
+    pass
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- addressing ----------------------------------------------------------
+
+    def path(self, name: str) -> str:
+        """``schema.table`` → ``<root>/<schema>/<table>`` (dotted names
+        nest; a bare name lives at the root)."""
+        return os.path.join(self.root, *name.split("."))
+
+    def table_exists(self, name: str) -> bool:
+        """Hadoop-FS existence check (works for file://, hdfs://, s3a://)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
+    # -- verbs (reference parity, SURVEY.md §2.11) ----------------------------
+
+    def read_table(self, name: str, limit: Optional[int] = None) -> DataFrame:
+        """S1 analog: full-table scan with optional row cap. Unlike the
+        reference's DSv1 JDBC read, Catalyst pushes the limit into the
+        scan here (SURVEY.md §2.6 O2)."""
+        if not self.table_exists(name):
+            raise TableNotFoundError(name)
+        df = self.spark.read.parquet(self.path(name))
+        return df.limit(limit) if limit is not None else df
+
+    def write_table(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "append",
+        partition_by: Optional[List[str]] = None,
+    ) -> None:
+        """S3 analog. ``partition_by`` (e.g. ``["load_date"]``) makes the
+        table partition-pruned for downstream readers — the 100 TB
+        posture the reference lacked."""
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+
+    def execute_sql(self, sql: str) -> DataFrame:
+        """S2 inverted (SURVEY.md §2.1): the reference shipped SQL *to
+        Redshift*; here Catalyst executes it natively. Tables under the
+        catalog root must be registered first via :meth:`register_views`.
+        """
+        return self.spark.sql(sql)
+
+    def register_views(self, names: List[str]) -> None:
+        """Expose catalog tables to ``spark.sql`` as temp views named by
+        their flattened table name (``schema.table`` → ``schema_table``)."""
+        for name in names:
+            self.read_table(name).createOrReplaceTempView(name.replace(".", "_"))
+
+    def get_table_count(self, name: str) -> int:
+        """U3/A1 analog — a count(*) aggregate over the parquet scan;
+        Spark's vectorized reader satisfies it from row-group metadata
+        without materializing columns."""
+        return self.read_table(name).count()
+
+    def truncate_table(self, name: str) -> None:
+        """U1 analog with the *intended* semantics: empty the table but
+        keep its schema (no DROP-and-recreate)."""
+        schema = self.read_table(name).schema
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self.path(name))
+
+    def copy_table_data(self, source: str, dest: str) -> int:
+        """U2 analog: append source rows into dest, return rows copied."""
+        df = self.read_table(source)
+        self.write_table(df, dest, mode="append")
+        return self.get_table_count(source)
+
+    def drop_table(self, name: str) -> None:
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)

@@ -1,0 +1,111 @@
+"""Optional JDBC connector with the reference's ``RedshiftConnector``
+API (``utils/db_utils.py:20-247``), for deployments that still need an
+external warehouse. Not exercisable in this environment (no JDBC server
+or driver jar) — kept thin, with the reference's accidental semantics
+fixed:
+
+- ``execute_sql`` keeps the ``(query) AS spark_query`` derived-table
+  pushdown (``utils/db_utils.py:105``) because against a *remote* DB
+  that is the correct way to delegate; the engine's native path is
+  ``Catalog.execute_sql`` (Catalyst executes locally).
+- reads are NOT unconditionally cached (U7) and writes use an explicit
+  ``num_partitions`` instead of the rows//10000 heuristic (U8).
+- ``truncate_table`` issues a real ``TRUNCATE TABLE`` through the JDBC
+  connection rather than overwrite-dropping the DDL (U1 fix).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class JdbcConnector:
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        user: str,
+        password: str,
+        driver: str = "org.postgresql.Driver",
+        login_timeout_s: int = 30,
+        socket_timeout_s: int = 300,
+    ) -> None:
+        self.spark = spark
+        self.url = url
+        self.properties: Dict[str, str] = {
+            "user": user,
+            "password": password,
+            "driver": driver,
+            # reference parity: utils/db_utils.py:46-47,55-56
+            "loginTimeout": str(login_timeout_s),
+            "socketTimeout": str(socket_timeout_s),
+        }
+
+    def _qualified(self, table_name: str, schema: Optional[str]) -> str:
+        return f"{schema}.{table_name}" if schema else table_name
+
+    def read_table(
+        self,
+        table_name: str,
+        schema: Optional[str] = None,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        df = self.spark.read.jdbc(
+            self.url, self._qualified(table_name, schema), properties=self.properties
+        )
+        return df.limit(limit) if limit is not None else df
+
+    def execute_sql(self, sql_query: str) -> DataFrame:
+        """Push arbitrary SQL to the remote DB via the derived-table
+        alias trick (reference ``utils/db_utils.py:105``)."""
+        return self.spark.read.jdbc(
+            self.url, f"({sql_query}) AS spark_query", properties=self.properties
+        )
+
+    def write_table(
+        self,
+        df: DataFrame,
+        table_name: str,
+        schema: Optional[str] = None,
+        mode: str = "append",
+        num_partitions: Optional[int] = None,
+    ) -> None:
+        out = df.repartition(num_partitions) if num_partitions else df
+        out.write.jdbc(
+            self.url,
+            self._qualified(table_name, schema),
+            mode=mode,
+            properties=self.properties,
+        )
+
+    def get_table_count(self, table_name: str, schema: Optional[str] = None) -> int:
+        qualified = self._qualified(table_name, schema)
+        df = self.execute_sql(f"SELECT COUNT(*) AS cnt FROM {qualified}")
+        return int(df.collect()[0]["cnt"])
+
+    def truncate_table(self, table_name: str, schema: Optional[str] = None) -> None:
+        """Real TRUNCATE through a driver-side JDBC statement — keeps
+        encodings/sortkeys the reference's overwrite path destroyed."""
+        qualified = self._qualified(table_name, schema)
+        jvm = self.spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(f"TRUNCATE TABLE {qualified}")
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def copy_table_data(
+        self, source: str, dest: str, schema: Optional[str] = None
+    ) -> int:
+        df = self.read_table(source, schema)
+        self.write_table(df, dest, schema, mode="append")
+        return self.get_table_count(source, schema)

@@ -1,0 +1,248 @@
+"""End-to-end workflow tests (SURVEY.md §5.2 item 3): both reference
+jobs against a fixture warehouse seeded from the deterministic Group-A
+derivations, asserting envelope keys (§2.12), count invariants (§5.1)
+and variance-math properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_etl_agent_spark.jobs.alerts import (
+    LogAlerter,
+    variance_exceeded,
+    variance_percentage,
+)
+from spark_etl_agent_spark.jobs.registry import JobService
+from spark_etl_agent_spark.jobs.runner import run_continuous_jobs, run_single_job
+from spark_etl_agent_spark.plans.jcap_extract import (
+    derive_alignment,
+    derive_payer_details,
+    derive_ref_cap,
+    derive_segment,
+    jcap_extract,
+    jcap_transform,
+)
+from spark_etl_agent_spark.sources.catalog import Catalog, TableNotFoundError
+from spark_etl_agent_spark.sources.files import FileIO, normalize_s3_path
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir, tmp_path_factory):
+    """Group-A fixture catalog + a pre-seeded previous load in the main
+    table (FIXTURES.md A6)."""
+    root = str(tmp_path_factory.mktemp("warehouse"))
+    cat = Catalog(spark, root)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    payer = derive_payer_details(orders)
+    cat.write_table(payer, "cdp.fct_pah_pa_payer_details", mode="overwrite")
+    cat.write_table(derive_ref_cap(orders), "cdp.fct_pah_ref_cap_dly", mode="overwrite")
+    cat.write_table(
+        derive_alignment(part), "cdp.dmn_pah_curr_alignment_all", mode="overwrite"
+    )
+    cat.write_table(derive_segment(supplier), "cdp.dmn_pah_segment", mode="overwrite")
+
+    # POC source view analog (FIXTURES.md A5)
+    poc = orders.select(
+        F.col("o_orderpriority").alias("product"),
+        F.col("o_orderkey").cast("string").alias("ac_number"),
+        F.col("o_orderdate").cast("date").alias("referral_date"),
+    )
+    cat.write_table(poc, "dna_actln_dwh.vw_patients_opsumit_cap", mode="overwrite")
+    # empty POC destination with the job's output schema
+    dest_schema = poc.withColumn("load_date", F.lit("x")).select(
+        "load_date", "product", "ac_number", "referral_date"
+    )
+    cat.write_table(dest_schema.limit(0), "dna_actln_dwh.controlm_new_test",
+                    mode="overwrite")
+
+    # previous jcap load: yesterday's extract output (same schema, so
+    # backup/variance paths are real)
+    prev = jcap_transform(
+        jcap_extract(
+            derive_payer_details(orders),
+            derive_ref_cap(orders),
+            derive_alignment(part),
+            derive_segment(supplier),
+            load_date="2026-08-12",
+        )
+    )
+    cat.write_table(prev, "jcap_presentation.pah_jcap_pa", mode="overwrite")
+    cat.write_table(prev.limit(0), "jcap_presentation.pah_jcap_pa_bkp",
+                    mode="overwrite")
+    return cat
+
+
+@pytest.fixture()
+def job_service(warehouse, tmp_path):
+    return JobService(
+        warehouse, stage_path=str(tmp_path / "stage"), alerter=LogAlerter()
+    )
+
+
+# -- catalog verbs ------------------------------------------------------------
+
+def test_catalog_verbs(warehouse):
+    n = warehouse.get_table_count("cdp.dmn_pah_segment")
+    assert n > 0
+    assert warehouse.table_exists("cdp.dmn_pah_segment")
+    assert not warehouse.table_exists("cdp.nope")
+    with pytest.raises(TableNotFoundError):
+        warehouse.read_table("cdp.nope")
+    # limit pushdown path
+    assert warehouse.read_table("cdp.dmn_pah_segment", limit=3).count() == 3
+
+
+def test_truncate_preserves_schema(spark, warehouse):
+    before = warehouse.read_table("jcap_presentation.pah_jcap_pa_bkp").schema
+    warehouse.truncate_table("jcap_presentation.pah_jcap_pa_bkp")
+    after = warehouse.read_table("jcap_presentation.pah_jcap_pa_bkp")
+    assert after.count() == 0
+    assert after.schema == before
+
+
+def test_copy_table_data_roundtrip(warehouse):
+    warehouse.truncate_table("jcap_presentation.pah_jcap_pa_bkp")
+    n = warehouse.copy_table_data(
+        "jcap_presentation.pah_jcap_pa", "jcap_presentation.pah_jcap_pa_bkp"
+    )
+    assert n == warehouse.get_table_count("jcap_presentation.pah_jcap_pa_bkp")
+    assert n == warehouse.get_table_count("jcap_presentation.pah_jcap_pa")
+
+
+# -- file IO -------------------------------------------------------------------
+
+def test_fileio_formats_roundtrip(spark, tmp_path):
+    io = FileIO(spark)
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.col("id").cast("string").alias("s")
+    )
+    for fmt in ("parquet", "csv", "json", "orc"):
+        path = str(tmp_path / f"t_{fmt}")
+        io.write(df, path, fmt=fmt)
+        assert io.path_exists(path)
+        back = io.read(path, fmt=fmt)
+        assert back.count() == 100
+    assert io.delete_path(str(tmp_path / "t_parquet"))
+    assert not io.path_exists(str(tmp_path / "t_parquet"))
+    assert not io.delete_path(str(tmp_path / "never-existed"))
+
+
+def test_normalize_s3_path():
+    assert normalize_s3_path("s3://b/k") == "s3a://b/k"
+    assert normalize_s3_path("prefix/k", bucket="b") == "s3a://b/prefix/k"
+    assert normalize_s3_path("s3a://b/k") == "s3a://b/k"
+
+
+# -- variance math (SURVEY.md §5.2 item 4) --------------------------------------
+
+def test_variance_properties():
+    assert variance_percentage(0, 500) == 0.0  # no previous load
+    assert variance_percentage(100, 100) == 0.0
+    assert variance_percentage(100, 95) == pytest.approx(5.0)
+    assert variance_percentage(100, 105) == pytest.approx(5.0)
+    # >= at the boundary (reference :370)
+    assert variance_exceeded(5.0, threshold=5.0)
+    assert not variance_exceeded(4.999, threshold=5.0)
+
+
+# -- jobs end-to-end -------------------------------------------------------------
+
+POC_KEYS = {
+    "status", "rows_processed", "start_time", "end_time", "duration_seconds",
+    "source_table", "destination_table", "load_date", "limit",
+}
+JCAP_KEYS = {
+    "status", "rows_processed", "start_time", "end_time", "duration_seconds",
+    "load_date", "previous_count", "current_count", "variance_percentage",
+    "variance_threshold_exceeded", "email_sent", "s3_path", "method",
+}
+ENVELOPE_KEYS = {"job_id", "job_name", "job_type", "job_description", "environment"}
+
+
+def test_control_m_poc_etl(job_service, warehouse):
+    before = warehouse.get_table_count("dna_actln_dwh.controlm_new_test")
+    result = run_single_job(
+        job_service,
+        {"type": "control_m_poc_etl", "id": "t1", "limit": 7},
+    )
+    assert result["status"] == "Success"
+    assert POC_KEYS | ENVELOPE_KEYS <= set(result)
+    assert result["rows_processed"] == 7
+    after = warehouse.get_table_count("dna_actln_dwh.controlm_new_test")
+    assert after == before + 7  # append mode
+
+
+def test_jcap_pa_etl_end_to_end(job_service, warehouse):
+    prev = warehouse.get_table_count("jcap_presentation.pah_jcap_pa")
+    result = run_single_job(job_service, {"type": "jcap_pa_etl", "id": "t2"})
+    assert result["status"] == "Success", result.get("error")
+    assert JCAP_KEYS | ENVELOPE_KEYS <= set(result)
+    # backup holds the previous load
+    assert result["previous_count"] == prev
+    assert (
+        warehouse.get_table_count("jcap_presentation.pah_jcap_pa_bkp") == prev
+    )
+    # destination reloaded and verified
+    assert result["current_count"] == warehouse.get_table_count(
+        "jcap_presentation.pah_jcap_pa"
+    )
+    assert result["rows_processed"] > 0
+    # same sources, same filters → same count as previous load → 0 variance
+    assert result["variance_percentage"] == 0.0
+    assert not result["variance_threshold_exceeded"]
+    assert not result["email_sent"]
+    # staged parquet exists and matches
+    io = FileIO(warehouse.spark)
+    assert io.path_exists(result["s3_path"])
+    assert io.read_parquet(result["s3_path"]).count() == result["current_count"]
+
+
+def test_jcap_variance_alert_fires(warehouse, tmp_path):
+    """Shrink the previous load so the reload trips the 5% threshold."""
+    alerter = LogAlerter()
+    svc = JobService(warehouse, stage_path=str(tmp_path / "stage2"), alerter=alerter)
+    main = warehouse.read_table("jcap_presentation.pah_jcap_pa")
+    shrunk = main.limit(max(1, main.count() // 2)).cache()
+    shrunk.count()
+    warehouse.write_table(shrunk, "jcap_presentation.pah_jcap_pa", mode="overwrite")
+    shrunk.unpersist()
+
+    result = run_single_job(svc, {"type": "jcap_pa_etl", "id": "t3"})
+    assert result["status"] == "Success", result.get("error")
+    assert result["variance_threshold_exceeded"]
+    assert result["email_sent"]
+    assert any(r["kind"] == "variance_alert" for r in alerter.sent)
+
+
+def test_unknown_job_type_error_envelope(job_service):
+    result = job_service.execute_job({"type": "nope", "id": "x"})
+    assert result["status"] == "Failed"
+    assert "Unknown job type" in result["error"]
+
+
+def test_continuous_runner_stats(job_service):
+    stats = run_continuous_jobs(
+        job_service,
+        {"type": "control_m_poc_etl", "id": "loop", "limit": 3},
+        interval_seconds=0,
+        max_iterations=3,
+    )
+    assert stats["total_runs"] == 3
+    assert stats["successful_runs"] == 3
+    assert stats["exit_success"]
+
+
+def test_registry_listing_and_custom_type(job_service):
+    listing = job_service.list_supported_job_types()
+    assert set(listing) >= {"control_m_poc_etl", "jcap_pa_etl"}
+
+    class Custom:
+        def run(self):
+            return {"status": "Success", "rows_processed": 0}
+
+    job_service.register_job_type("custom", Custom(), "run", "test job")
+    r = job_service.execute_job({"type": "custom", "id": "c1"})
+    assert r["status"] == "Success"
+    assert r["job_type"] == "custom"
