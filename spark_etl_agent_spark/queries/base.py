@@ -125,9 +125,18 @@ SQL_DEC = "DECIMAL(12,4)"
 def _collect_modules():
     # Imported lazily so a syntax error in one module surfaces clearly
     # and so pyspark import cost is paid once.
-    from . import dedup, events, jcap, multimodal, relational, similarity, text
+    from . import (
+        dedup,
+        events,
+        jcap,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
 
-    return (relational, jcap, events, text, dedup, similarity, multimodal)
+    return (relational, jcap, events, text, dedup, similarity, multimodal, streaming)
 
 
 def registry() -> Dict[str, QuerySpec]:

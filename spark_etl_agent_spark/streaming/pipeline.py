@@ -1,0 +1,190 @@
+"""Event-time streaming pipelines over the ``events`` table.
+
+Design (SURVEY.md §7.2 M4): ``readStream`` file source → watermarked
+event-time windows / stateful dedup → ``foreachBatch`` catalog sink
+that mirrors the reference's load-with-verify semantics (U5) per
+micro-batch.
+
+Scale posture: every pipeline here is a standard incremental-state
+shape — watermarks bound state size (late data beyond the watermark is
+dropped), window/session state shuffles on bounded keys
+(window×event_type, user_id), and the file source at 100 TB is the same
+code pointed at an arriving-partition directory or replaced by a Kafka
+source with identical downstream operators.
+
+The batch "twins" of these queries (same window math on the same table)
+are in ``queries.events`` — the streaming results at availableNow must
+equal the batch results exactly, which is how the tests oracle them.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. ``ts`` is
+    TIMESTAMP(NANOS) in the footer, which Spark rejects by default: read
+    nanos-as-long and truncate to micros (lossless here — same as the
+    batch loader in ``queries.base.load``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # ts: long under the legacy conf
+    return (
+        spark.readStream.schema(schema)
+        # the file source needs a *directory*; the fixture is a single
+        # file, so stream the parent dir filtered down to the events file
+        # (in production this is simply the table's directory)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+# -- windowed aggregations ------------------------------------------------------
+
+def tumbling_window_counts(
+    stream: DataFrame, window: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows per event type. Watermark bounds the
+    state store; the agg shuffles on (window, event_type) — a bounded
+    key space regardless of input volume."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    windows — state is slide-factor larger, same bounded-key shape."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows per user (the streaming twin of the
+    batch sessionization query): state merges adjacent events until a
+    gap > ``gap`` closes the session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: Optional[list] = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it — the streaming analog of the batch
+    content-hash dedup, sized for unbounded input."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+# -- sinks ----------------------------------------------------------------------
+
+def load_with_verify_sink(
+    catalog: Catalog, table: str
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body mirroring the reference's load-with-verify
+    (U5, ``services/jcap_pa_etl_service.py:322-355``) per micro-batch:
+    append, recount, assert growth. Batch id makes retries idempotent
+    at-least-once → the dedup stage upstream makes it effectively-once."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        before = catalog.get_table_count(table) if catalog.table_exists(table) else 0
+        n = batch_df.count()
+        catalog.write_table(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)), table, mode="append"
+        )
+        after = catalog.get_table_count(table)
+        if n > 0 and after <= before:
+            raise RuntimeError(
+                f"micro-batch {batch_id}: no rows loaded ({before}→{after})"
+            )
+
+    return write_batch
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    foreach_batch: Optional[Callable] = None,
+    timeout_s: int = 120,
+) -> Optional[DataFrame]:
+    """Run a streaming frame over all currently-available input and stop
+    (``Trigger.AvailableNow`` — the batch-equivalent execution used by
+    tests and backfills). Returns the result as a batch DataFrame when
+    sinking to memory, else None."""
+    spark = df.sparkSession
+    if foreach_batch is not None:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .foreachBatch(foreach_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        return None
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

@@ -1,0 +1,107 @@
+"""Structured Streaming tests (SURVEY.md §7.2 M4): every pipeline runs
+with Trigger.AvailableNow over the events fixture and is checked against
+its batch twin — the strongest oracle available for streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_etl_agent_spark.queries.base import dec, load
+from spark_etl_agent_spark.sources.catalog import Catalog
+from spark_etl_agent_spark.streaming import (
+    dedup_within_watermark,
+    events_stream,
+    load_with_verify_sink,
+    run_available_now,
+    session_window_stats,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load(spark, sf_dir, "events").cache()
+
+
+def canon(df, cols):
+    return sorted(tuple(str(v) for v in row) for row in df.select(*cols).collect())
+
+
+def test_tumbling_equals_batch(spark, sf_dir, batch_events):
+    streamed = run_available_now(
+        tumbling_window_counts(events_stream(spark, sf_dir)), output_mode="complete"
+    )
+    batch = (
+        batch_events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("decimal(18,4)").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    assert canon(streamed, cols) == canon(batch, cols)
+
+
+def test_sliding_window_double_counts(spark, sf_dir, batch_events):
+    """6h windows sliding by 3h: every event lands in exactly 2 windows."""
+    streamed = run_available_now(
+        sliding_window_counts(events_stream(spark, sf_dir)), output_mode="complete"
+    )
+    total = streamed.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * batch_events.count()
+
+
+def test_session_windows_equal_batch_sessionization(spark, sf_dir, batch_events):
+    """session_window must produce the same (user, start, n_events)
+    sessions as the batch lag/flag-sum pattern (30-min gap)."""
+    streamed = run_available_now(
+        session_window_stats(events_stream(spark, sf_dir)), output_mode="complete"
+    )
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = batch_events.withColumn("prev_ts", F.lag("ts").over(order)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr("ts - prev_ts >= INTERVAL '30' MINUTE"),
+            1,
+        ).otherwise(0),
+    )
+    batch = (
+        flagged.withColumn("session_id", F.sum("new_sess").over(order))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    assert canon(streamed, cols) == canon(batch, cols)
+
+
+def test_dedup_within_watermark(spark, sf_dir, batch_events):
+    """A doubled stream (self-union) collapses back to distinct events."""
+    doubled = events_stream(spark, sf_dir).union(events_stream(spark, sf_dir))
+    deduped = dedup_within_watermark(doubled, keys=["event_id"])
+    out = run_available_now(deduped, output_mode="append")
+    assert out.count() == batch_events.count()
+
+
+def test_foreach_batch_load_with_verify(spark, sf_dir, batch_events, tmp_path):
+    """foreachBatch sink: micro-batches append into the catalog with the
+    reference's load-with-verify semantics; batch ids land in the table."""
+    cat = Catalog(spark, str(tmp_path / "stream_wh"))
+    stream = dedup_within_watermark(events_stream(spark, sf_dir))
+    run_available_now(
+        stream,
+        output_mode="append",
+        foreach_batch=load_with_verify_sink(cat, "streams.events_clean"),
+    )
+    tbl = cat.read_table("streams.events_clean")
+    assert tbl.count() == batch_events.count()
+    assert "_batch_id" in tbl.columns
