@@ -1,0 +1,66 @@
+"""Skew-safe shuffles: salting for heavy-hitter keys.
+
+AQE's skew-join splitting (enabled in the session defaults) handles
+most join skew at runtime; these operators are the *explicit* form for
+when the skew is known ahead of time (the classic power-law key at
+100 TB) or the operation is an aggregation (AQE skew handling does not
+apply to aggregates).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (output_name, fn, input) where fn ∈ {sum, count, min, max} — the
+# decomposable aggregates whose partial and final functions coincide
+# (count partials combine with sum). avg derives as sum/count downstream.
+AggSpec = Tuple[str, str, str]
+
+_PARTIAL = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+_FINAL = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: List[str],
+    aggs: List[AggSpec],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: shuffle once on (keys, salt) so a heavy
+    key spreads over ``salt_buckets`` reducers, then combine the
+    partials with a second (tiny — one row per key×salt) shuffle on the
+    keys alone. Result is identical to a plain groupBy; only the
+    shuffle layout changes."""
+    for _, fn, _ in aggs:
+        if fn not in _PARTIAL:
+            raise ValueError(f"non-decomposable aggregate for salting: {fn}")
+    salted = df.withColumn(
+        "_salt", (F.spark_partition_id() % salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[_PARTIAL[fn](col).alias(f"_p_{name}") for name, fn, col in aggs]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_FINAL[fn](F.col(f"_p_{name}")).alias(name) for name, fn, col in aggs]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's key, replicate the
+    small side once per salt value, join on (key, salt). The heavy key
+    spreads over ``salt_buckets`` tasks instead of one straggler."""
+    big_s = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = skewed_small.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    small_s = skewed_small.crossJoin(F.broadcast(salts))
+    return big_s.join(small_s, [on, "_salt"], how).drop("_salt")

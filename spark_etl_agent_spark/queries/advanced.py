@@ -1,0 +1,181 @@
+"""Advanced-operator inventory: as-of join, range join, salted
+aggregation, exact profiles, grouping sets — the extension operators in
+``spark_etl_agent_spark.operators``, each oracled (DuckDB's native
+ASOF JOIN checks our union-window composition value-for-value)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.ranges import band_join
+from ..operators.sketches import column_profile
+from ..operators.skew import salted_aggregate
+from .base import QuerySpec, load
+
+
+def asof_join_clicks(spark, sf_dir):
+    """For each purchase event: the user's most recent click value at or
+    before it (classic time-series enrichment)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(purchases, clicks, on="user_id", ts="ts",
+                     value_cols=["click_value"])
+
+
+ASOF_JOIN_CLICKS_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.click_value AS click_value_asof
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def band_join_parts(spark, sf_dir):
+    """Broadcast range join: parts into 100-unit retail-price bands."""
+    part = load(spark, sf_dir, "part")
+    bands = spark.range(0, 26).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+    )
+    return (
+        band_join(part, bands, value="p_retailprice")
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+BAND_JOIN_PARTS_SQL = """
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+  FROM range(0, 26) t(i)
+)
+SELECT b.band_id, count(*) AS n_parts,
+  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE)
+    AS sum_price
+FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band_id
+"""
+
+
+def salted_agg_lineitem(spark, sf_dir):
+    """Skew-safe two-phase aggregation — must equal the plain groupBy
+    (which is exactly what the oracle computes)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li.withColumn("qty_dec", F.col("l_quantity").cast("decimal(12,4)")),
+        keys=["l_returnflag"],
+        aggs=[
+            ("n_items", "count", "l_quantity"),
+            ("sum_qty_dec", "sum", "qty_dec"),
+            ("min_qty", "min", "l_quantity"),
+            ("max_qty", "max", "l_quantity"),
+        ],
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        F.col("sum_qty_dec").cast("decimal(18,4)").cast("double").alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+    )
+
+
+SALTED_AGG_LINEITEM_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE)
+    AS sum_qty,
+  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def quantity_profile(spark, sf_dir):
+    """Exact per-group distribution profile incl. median (0.5
+    interpolation is exact for the integer-valued quantity column)."""
+    return column_profile(
+        load(spark, sf_dir, "lineitem"), keys=["l_returnflag"], value="l_quantity"
+    )
+
+
+QUANTITY_PROFILE_SQL = """
+SELECT l_returnflag, count(*) AS n,
+  min(l_quantity) AS v_min, max(l_quantity) AS v_max,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE)
+    AS v_sum,
+  quantile_cont(l_quantity, 0.5) AS v_median
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond the cube/rollup queries): totals
+    by status, by priority, and grand total in one pass."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n_orders,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DECIMAL(20,4)) AS DOUBLE)
+            AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_REVENUE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DECIMAL(20,4)) AS DOUBLE)
+    AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+QUERIES = {
+    "asof_join_clicks": QuerySpec(
+        "asof_join_clicks", asof_join_clicks, ASOF_JOIN_CLICKS_SQL,
+        "As-of join (union-window composition) vs DuckDB ASOF JOIN",
+        ("asof", "join", "operators"),
+    ),
+    "band_join_parts": QuerySpec(
+        "band_join_parts", band_join_parts, BAND_JOIN_PARTS_SQL,
+        "Broadcast range join into price bands", ("range-join", "operators"),
+    ),
+    "salted_agg_lineitem": QuerySpec(
+        "salted_agg_lineitem", salted_agg_lineitem, SALTED_AGG_LINEITEM_SQL,
+        "Skew-salted two-phase aggregation (== plain groupBy)",
+        ("skew", "agg", "operators"),
+    ),
+    "quantity_profile": QuerySpec(
+        "quantity_profile", quantity_profile, QUANTITY_PROFILE_SQL,
+        "Exact per-group profile incl. median", ("agg", "operators"),
+    ),
+    "grouping_sets_revenue": QuerySpec(
+        "grouping_sets_revenue", grouping_sets_revenue,
+        GROUPING_SETS_REVENUE_SQL,
+        "Explicit GROUPING SETS aggregation", ("agg",),
+    ),
+}

@@ -126,6 +126,7 @@ def _collect_modules():
     # Imported lazily so a syntax error in one module surfaces clearly
     # and so pyspark import cost is paid once.
     from . import (
+        advanced,
         dedup,
         events,
         jcap,
@@ -136,7 +137,17 @@ def _collect_modules():
         text,
     )
 
-    return (relational, jcap, events, text, dedup, similarity, multimodal, streaming)
+    return (
+        relational,
+        jcap,
+        events,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        streaming,
+        advanced,
+    )
 
 
 def registry() -> Dict[str, QuerySpec]:

@@ -1,0 +1,80 @@
+"""Unit tests for the custom-operator layer (asof/ranges/skew/sketches)
+— equivalence against the naive-but-obviously-correct form."""
+
+from pyspark.sql import functions as F
+
+from spark_etl_agent_spark.operators.asof import asof_join
+from spark_etl_agent_spark.operators.ranges import band_join, bucketed_range_join
+from spark_etl_agent_spark.operators.sketches import approx_profile
+from spark_etl_agent_spark.operators.skew import salted_join
+from spark_etl_agent_spark.queries.base import load
+
+
+def test_asof_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 8, 80.0)],
+        "k int, ts int, v double",
+    )
+    got = {
+        (r.k, r.ts): r.v_asof
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    # naive: per left row the max right.ts <= left.ts
+    assert got == {
+        (1, 10): 100.0,  # ties: <= includes the equal timestamp
+        (1, 20): 150.0,
+        (1, 5): None,    # nothing at-or-before
+        (2, 7): None,
+        (3, 9): None,    # key absent on the right
+    }
+
+
+def test_bucketed_range_join_equals_broadcast(spark, sf_dir):
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.range(0, 26).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+    )
+    a = band_join(part, bands, value="p_retailprice")
+    b = bucketed_range_join(part, bands, value="p_retailprice", bucket_width=75.0)
+    rows_a = sorted((r.p_partkey, r.band_id) for r in a.collect())
+    rows_b = sorted((r.p_partkey, r.band_id) for r in b.collect())
+    assert rows_a == rows_b and rows_a
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    small = customer.withColumnRenamed("c_custkey", "o_custkey")
+    plain = sorted(
+        (r.o_orderkey, r.c_mktsegment)
+        for r in orders.join(small, "o_custkey").collect()
+    )
+    salted = sorted(
+        (r.o_orderkey, r.c_mktsegment)
+        for r in salted_join(orders, small, on="o_custkey").collect()
+    )
+    assert plain == salted and plain
+
+
+def test_approx_profile_shape_and_bounds(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    prof = approx_profile(li, keys=["l_returnflag"], value="l_quantity").collect()
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_quantity").alias("n")
+        ).collect()
+    }
+    for r in prof:
+        # HLL at rsd=5%: generous ±20% envelope, just proving sanity
+        assert abs(r.v_approx_distinct - exact[r.l_returnflag]) <= max(
+            5, 0.2 * exact[r.l_returnflag]
+        )
+        assert len(r.v_approx_quantiles) == 4
+        assert sorted(r.v_approx_quantiles) == list(r.v_approx_quantiles)

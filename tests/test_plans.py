@@ -1,0 +1,71 @@
+"""Physical-plan quality gates (SURVEY.md §4.3): the optimizer must
+actually produce the shapes the 100 TB design assumes — broadcast for
+dims, pushed filters and pruned columns at the parquet scan, salted
+pre-aggregation. A regression that silently turns a broadcast join into
+a sort-merge join or un-pushes a filter fails here, not in production.
+"""
+
+from pyspark.sql import functions as F
+
+from spark_etl_agent_spark.plans.jcap_extract import run_jcap_extract
+from spark_etl_agent_spark.queries import registry
+from spark_etl_agent_spark.queries.base import load
+
+SPECS = registry()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_jcap_extract_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(run_jcap_extract(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # U, alignment, segment
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_dir):
+    plan = plan_of(SPECS["pricing_summary"].spark(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 7-column read, not all 11 lineitem columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_top_revenue_orders_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(SPECS["top_revenue_orders"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment" in plan
+
+
+def test_band_join_is_broadcast_nested_loop(spark, sf_dir):
+    """A broadcast range join must NOT become a cartesian product."""
+    plan = plan_of(SPECS["band_join_parts"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_has_two_phase_shape(spark, sf_dir):
+    plan = plan_of(SPECS["salted_agg_lineitem"].spark(spark, sf_dir))
+    # partial on (key, salt) then final on key → two hash-agg pairs
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_limit_is_pushed_into_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").limit(7)
+    plan = plan_of(df)
+    assert "GlobalLimit" in plan or "CollectLimit" in plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
+    """AQE finalizes the physical plan at execution time — run the query,
+    then assert the executed plan fused the scan→agg hot path."""
+    df = SPECS["pricing_summary"].spark(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    n = int(codegen.splitlines()[0].split()[1])
+    assert n >= 2, codegen.splitlines()[0]  # scan→partial-agg and final-agg fused
