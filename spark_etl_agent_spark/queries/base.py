@@ -83,40 +83,9 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
-# -- deterministic numeric helpers --------------------------------------------
+# -- deterministic numeric helpers (canonical home: functions.deterministic) --
 
-def dec(col, precision: int = 12, scale: int = 4) -> Column:
-    """Cast a measure to a bounded decimal for order-independent exact
-    aggregation (see module docstring)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({precision},{scale})")
-
-
-def dsum(col, precision: int = 12, scale: int = 4) -> Column:
-    """Exact decimal SUM surfaced as DOUBLE (bit-identical across engines).
-
-    The sum is rescaled to DECIMAL(18,s) before the DOUBLE cast: with the
-    numerator under 2^53 both Spark (BigDecimal.doubleValue) and DuckDB
-    (int128→double→divide) perform exactly one correctly-rounded
-    conversion and agree bitwise. Casting a wide decimal directly would
-    hit DuckDB's two-rounding (not correctly rounded) path.
-    """
-    return F.sum(dec(col, precision, scale)).cast(f"decimal(18,{scale})").cast("double")
-
-
-def dsum_expr(expr: Column, scale: int = 4) -> Column:
-    """Same as :func:`dsum` for an already-built exact-decimal expression."""
-    return F.sum(expr).cast(f"decimal(18,{scale})").cast("double")
-
-
-def davg(col, precision: int = 12, scale: int = 4) -> Column:
-    """Exact-sum average: decimal-sum cast to double, divided by count
-    (one IEEE division of identical operands — deterministic)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(dec(c, precision, scale)).cast(f"decimal(18,{scale})").cast("double")
-        / F.count(c)
-    )
+from ..functions.deterministic import davg, dec, dsum, dsum_expr  # noqa: E402,F401
 
 
 SQL_DEC = "DECIMAL(12,4)"
