@@ -246,3 +246,30 @@ def test_registry_listing_and_custom_type(job_service):
     r = job_service.execute_job({"type": "custom", "id": "c1"})
     assert r["status"] == "Success"
     assert r["job_type"] == "custom"
+
+
+# -- partitioned tables: the 100 TB pruning path --------------------------------
+
+def test_partitioned_write_prunes_on_read(spark, warehouse, tmp_path):
+    """A load_date-partitioned table must serve date-filtered reads from
+    the matching partition directories only (PartitionFilters in the
+    scan, not a post-scan filter)."""
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "part_wh"))
+    src = warehouse.read_table("cdp.fct_pah_pa_payer_details").withColumn(
+        "part_key", F.substring("load_date", 7, 4)  # year of MM-dd-yyyy
+    )
+    cat.write_table(src, "cdp.payer_by_year", mode="overwrite",
+                    partition_by=["part_key"])
+
+    df = cat.read_table("cdp.payer_by_year").filter(F.col("part_key") == "1997")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(part_key" in plan
+    # pruning proof: fewer files scanned than the full table
+    full = cat.read_table("cdp.payer_by_year")
+    assert df.count() < full.count()
+    n_years = full.select("part_key").distinct().count()
+    assert n_years > 1  # partitioning actually split the data
