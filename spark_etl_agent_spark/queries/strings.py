@@ -117,7 +117,43 @@ FROM per_cust
 """
 
 
+def unpivot_quarterly(spark, sf_dir):
+    """UNPIVOT/melt: wide per-quarter counts back to long form — the
+    inverse of pivot, closing the reshape surface."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.quarter("o_orderdate") == 1, 1)).alias("q1"),
+        F.count(F.when(F.quarter("o_orderdate") == 2, 1)).alias("q2"),
+        F.count(F.when(F.quarter("o_orderdate") == 3, 1)).alias("q3"),
+        F.count(F.when(F.quarter("o_orderdate") == 4, 1)).alias("q4"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["q1", "q2", "q3", "q4"],
+        variableColumnName="quarter",
+        valueColumnName="n_orders",
+    )
+
+
+UNPIVOT_QUARTERLY_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus,
+    count(*) FILTER (WHERE quarter(o_orderdate) = 1) AS q1,
+    count(*) FILTER (WHERE quarter(o_orderdate) = 2) AS q2,
+    count(*) FILTER (WHERE quarter(o_orderdate) = 3) AS q3,
+    count(*) FILTER (WHERE quarter(o_orderdate) = 4) AS q4
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, quarter, n_orders
+FROM wide UNPIVOT (n_orders FOR quarter IN (q1, q2, q3, q4))
+"""
+
+
 QUERIES = {
+    "unpivot_quarterly": QuerySpec(
+        "unpivot_quarterly", unpivot_quarterly, UNPIVOT_QUARTERLY_SQL,
+        "UNPIVOT/melt wide→long reshape", ("agg", "pivot"),
+    ),
     "string_similarity_pairs": QuerySpec(
         "string_similarity_pairs", string_similarity_pairs,
         STRING_SIMILARITY_PAIRS_SQL,

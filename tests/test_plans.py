@@ -69,3 +69,30 @@ def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
     )
     n = int(codegen.splitlines()[0].split()[1])
     assert n >= 2, codegen.splitlines()[0]  # scan→partial-agg and final-agg fused
+
+
+def test_asof_join_is_window_not_join(spark, sf_dir):
+    """The as-of operator must compile to union+window — no join node,
+    no cartesian explosion."""
+    plan = plan_of(SPECS["asof_join_clicks"].spark(spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+
+
+def test_string_similarity_blocks_on_equi_key(spark, sf_dir):
+    """Blocked entity resolution must join on the block key (hash/sort
+    join), never a nested-loop over all pairs."""
+    plan = plan_of(SPECS["string_similarity_pairs"].spark(spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    """Tiny query set × full candidate scan: the broadcast must be on
+    the query side (a shuffle here would be wrong at any scale)."""
+    plan = plan_of(SPECS["ann_bruteforce_topk"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
