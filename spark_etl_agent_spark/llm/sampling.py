@@ -1,0 +1,68 @@
+"""Reproducible sampling & splitting for training-data pipelines.
+
+``df.sample()`` is partitioning-dependent (seed + partition index), so
+results change whenever the file layout changes — useless for a
+training corpus that must be re-derivable bit-for-bit. These operators
+hash a stable key instead: membership depends only on the ROW, never on
+partitioning, executor count, or engine — the property that makes
+sample membership auditable at 100 TB (and lets a DuckDB oracle verify
+it exactly).
+
+Mechanism: the first 8 hex digits of ``md5(salt || key)`` as a uniform
+integer in [0, 2^32) — compare against ``rate·2^32`` to sample, or
+take mod N for split assignment.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 16 ** 8  # first 8 md5 hex digits
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform integer in [0, 2^32) derived from the row key only."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+                  16, 10).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "s1"
+) -> DataFrame:
+    """Keep ≈rate of rows, membership a pure function of the key."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(rate * _HASH_SPACE))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split1",
+) -> DataFrame:
+    """Assign each row a stable split label; a row's split never changes
+    under repartitioning, engine change, or re-run."""
+    b = hash_bucket(F.col(key_col), salt)
+    t_train = int(weights[0] * _HASH_SPACE)
+    t_val = int((weights[0] + weights[1]) * _HASH_SPACE)
+    return df.withColumn(
+        "split",
+        F.when(b < t_train, "train").when(b < t_val, "val").otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: Dict[str, float],
+    salt: str = "strat1",
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample boilerplate-heavy sources),
+    same stable-membership guarantee."""
+    b = hash_bucket(F.col(key_col), salt)
+    cond = F.lit(False)
+    for stratum, rate in rates.items():
+        cond = cond | (
+            (F.col(stratum_col) == stratum) & (b < int(rate * _HASH_SPACE))
+        )
+    return df.filter(cond)

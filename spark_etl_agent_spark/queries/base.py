@@ -101,6 +101,7 @@ def _collect_modules():
         jcap,
         multimodal,
         relational,
+        sampling,
         similarity,
         streaming,
         strings,
@@ -118,6 +119,7 @@ def _collect_modules():
         streaming,
         advanced,
         strings,
+        sampling,
     )
 
 

@@ -1,0 +1,64 @@
+"""Reproducible-sampling inventory (``llm.sampling``): membership is a
+pure function of the row key (md5 bucket), so the DuckDB oracle verifies
+sample membership row-for-row — the property `df.sample()` cannot give
+(partitioning-dependent) and a 100 TB training corpus requires
+(auditable, re-derivable splits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llm.sampling import deterministic_sample, train_val_test_split
+from .base import QuerySpec, load
+
+_BUCKET = "CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+def deterministic_sample_docs(spark, sf_dir):
+    """20% reproducible sample of documents by content key."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_sample(docs, key_col="doc_id", rate=0.2, salt="s1")
+
+
+DETERMINISTIC_SAMPLE_DOCS_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE {_BUCKET.format(salt='s1')} < CAST(0.2 * 4294967296 AS BIGINT)
+"""
+
+
+def train_val_test_counts(spark, sf_dir):
+    """80/10/10 split assignment; per-split×source counts (the audit
+    query you run before training)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    split = train_val_test_split(docs, key_col="doc_id")
+    return split.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+TRAIN_VAL_TEST_COUNTS_SQL = f"""
+WITH assigned AS (
+  SELECT source,
+    CASE WHEN {_BUCKET.format(salt='split1')} < CAST(0.8 * 4294967296 AS BIGINT)
+           THEN 'train'
+         WHEN {_BUCKET.format(salt='split1')}
+              < CAST((0.8 + 0.1) * 4294967296 AS BIGINT) THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source, count(*) AS n_docs FROM assigned GROUP BY split, source
+"""
+
+
+QUERIES = {
+    "deterministic_sample_docs": QuerySpec(
+        "deterministic_sample_docs", deterministic_sample_docs,
+        DETERMINISTIC_SAMPLE_DOCS_SQL,
+        "Reproducible hash-membership sampling (row-exact oracle)",
+        ("sampling", "llm"),
+    ),
+    "train_val_test_counts": QuerySpec(
+        "train_val_test_counts", train_val_test_counts,
+        TRAIN_VAL_TEST_COUNTS_SQL,
+        "Stable 80/10/10 split assignment + audit counts",
+        ("sampling", "llm", "agg"),
+    ),
+}
