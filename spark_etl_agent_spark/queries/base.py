@@ -106,6 +106,7 @@ def _collect_modules():
         streaming,
         strings,
         text,
+        windows_ext,
     )
 
     return (
@@ -120,6 +121,7 @@ def _collect_modules():
         advanced,
         strings,
         sampling,
+        windows_ext,
     )
 
 
