@@ -204,10 +204,10 @@ def test_jcap_variance_alert_fires(warehouse, tmp_path):
     alerter = LogAlerter()
     svc = JobService(warehouse, stage_path=str(tmp_path / "stage2"), alerter=alerter)
     main = warehouse.read_table("jcap_presentation.pah_jcap_pa")
-    shrunk = main.limit(max(1, main.count() // 2)).cache()
-    shrunk.count()
+    # materialize on the driver before overwriting the path it came from
+    rows = main.limit(max(1, main.count() // 2)).collect()
+    shrunk = warehouse.spark.createDataFrame(rows, main.schema)
     warehouse.write_table(shrunk, "jcap_presentation.pah_jcap_pa", mode="overwrite")
-    shrunk.unpersist()
 
     result = run_single_job(svc, {"type": "jcap_pa_etl", "id": "t3"})
     assert result["status"] == "Success", result.get("error")

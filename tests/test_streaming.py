@@ -105,3 +105,36 @@ def test_foreach_batch_load_with_verify(spark, sf_dir, batch_events, tmp_path):
     tbl = cat.read_table("streams.events_clean")
     assert tbl.count() == batch_events.count()
     assert "_batch_id" in tbl.columns
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, sf_dir, batch_events):
+    """Custom keyed-state operator: after consuming all available input,
+    per-user state must equal the batch groupBy (counts, exact
+    micro-unit sums, last event time)."""
+    from spark_etl_agent_spark.streaming.stateful import user_running_totals
+
+    out = run_available_now(
+        user_running_totals(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    # update mode may emit a row per micro-batch; keep each user's last
+    from pyspark.sql import Window
+
+    final = (
+        out.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10_000).cast("long")).alias(
+            "sum_value_micros"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    cols = ["user_id", "n_events", "sum_value_micros", "last_ts"]
+    assert canon(final, cols) == canon(batch, cols)
