@@ -68,3 +68,86 @@ def decode_metadata(df: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, DECODE_SCHEMA)
+
+
+FEATURE_DIM = 8
+FEATURES_SCHEMA = "doc_id long, features array<double>"
+RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes long"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+
+
+def extract_features(df: DataFrame, real_extract: bool = False) -> DataFrame:
+    """Feature-extraction operator shape: binary payload → fixed-length
+    embedding (``array<double>``). The real extractor (image/audio
+    model) is the ``real_extract=True`` integration point — STUB
+    (``NotImplementedError``) since no model runtime is present; the
+    deterministic default derives features from byte statistics so the
+    Arrow plumbing and output schema are real and testable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_extract:
+                raise NotImplementedError(
+                    "real feature extraction requires a model runtime not "
+                    "present in this environment (STUB)"
+                )
+            feats = [
+                [
+                    float(int(hashlib.md5(bytes(b) + bytes([i])).hexdigest()[:8], 16))
+                    / 16**8
+                    for i in range(FEATURE_DIM)
+                ]
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int = 224, height: int = 224,
+                real_resize: bool = False) -> DataFrame:
+    """Resize operator shape: new target dims + untouched byte length
+    (a real implementation re-encodes the payload — STUB, codec libs
+    absent)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real_resize:
+                raise NotImplementedError("real resize requires codec libs (STUB)")
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "n_bytes": n,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling operator shape for video-like payloads: one output
+    row per sampled frame (byte-stride stand-in for time-stride),
+    frame id = hash of the sampled slice — shows the 1→N mapInPandas
+    row-expansion pattern with bounded memory per batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for k, off in enumerate(range(0, len(raw), every_n_bytes)):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    hashes.append(hashlib.md5(raw[off:off + every_n_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)

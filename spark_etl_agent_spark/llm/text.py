@@ -72,13 +72,22 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Document fingerprints: full-content hash and a prefix fingerprint
-    of the whitespace-squashed text (cheap near-dup prefilter)."""
+    """Document fingerprints: full-content hash, a prefix fingerprint of
+    the whitespace-squashed text (cheap near-dup prefilter), and a
+    Rabin-Karp-style rolling polynomial hash (base 31 mod 1e9+7) over
+    the first 64 squashed chars — the incremental-hash primitive for
+    windowed fingerprinting, exact in integer arithmetic."""
     text = F.col(text_col)
     squashed = F.regexp_replace(F.lower(text), r"\s+", "")
-    return df.select(
+    rolling = F.expr(
+        "aggregate(transform(sequence(1, length(substr(_sq, 1, 64))), "
+        "i -> cast(ascii(substr(substr(_sq, 1, 64), i, 1)) as bigint)), "
+        "cast(0 as bigint), (a, c) -> (a * 31 + c) % 1000000007)"
+    )
+    return df.withColumn("_sq", squashed).select(
         F.col(id_col),
         F.md5(text).alias("content_hash"),
-        F.md5(F.substring(squashed, 1, 64)).alias("prefix_fingerprint"),
-        F.length(squashed).cast("long").alias("squashed_len"),
+        F.md5(F.substring("_sq", 1, 64)).alias("prefix_fingerprint"),
+        rolling.alias("rolling_hash"),
+        F.length("_sq").cast("long").alias("squashed_len"),
     )

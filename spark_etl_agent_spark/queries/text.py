@@ -74,6 +74,11 @@ WITH squashed AS (
 SELECT doc_id,
   md5(text) AS content_hash,
   md5(substr(sq, 1, 64)) AS prefix_fingerprint,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(substr(sq, 1, 64)) + 1),
+        i -> CAST(ascii(substr(substr(sq, 1, 64), CAST(i AS INT), 1)) AS BIGINT))),
+    (a, c) -> (a * 31 + c) % 1000000007) AS rolling_hash,
   CAST(length(sq) AS BIGINT) AS squashed_len
 FROM squashed
 """

@@ -53,11 +53,18 @@ def window_value_functions(spark, sf_dir):
     """first/last/nth value with explicit frames, deterministic ordering
     (unique tie-break key — the parity rule for any window query)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
-    order = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in this data — the order
+    # must be made total (incl. l_quantity last) or first/nth values are
+    # tie-ambiguous across engines
+    order = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
     full = order.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return li.select(
         "l_orderkey",
         "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
         F.first("l_quantity").over(full).alias("first_qty"),
         F.last("l_quantity").over(full).alias("last_qty"),
         F.nth_value("l_quantity", 2).over(full).alias("second_qty"),
@@ -68,7 +75,7 @@ def window_value_functions(spark, sf_dir):
 
 
 WINDOW_VALUE_FUNCTIONS_SQL = """
-SELECT l_orderkey, l_linenumber,
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
   first_value(l_quantity) OVER w AS first_qty,
   last_value(l_quantity) OVER w AS last_qty,
   nth_value(l_quantity, 2) OVER w AS second_qty,
@@ -76,7 +83,8 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 WHERE l_orderkey % 10 = 0
 WINDOW w AS (
-  PARTITION BY l_orderkey ORDER BY l_linenumber
+  PARTITION BY l_orderkey
+  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
 )
 """

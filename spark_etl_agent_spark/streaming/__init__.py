@@ -12,6 +12,7 @@ from .pipeline import (
     sliding_window_counts,
     tumbling_window_counts,
 )
+from .stateful import user_running_totals
 
 __all__ = [
     "events_stream",
@@ -21,4 +22,5 @@ __all__ = [
     "dedup_within_watermark",
     "load_with_verify_sink",
     "run_available_now",
+    "user_running_totals",
 ]
