@@ -273,3 +273,27 @@ def test_partitioned_write_prunes_on_read(spark, warehouse, tmp_path):
     assert df.count() < full.count()
     n_years = full.select("part_key").distinct().count()
     assert n_years > 1  # partitioning actually split the data
+
+
+def test_merge_upsert(spark, warehouse, tmp_path):
+    """MERGE verb: matched keys replaced, unmatched kept, count right."""
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "merge_wh"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, v string, x double"
+    )
+    cat.write_table(base, "m.t", mode="overwrite")
+    updates = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], "id long, v string, x double"
+    )
+    n = cat.merge_upsert(updates, "m.t", keys=["id"])
+    assert n == 4
+    got = {r.id: (r.v, r.x) for r in cat.read_table("m.t").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # schema mismatch is rejected before any write
+    import pytest as _pytest
+    bad = spark.createDataFrame([(9, "z")], "id long, v string")
+    with _pytest.raises(ValueError, match="missing target columns"):
+        cat.merge_upsert(bad, "m.t", keys=["id"])

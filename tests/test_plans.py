@@ -96,3 +96,36 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
     plan = plan_of(SPECS["ann_bruteforce_topk"].spark(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two co-bucketed tables must sort-merge join with ZERO Exchange
+    nodes — the co-located join layout for recurring joins at scale."""
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "bucket_wh"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                  "o_totalprice")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cat.write_table_bucketed(orders, "wh.orders_b", ["o_orderkey"], 8)
+    cat.write_table_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "wh.lineitem_b", ["o_orderkey"], 8,
+    )
+    joined = cat.read_bucketed_table("wh.orders_b").join(
+        cat.read_bucketed_table("wh.lineitem_b"), "o_orderkey"
+    )
+    # disable the broadcast fallback so the bucket layout is what's tested
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # buckets align: no shuffle at all
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # correctness unchanged
+    expected = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    ).count()
+    assert joined.count() == expected
