@@ -1,0 +1,82 @@
+"""Settings (reference parity: ``core/config.py:20-241``) — env-driven
+configuration with range validation and per-job-type completeness
+checks, minus the reference's two bugs (SURVEY.md §3.4): the
+secrets-manager import typo that made secrets loading dead code (here
+secrets are simply out of scope — env only), and the ``lru_cache``
+that was imported but never applied (here ``get_settings`` genuinely
+caches).
+
+Stdlib dataclass instead of pydantic: same validations, no extra
+dependency."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List
+
+
+def _env_float(name: str, default: float) -> float:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return float(raw)
+    except ValueError as e:
+        raise ValueError(f"{name} must be a number, got {raw!r}") from e
+
+
+@dataclass
+class Settings:
+    # data-quality SLA (reference core/config.py:35; range check :190-194)
+    data_variance_threshold: float = field(
+        default_factory=lambda: _env_float("DATA_VARIANCE_THRESHOLD", 5.0)
+    )
+    # engine storage roots (replace the reference's Redshift/S3 endpoints)
+    warehouse_root: str = field(
+        default_factory=lambda: os.environ.get("SPARK_ETL_WAREHOUSE", "./warehouse")
+    )
+    stage_path: str = field(
+        default_factory=lambda: os.environ.get(
+            "SPARK_ETL_STAGE_PATH", "./warehouse/_stage/jcap_pa"
+        )
+    )
+    # optional JDBC connector settings (only validated when a job needs them)
+    jdbc_url: str = field(default_factory=lambda: os.environ.get("SPARK_ETL_JDBC_URL", ""))
+    jdbc_user: str = field(default_factory=lambda: os.environ.get("SPARK_ETL_JDBC_USER", ""))
+    jdbc_password: str = field(
+        default_factory=lambda: os.environ.get("SPARK_ETL_JDBC_PASSWORD", "")
+    )
+
+    def __post_init__(self) -> None:
+        if not 0.0 <= self.data_variance_threshold <= 100.0:
+            raise ValueError(
+                "DATA_VARIANCE_THRESHOLD must be between 0 and 100, got "
+                f"{self.data_variance_threshold}"
+            )
+
+    # per-job completeness (reference core/config.py:203-237: jcap_pa_etl
+    # required CDP/JCAP/S3 settings; the POC job required none)
+    _REQUIRED: Dict[str, List[str]] = field(
+        default_factory=lambda: {
+            "control_m_poc_etl": ["warehouse_root"],
+            "jcap_pa_etl": ["warehouse_root", "stage_path"],
+        },
+        repr=False,
+    )
+
+    def validate_for_job_type(self, job_type: str) -> None:
+        for attr in self._REQUIRED.get(job_type, []):
+            if not getattr(self, attr):
+                raise ValueError(
+                    f"job type {job_type!r} requires setting {attr!r} "
+                    "(env or constructor)"
+                )
+
+
+@lru_cache(maxsize=1)
+def get_settings() -> Settings:
+    """Cached accessor — actually cached, unlike the reference
+    (``core/config.py:239-241`` re-constructed Settings per call)."""
+    return Settings()

@@ -8,6 +8,7 @@ from __future__ import annotations
 from datetime import datetime
 from typing import Any, Dict, Optional
 
+from ..core.config import Settings, get_settings
 from ..sources.catalog import Catalog
 from .alerts import Alerter
 from .etl import EtlService
@@ -20,8 +21,10 @@ class JobService:
         catalog: Catalog,
         stage_path: str,
         alerter: Optional[Alerter] = None,
+        settings: Optional[Settings] = None,
     ) -> None:
         self.catalog = catalog
+        self.settings = settings or get_settings()
         self.etl_service = EtlService(catalog)
         self.jcap_pa_etl_service = JcapPaEtlService(
             catalog, stage_path=stage_path, alerter=alerter
@@ -92,6 +95,15 @@ class JobService:
                 job_type,
                 f"Unknown job type: {job_type}. Supported types: "
                 f"{list(self.supported_job_types.keys())}",
+            )
+
+        # per-job-type config completeness (reference :72-80)
+        try:
+            self.settings.validate_for_job_type(job_type)
+        except ValueError as e:
+            return self._create_error_result(
+                job_id, job_name, job_type,
+                f"Configuration validation failed: {e}",
             )
 
         start_time = datetime.now()

