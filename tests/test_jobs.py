@@ -297,3 +297,14 @@ def test_merge_upsert(spark, warehouse, tmp_path):
     bad = spark.createDataFrame([(9, "z")], "id long, v string")
     with _pytest.raises(ValueError, match="missing target columns"):
         cat.merge_upsert(bad, "m.t", keys=["id"])
+
+
+def test_execute_sql_over_registered_views(warehouse):
+    """S2 inverted: SQL text executes in Catalyst over catalog tables."""
+    warehouse.register_views(["cdp.dmn_pah_segment"])
+    df = warehouse.execute_sql(
+        "SELECT actv_flag, count(*) AS n FROM cdp_dmn_pah_segment "
+        "GROUP BY actv_flag ORDER BY actv_flag"
+    )
+    rows = {r.actv_flag: r.n for r in df.collect()}
+    assert set(rows) == {"0", "1"} and all(v > 0 for v in rows.values())
