@@ -105,6 +105,7 @@ def _collect_modules():
         similarity,
         streaming,
         strings,
+        subqueries,
         text,
         windows_ext,
     )
@@ -122,6 +123,7 @@ def _collect_modules():
         strings,
         sampling,
         windows_ext,
+        subqueries,
     )
 
 
