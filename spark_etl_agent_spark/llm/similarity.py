@@ -157,6 +157,97 @@ def ann_bucketed_pairs(
     )
 
 
+CENTROID_SHIFT = 10  # centroid sums right-shifted 2^10 to keep dots exact
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse codebook of cell centroids, each
+    query probes its ``nprobe`` nearest cells and ranks only those
+    cells' vectors — the classic two-level index. The codebook here is
+    the per-cell vector SUM (same direction as the mean — the count
+    divides out of cosine), built from the labeled partition; a k-means
+    trainer plugs in by replacing the cell assignment column.
+
+    Exactness bookkeeping: cell sums of scaled components are exact
+    integers; they are floor-divided by 2^CENTROID_SHIFT so
+    query·centroid products stay below 2^53 at any realistic cell size
+    — every similarity is bit-reproducible (the DuckDB oracle checks
+    row-for-row). At 100 TB: centroids are a broadcast table; the
+    candidate join shuffles once on the cell id."""
+    base = df.select(
+        F.col(id_col), F.col(cell_col), scaled(F.col(vec_col)).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+
+    # codebook: per-cell exact component sums, shifted
+    cent = (
+        base.select(F.col(cell_col), F.posexplode("svec").alias("dim", "sval"))
+        .groupBy(cell_col, "dim")
+        .agg(F.sum("sval").alias("s"))
+        .withColumn("c", F.floor(F.col("s") / (2 ** CENTROID_SHIFT)))
+        .groupBy(cell_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc")
+        )
+        .select(
+            F.col(cell_col).alias("cent_cell"),
+            F.transform("_dc", lambda s: s["c"].cast("double")).alias("cvec"),
+        )
+        .withColumn("cnorm", dot(F.col("cvec"), F.col("cvec")))
+    )
+
+    q = base.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        F.col("svec").alias("q_svec"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    # probe: nprobe nearest cells per query (tie-break on cell id)
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "cell_sim",
+        cosine(dot(F.col("q_svec"), F.col("cvec")), F.col("q_norm"), F.col("cnorm")),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cent_cell")
+    )
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "q_svec", "q_norm", F.col("cent_cell").alias(cell_col))
+    )
+    # rank only vectors inside the probed cells
+    cand = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("svec").alias("c_svec"),
+        F.col("norm_sq").alias("c_norm"),
+        cell_col,
+    )
+    pairs = probes.join(cand, cell_col).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                dot(F.col("q_svec"), F.col("c_svec")), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine_sim")
+    )
+
+
 def label_centroids(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -64,6 +64,57 @@ WHERE list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
 """
 
 
+def ann_ivf_topk(spark, sf_dir):
+    return sim.ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH svecs AS (
+  SELECT vec_id, label, {_SVEC} AS svec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, svec, list_dot_product(svec, svec) AS norm_sq FROM svecs
+),
+cent_long AS (
+  SELECT label, dim, floor(sum(svec[CAST(dim AS INT)]) / 1024) AS c
+  FROM svecs, range(1, 65) t(dim) GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS cent_cell, list(c ORDER BY dim) AS cvec
+  FROM cent_long GROUP BY label
+),
+cent_n AS (
+  SELECT cent_cell, cvec, list_dot_product(cvec, cvec) AS cnorm FROM cent
+),
+q AS (
+  SELECT vec_id AS query_id, svec AS q_svec, norm_sq AS q_norm
+  FROM normed WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, q_svec, q_norm, cent_cell AS label FROM (
+    SELECT q.query_id, q.q_svec, q.q_norm, c.cent_cell,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.q_svec, c.cvec)
+                 / (sqrt(q.q_norm) * sqrt(c.cnorm)) DESC, c.cent_cell
+      ) AS pr
+    FROM q, cent_n c
+  ) WHERE pr <= 2
+),
+pairs AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+    list_dot_product(p.q_svec, n.svec) / (sqrt(p.q_norm) * sqrt(n.norm_sq))
+      AS cosine_sim
+  FROM probes p JOIN normed n ON n.label = p.label AND n.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, rnk, cosine_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= 5
+"""
+
+
 def embedding_label_centroids(spark, sf_dir):
     return sim.label_centroids(load(spark, sf_dir, "embeddings"))
 
@@ -90,6 +141,11 @@ QUERIES = {
     "ann_sign_bucket_pairs": QuerySpec(
         "ann_sign_bucket_pairs", ann_sign_bucket_pairs, ANN_SIGN_BUCKET_PAIRS_SQL,
         "Sign-bucket (hyperplane-LSH) approximate near-neighbor pairs",
+        ("similarity", "llm"),
+    ),
+    "ann_ivf_topk": QuerySpec(
+        "ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL,
+        "IVF two-level ANN: centroid codebook, nprobe=2 cell search",
         ("similarity", "llm"),
     ),
     "embedding_label_centroids": QuerySpec(
