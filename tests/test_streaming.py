@@ -138,3 +138,24 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_dir, batch_events):
     )
     cols = ["user_id", "n_events", "sum_value_micros", "last_ts"]
     assert canon(final, cols) == canon(batch, cols)
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, batch_events):
+    """Stream-static join: enrich the event stream with a static
+    dimension (no watermark needed on the static side; per-batch hash
+    join). Result equals the batch join."""
+    static_dim = (
+        batch_events.select("user_id").distinct()
+        .withColumn("user_tier", F.concat(F.lit("tier"), F.col("user_id") % 3))
+    )
+    enriched = events_stream(spark, sf_dir).join(static_dim, "user_id")
+    out = run_available_now(
+        enriched.groupBy("user_tier").agg(F.count(F.lit(1)).alias("n")),
+        output_mode="complete",
+    )
+    batch = (
+        batch_events.join(static_dim, "user_id")
+        .groupBy("user_tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert canon(out, ["user_tier", "n"]) == canon(batch, ["user_tier", "n"])
