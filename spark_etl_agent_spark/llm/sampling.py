@@ -53,6 +53,22 @@ def train_val_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = "w1"
+) -> DataFrame:
+    """Per-row acceptance with probability proportional to a weight in
+    [0, 1] (e.g. a quality score): keep iff hash_bucket < weight·2^32.
+    Same stable-membership guarantee — acceptance is a pure function of
+    (key, weight), so re-runs and engine changes reproduce the exact
+    corpus."""
+    # explicit floor: Spark's double→long cast truncates but other
+    # engines round — floor is the portable, mirrorable semantics
+    return df.filter(
+        hash_bucket(F.col(key_col), salt)
+        < F.floor(F.col(weight_col).cast("double") * _HASH_SPACE).cast("long")
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, stratum_col: str, rates: Dict[str, float],
     salt: str = "strat1",

@@ -29,6 +29,55 @@ def column_profile(df: DataFrame, keys: List[str], value: str) -> DataFrame:
     )
 
 
+def agg_topk_per_group(
+    df: DataFrame,
+    group: str,
+    order_cols: List[str],
+    k: int = 3,
+) -> DataFrame:
+    """Top-k per group WITHOUT a window: collect-sort-slice aggregation.
+    vs the window form (`window_topk_per_group` query): the window sorts
+    every group's full row set; this keeps only a bounded list per group
+    through the map-side combine — the better physical strategy when
+    groups are huge and k is small (the 100 TB case). First order column
+    descends (negated), the rest ascend as tie-breaks."""
+    head, *ties = order_cols
+    item = F.struct(
+        (-F.col(head)).alias("_neg"), *[F.col(c) for c in ties], F.col(head)
+    )
+    topk = F.slice(F.sort_array(F.collect_list(item)), 1, k)
+    return (
+        df.groupBy(group)
+        .agg(topk.alias("_top"))
+        .select(F.col(group), F.posexplode("_top").alias("_pos", "_item"))
+        .select(
+            group,
+            (F.col("_pos") + 1).alias("rnk"),
+            F.col(f"_item.{head}").alias(head),
+            *[F.col(f"_item.{c}").alias(c) for c in ties],
+        )
+    )
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """Per-column data-quality profile (row count, null count, exact
+    distinct) — the validation verb behind 'is this load sane', one
+    pass per column batch. At scale swap n_distinct for
+    approx_count_distinct (same shape, constant memory)."""
+    rows = None
+    for c in df.columns:
+        piece = df.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(
+                "n_nulls"
+            ),
+            F.countDistinct(c).alias("n_distinct"),
+        )
+        rows = piece if rows is None else rows.unionByName(piece)
+    return rows
+
+
 def approx_profile(
     df: DataFrame, keys: List[str], value: str, rsd: float = 0.05
 ) -> DataFrame:

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.ranges import band_join
-from ..operators.sketches import column_profile
+from ..operators.sketches import agg_topk_per_group, column_profile, table_profile
 from ..operators.skew import salted_aggregate
 from .base import QuerySpec, load
 
@@ -154,7 +154,68 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def agg_topk_quantities(spark, sf_dir):
+    """Top-3 per supplier via collect-sort-slice (bounded per-group
+    state) — same rows as a window top-k, better physics for huge
+    groups; the oracle states it as the window form."""
+    return agg_topk_per_group(
+        load(spark, sf_dir, "lineitem"),
+        group="l_suppkey",
+        order_cols=["l_quantity", "l_orderkey", "l_linenumber"],
+        k=3,
+    )
+
+
+AGG_TOPK_QUANTITIES_SQL = """
+SELECT l_suppkey, rnk, l_quantity, l_orderkey, l_linenumber FROM (
+  SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber,
+    CAST(row_number() OVER (
+      PARTITION BY l_suppkey
+      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS INT) AS rnk
+  FROM lineitem
+) WHERE rnk <= 3
+"""
+
+
+def orders_table_profile(spark, sf_dir):
+    """Per-column null/distinct profile of orders (the data-quality
+    validation verb as a query)."""
+    return table_profile(load(spark, sf_dir, "orders"))
+
+
+ORDERS_TABLE_PROFILE_SQL = """
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  count(DISTINCT o_orderkey) AS n_distinct FROM orders
+UNION ALL SELECT 'o_custkey', count(*),
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_custkey) FROM orders
+UNION ALL SELECT 'o_orderstatus', count(*),
+  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_orderstatus) FROM orders
+UNION ALL SELECT 'o_totalprice', count(*),
+  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_totalprice) FROM orders
+UNION ALL SELECT 'o_orderdate', count(*),
+  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_orderdate) FROM orders
+UNION ALL SELECT 'o_orderpriority', count(*),
+  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  count(DISTINCT o_orderpriority) FROM orders
+"""
+
+
 QUERIES = {
+    "agg_topk_quantities": QuerySpec(
+        "agg_topk_quantities", agg_topk_quantities, AGG_TOPK_QUANTITIES_SQL,
+        "Top-k per group via bounded collect-sort-slice (no window)",
+        ("topk", "agg", "operators"),
+    ),
+    "orders_table_profile": QuerySpec(
+        "orders_table_profile", orders_table_profile, ORDERS_TABLE_PROFILE_SQL,
+        "Per-column null/distinct data-quality profile",
+        ("agg", "validation"),
+    ),
     "asof_join_clicks": QuerySpec(
         "asof_join_clicks", asof_join_clicks, ASOF_JOIN_CLICKS_SQL,
         "As-of join (union-window composition) vs DuckDB ASOF JOIN",

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llm.sampling import deterministic_sample, train_val_test_split
+from ..llm.sampling import deterministic_sample, train_val_test_split, weighted_sample
 from .base import QuerySpec, load
 
 _BUCKET = "CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
@@ -48,7 +48,36 @@ SELECT split, source, count(*) AS n_docs FROM assigned GROUP BY split, source
 """
 
 
+def weighted_sample_docs(spark, sf_dir):
+    """Quality-weighted sampling: acceptance probability = word-density
+    score (clamped to [0,1]); longer/denser docs are likelier kept."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.least(
+            F.lit(1.0), F.col("n_chars").cast("double") / F.lit(10000.0)
+        ).alias("quality_w"),
+    )
+    return weighted_sample(scored, key_col="doc_id", weight_col="quality_w")
+
+
+WEIGHTED_SAMPLE_DOCS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    least(1.0, CAST(n_chars AS DOUBLE) / 10000.0) AS quality_w
+  FROM documents
+)
+SELECT doc_id, source, quality_w FROM scored
+WHERE {_BUCKET.format(salt='w1')} < CAST(floor(quality_w * 4294967296) AS BIGINT)
+"""
+
+
 QUERIES = {
+    "weighted_sample_docs": QuerySpec(
+        "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL,
+        "Quality-weighted reproducible sampling", ("sampling", "llm"),
+    ),
     "deterministic_sample_docs": QuerySpec(
         "deterministic_sample_docs", deterministic_sample_docs,
         DETERMINISTIC_SAMPLE_DOCS_SQL,
