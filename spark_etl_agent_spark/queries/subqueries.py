@@ -148,7 +148,95 @@ FROM filtered f JOIN keepers k
 """
 
 
+def returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in a
+    quarter — 3-way join, date-range + flag filters, decimal revenue,
+    deterministic top-20."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount", 6))
+    ).cast("decimal(18,4)").cast("double")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REVENUE_SQL = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+      * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(6,4))))
+      AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def shipmode_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counts by line status after a join
+    (one pass, predicated measures)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority_count"),
+            F.count(F.when(~high, 1)).alias("low_priority_count"),
+        )
+    )
+
+
+SHIPMODE_PRIORITY_COUNTS_SQL = """
+SELECT l_linestatus,
+  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    AS high_priority_count,
+  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+    AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
 QUERIES = {
+    "returned_item_revenue": QuerySpec(
+        "returned_item_revenue", returned_item_revenue,
+        RETURNED_ITEM_REVENUE_SQL,
+        "Returned-item revenue top-20 (TPC-H Q10 shape)",
+        ("join", "agg", "topk"),
+    ),
+    "shipmode_priority_counts": QuerySpec(
+        "shipmode_priority_counts", shipmode_priority_counts,
+        SHIPMODE_PRIORITY_COUNTS_SQL,
+        "Conditional priority counts after join (TPC-H Q12 shape)",
+        ("join", "agg"),
+    ),
     "large_volume_orders": QuerySpec(
         "large_volume_orders", large_volume_orders, LARGE_VOLUME_ORDERS_SQL,
         "IN over grouped subquery (TPC-H Q18 shape)", ("join", "subquery"),

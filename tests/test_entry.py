@@ -30,3 +30,16 @@ def test_queries_and_oracles_aligned(spark):
     assert set(oracles) <= set(qs)
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_session_scale_posture(spark):
+    """The session contract the 100 TB design assumes (SURVEY.md §4.1):
+    AQE + partition coalescing + skew-join handling + Arrow + UTC must
+    stay on — a config regression here silently degrades every plan."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert conf.get("spark.sql.parquet.filterPushdown") == "true"
