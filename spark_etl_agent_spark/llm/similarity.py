@@ -157,6 +157,29 @@ def ann_bucketed_pairs(
     )
 
 
+def cosine_near_duplicates(
+    df: DataFrame,
+    min_cosine: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: a vector is a
+    duplicate if any smaller-id vector in its sign bucket has cosine ≥
+    the threshold (the standard drop-if-any-smaller-neighbor LSH dedup
+    pragma — survivors are every id that never appears as ``vec_id``
+    here). Returns one row per dropped vector: its canonical keeper
+    (smallest qualifying neighbor), how many qualifying neighbors it
+    had, and the strongest similarity. Work and shuffle are identical to
+    :func:`ann_bucketed_pairs` plus one bounded groupBy on the dropped
+    id."""
+    pairs = ann_bucketed_pairs(df, min_cosine, vec_col, id_col)
+    return pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("kept_id"),
+        F.count(F.lit(1)).alias("n_dup_neighbors"),
+        F.max("cosine_sim").alias("max_cosine"),
+    )
+
+
 CENTROID_SHIFT = 10  # centroid sums right-shifted 2^10 to keep dots exact
 
 

@@ -107,6 +107,7 @@ def _collect_modules():
         strings,
         subqueries,
         text,
+        tpch_multi,
         windows_ext,
     )
 
@@ -124,6 +125,7 @@ def _collect_modules():
         sampling,
         windows_ext,
         subqueries,
+        tpch_multi,
     )
 
 

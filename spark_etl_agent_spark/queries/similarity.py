@@ -64,6 +64,32 @@ WHERE list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
 """
 
 
+def embedding_cosine_neardup(spark, sf_dir):
+    return sim.cosine_near_duplicates(
+        load(spark, sf_dir, "embeddings"), min_cosine=0.3
+    )
+
+
+EMBEDDING_COSINE_NEARDUP_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq,
+    {_SIGN_BUCKET} AS bucket
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
+      AS cosine_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_b AS vec_id, min(id_a) AS kept_id,
+  count(*) AS n_dup_neighbors, max(cosine_sim) AS max_cosine
+FROM pairs WHERE cosine_sim >= 0.3
+GROUP BY id_b
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(load(spark, sf_dir, "embeddings"))
 
@@ -142,6 +168,12 @@ QUERIES = {
         "ann_sign_bucket_pairs", ann_sign_bucket_pairs, ANN_SIGN_BUCKET_PAIRS_SQL,
         "Sign-bucket (hyperplane-LSH) approximate near-neighbor pairs",
         ("similarity", "llm"),
+    ),
+    "embedding_cosine_neardup": QuerySpec(
+        "embedding_cosine_neardup", embedding_cosine_neardup,
+        EMBEDDING_COSINE_NEARDUP_SQL,
+        "Embedding-cosine near-duplicate map (LSH-bucketed, keep-min-id)",
+        ("similarity", "dedup", "llm"),
     ),
     "ann_ivf_topk": QuerySpec(
         "ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL,

@@ -98,6 +98,26 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_disjunctive_brackets_push_envelope_and_broadcast_part(spark, sf_dir):
+    """Q19 shape: the part side must broadcast and the brand legs must
+    reach the part scan as pushed Or-filters (sargable disjunction)."""
+    plan = plan_of(SPECS["disjunctive_bracket_revenue"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(p_brand,Brand#1)" in l for l in pushed), pushed
+    # the quantity envelope of the brackets reaches the lineitem scan too
+    assert any("l_quantity" in l for l in pushed), pushed
+
+
+def test_market_share_broadcasts_all_dim_chains(spark, sf_dir):
+    """Q8 shape: part/supplier/nation/region chains broadcast; only
+    fact-fact edges (lineitem×orders, semi to customers) may shuffle."""
+    plan = plan_of(SPECS["market_share"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Two co-bucketed tables must sort-merge join with ZERO Exchange
     nodes — the co-located join layout for recurring joins at scale."""
