@@ -90,6 +90,47 @@ GROUP BY id_b
 """
 
 
+def neardup_components(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters: iterative min-label
+    propagation (operators/graph.py) over the cosine-pair graph. The
+    oracle is an exact recursive-CTE reachability closure — Spark's
+    iterative loop must converge to the identical fixpoint."""
+    from ..operators import graph  # local import avoids a cycle at module load
+
+    pairs = sim.ann_bucketed_pairs(
+        load(spark, sf_dir, "embeddings"), min_cosine=0.25
+    ).select("id_a", "id_b")
+    return graph.dedup_clusters(pairs)
+
+
+NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE bucketed AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq,
+    {_SIGN_BUCKET} AS bucket
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
+        >= 0.25
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM prs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS n_members, max(node) AS max_member
+FROM comp GROUP BY component
+"""
+
+
 def ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(load(spark, sf_dir, "embeddings"))
 
@@ -174,6 +215,11 @@ QUERIES = {
         EMBEDDING_COSINE_NEARDUP_SQL,
         "Embedding-cosine near-duplicate map (LSH-bucketed, keep-min-id)",
         ("similarity", "dedup", "llm"),
+    ),
+    "neardup_components": QuerySpec(
+        "neardup_components", neardup_components, NEARDUP_COMPONENTS_SQL,
+        "Duplicate clusters via iterative connected components",
+        ("similarity", "dedup", "graph", "llm"),
     ),
     "ann_ivf_topk": QuerySpec(
         "ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL,

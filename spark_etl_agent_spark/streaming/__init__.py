@@ -4,6 +4,7 @@ re-run loop, reproduced in ``jobs.runner``). Real event-time pipelines
 over the ``events`` table live in :mod:`.pipeline`."""
 
 from .pipeline import (
+    click_purchase_conversions,
     dedup_within_watermark,
     events_stream,
     load_with_verify_sink,
@@ -15,6 +16,7 @@ from .pipeline import (
 from .stateful import user_running_totals
 
 __all__ = [
+    "click_purchase_conversions",
     "events_stream",
     "tumbling_window_counts",
     "sliding_window_counts",

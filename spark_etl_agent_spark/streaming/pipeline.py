@@ -134,6 +134,51 @@ def dedup_within_watermark(
     )
 
 
+def click_purchase_conversions(
+    stream: DataFrame,
+    max_gap_minutes: int = 120,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within ``max_gap_minutes`` after it (the attribution
+    join). Both sides carry a watermark and the join condition bounds
+    the event-time range, so the state store retains each side only for
+    watermark + gap — the requirement for an unbounded-input join.
+    State shuffles on user_id; the range predicate prunes within the
+    key's state."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        ),
+    ).select(
+        "user_id", "click_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
+
+
 # -- sinks ----------------------------------------------------------------------
 
 def load_with_verify_sink(

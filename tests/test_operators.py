@@ -78,3 +78,25 @@ def test_approx_profile_shape_and_bounds(spark, sf_dir):
         )
         assert len(r.v_approx_quantiles) == 4
         assert sorted(r.v_approx_quantiles) == list(r.v_approx_quantiles)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 and island 10-11 collapse to min-id components;
+    convergence is independent of edge direction and order."""
+    from spark_etl_agent_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (11, 10)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    clusters = {
+        r.component: (r.n_members, r.max_member)
+        for r in dedup_clusters(edges).collect()
+    }
+    assert clusters == {1: (4, 4), 10: (2, 11)}

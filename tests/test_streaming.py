@@ -159,3 +159,38 @@ def test_stream_static_enrichment_join(spark, sf_dir, batch_events):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert canon(out, ["user_tier", "n"]) == canon(batch, ["user_tier", "n"])
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, batch_events):
+    """Stream-stream attribution join (click → purchase within 2h per
+    user) under AvailableNow must equal the identical batch join —
+    watermark state pruning must not drop any in-range pair."""
+    from spark_etl_agent_spark.streaming import click_purchase_conversions
+
+    streamed = run_available_now(
+        click_purchase_conversions(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    clicks = batch_events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 120 MINUTES")),
+    ).select(
+        "user_id", "click_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
+    cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+            "purchase_value"]
+    got, want = canon(streamed, cols), canon(batch, cols)
+    assert len(want) > 0
+    assert got == want
