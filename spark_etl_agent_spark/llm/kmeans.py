@@ -1,0 +1,107 @@
+"""Deterministic Lloyd's k-means over embedding columns — the trainer
+that replaces the label-derived cell assignment in the IVF index
+(:func:`.similarity.ivf_topk`) with learned cells.
+
+The reference has no iterative algorithms (SURVEY.md §2 — its jobs are
+single-pass ETL); this is the canonical "loop of DataFrame programs"
+shape: per round one broadcast of k centroids, one scan of the vectors,
+one bounded groupBy(cell) — and the assignment frame is
+localCheckpoint()ed so round k's plan does not re-derive rounds 0..k-1.
+At 100 TB the per-round cost is one pass over the corpus; k and dim are
+broadcast-sized.
+
+Cross-engine determinism (the DuckDB oracle re-runs the identical
+rounds):
+
+- components are floor(x·1e6) integer-valued doubles (see
+  ``similarity`` module docstring) — dot products are exact in any
+  summation order;
+- centroid update is ``floor(sum / count)`` — the sum is an exact
+  integer below 2^53 and the quotient is ≥ 2^-13 away from the nearest
+  wrong-floor boundary at these magnitudes, so the floor is exact in
+  both engines;
+- assignment ties break on the lower cell id;
+- initial centroids are the vectors with the k smallest ids (no RNG —
+  k-means++ would need a seeded sampler both engines share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine, dot, scaled
+
+
+def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (tie → lower cell)."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell")
+    )
+    return (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cell_sim",
+            cosine(dot(F.col("svec"), F.col("cvec")), F.col("norm_sq"), F.col("cnorm")),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "svec", "norm_sq", "cell")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-cell, per-dim floor(mean) of the scaled
+    components — exact integers, list-collected in dim order."""
+    return (
+        assigned.select("cell", F.posexplode("svec").alias("dim", "sval"))
+        .groupBy("cell", "dim")
+        .agg(F.floor(F.sum("sval") / F.count(F.lit(1))).alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_dc"))
+        .select(
+            "cell",
+            F.transform("_dc", lambda s: s["c"].cast("double")).alias("cvec"),
+        )
+        .withColumn("cnorm", dot(F.col("cvec"), F.col("cvec")))
+    )
+
+
+def train_cells(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds and return the final assignment
+    (vec_id, cell). Empty cells simply stop receiving members (no
+    re-seeding — deterministic)."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), scaled(F.col(vec_col)).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("svec").alias("cvec"),
+            F.col("norm_sq").alias("cnorm"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(base, centroids).localCheckpoint()
+        centroids = _recompute(assigned)
+    return assigned.select("vec_id", "cell")
+
+
+def cell_profile(assignment: DataFrame) -> DataFrame:
+    """Summarize a cell assignment: size and id-checksum per cell —
+    the deterministic fingerprint the oracle compares."""
+    return assignment.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("id_checksum"),
+        F.min("vec_id").alias("min_member"),
+    )

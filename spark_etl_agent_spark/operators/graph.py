@@ -37,38 +37,49 @@ def connected_components(
     The driver loop only inspects a single aggregate per round (the
     number of changed labels) — no edge or node data is ever collected.
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    from pyspark import StorageLevel
+
+    # the edge list is re-joined every round — persist it so an
+    # expensive upstream (an LSH pair join, a Jaccard verify) runs once,
+    # not once per round
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
 
-    for _ in range(max_iters):
-        # smallest label among each node's neighbors
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+    try:
+        for _ in range(max_iters):
+            # smallest label among each node's neighbors
+            neighbor_min = (
+                sym.join(labels, sym.v == labels.node)
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            # fold the convergence flag into the same pass: counting the
+            # flag on the checkpointed frame is a narrow scan, where a
+            # separate old-vs-new join would be one more shuffle per round
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                    F.coalesce(
+                        F.col("nbr_min") < F.col("component"), F.lit(False)
+                    ).alias("_changed"),
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.filter(F.col("_changed")).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
     return labels
 
 

@@ -182,6 +182,61 @@ SELECT query_id, neighbor_id, rnk, cosine_sim FROM (
 """
 
 
+def kmeans_cell_profile(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=4, 2 rounds) → per-cell size and
+    id checksum. The oracle re-runs the identical rounds as unrolled
+    CTEs — the iterative Spark loop must land on the same fixpoint
+    prefix."""
+    from ..llm import kmeans
+
+    return kmeans.cell_profile(
+        kmeans.train_cells(load(spark, sf_dir, "embeddings"), k=4, iters=2)
+    )
+
+
+def _kmeans_round_sql(i: int) -> str:
+    """One unrolled Lloyd round: assignment against cent{i}, then
+    cent{i+1} as per-cell floor-mean centroids."""
+    return f"""
+assign{i} AS (
+  SELECT vec_id, svec, norm_sq, cell FROM (
+    SELECT b.vec_id, b.svec, b.norm_sq, c.cell,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        list_dot_product(b.svec, c.cvec) / (sqrt(b.norm_sq) * sqrt(c.cnorm))
+          DESC, c.cell) AS r
+    FROM base b, cent{i} c
+  ) WHERE r = 1
+),
+cl{i} AS (
+  SELECT cell, dim,
+    CAST(floor(sum(svec[CAST(dim AS INT)]) / count(*)) AS DOUBLE) AS c
+  FROM assign{i}, range(1, 65) t(dim)
+  GROUP BY cell, dim
+),
+cent{i + 1} AS (
+  SELECT cell, cvec, list_dot_product(cvec, cvec) AS cnorm
+  FROM (SELECT cell, list(c ORDER BY dim) AS cvec FROM cl{i} GROUP BY cell)
+)"""
+
+
+KMEANS_CELL_PROFILE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+cent0 AS (
+  SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
+  FROM base ORDER BY vec_id LIMIT 4
+),
+{_kmeans_round_sql(0)},
+{_kmeans_round_sql(1)}
+SELECT cell, count(*) AS n_members,
+  CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+  min(vec_id) AS min_member
+FROM assign1 GROUP BY cell
+"""
+
+
 def embedding_label_centroids(spark, sf_dir):
     return sim.label_centroids(load(spark, sf_dir, "embeddings"))
 
@@ -225,6 +280,11 @@ QUERIES = {
         "ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL,
         "IVF two-level ANN: centroid codebook, nprobe=2 cell search",
         ("similarity", "llm"),
+    ),
+    "kmeans_cell_profile": QuerySpec(
+        "kmeans_cell_profile", kmeans_cell_profile, KMEANS_CELL_PROFILE_SQL,
+        "Deterministic Lloyd's k-means cells (k=4, 2 rounds)",
+        ("similarity", "iterative", "llm"),
     ),
     "embedding_label_centroids": QuerySpec(
         "embedding_label_centroids", embedding_label_centroids,

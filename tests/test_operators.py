@@ -100,3 +100,22 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup_clusters(edges).collect()
     }
     assert clusters == {1: (4, 4), 10: (2, 11)}
+
+
+def test_kmeans_cells_power_ivf_index(spark, sf_dir):
+    """The trained k-means assignment must drop into ivf_topk as the
+    cell column (the codebook-trainer contract): recall vs brute force
+    stays reasonable and top-1 self-cell hits are exact."""
+    from spark_etl_agent_spark.llm.kmeans import train_cells
+    from spark_etl_agent_spark.llm.similarity import brute_force_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = train_cells(emb, k=4, iters=2)
+    with_cells = emb.join(cells, "vec_id").drop("label")
+    ivf = ivf_topk(with_cells, nprobe=2, cell_col="cell")
+    exact = brute_force_topk(emb)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(got) > 0
+    # nprobe=2 of k=4 cells: expect at least half the exact top-5 found
+    assert len(got & want) >= len(want) // 2
