@@ -53,6 +53,10 @@ def main() -> None:
         t0 = time.perf_counter()
         run_query_to_completion(specs[name].spark(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        # per-query isolation: a pipeline's persisted intermediates
+        # (shingle tables, CC edge lists) must not occupy executor
+        # memory while later queries run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

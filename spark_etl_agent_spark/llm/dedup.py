@@ -143,11 +143,16 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     corpus (MEMORY_AND_DISK: spills, never recomputes)."""
     from pyspark import StorageLevel
 
+    # distinct-within-document (array_distinct before the explode) IS
+    # global distinct of (id, shingle) — and costs zero shuffle, where
+    # .distinct() after the explode would shuffle every shingle row
     return (
         df.select(
-            F.col(id_col), F.explode(shingles_of(F.col(text_col))).alias("shingle")
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_of(F.col(text_col)))).alias(
+                "shingle"
+            ),
         )
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
