@@ -11,6 +11,7 @@ from typing import Any, Dict, Optional
 from ..core.config import Settings, get_settings
 from ..sources.catalog import Catalog
 from .alerts import Alerter
+from .corpus import CorpusDedupService
 from .etl import EtlService
 from .jcap import JcapPaEtlService
 
@@ -29,6 +30,7 @@ class JobService:
         self.jcap_pa_etl_service = JcapPaEtlService(
             catalog, stage_path=stage_path, alerter=alerter
         )
+        self.corpus_dedup_service = CorpusDedupService(catalog)
         # registry shape mirrors services/job_service.py:23-38
         self.supported_job_types: Dict[str, Dict[str, Any]] = {
             "control_m_poc_etl": {
@@ -40,6 +42,16 @@ class JobService:
                 ),
                 "parameters": ["load_date", "limit"],
                 "environment": "POC",
+            },
+            "corpus_dedup_etl": {
+                "service": self.corpus_dedup_service,
+                "method": "run_corpus_dedup_etl",
+                "description": (
+                    "Corpus dedup ETL - quality gate, exact + MinHash near-dup "
+                    "dedup, cluster survivors"
+                ),
+                "parameters": ["load_date"],
+                "environment": "Corpus",
             },
             "jcap_pa_etl": {
                 "service": self.jcap_pa_etl_service,

@@ -308,3 +308,31 @@ def test_execute_sql_over_registered_views(warehouse):
     )
     rows = {r.actv_flag: r.n for r in df.collect()}
     assert set(rows) == {"0", "1"} and all(v > 0 for v in rows.values())
+
+
+def test_corpus_dedup_etl_end_to_end(spark, sf_dir, tmp_path, job_service, warehouse):
+    """The corpus-cleaning job: quality gate → exact dedup → MinHash
+    near-dup clusters → survivors written to the catalog. Envelope
+    invariants: monotone stage counts and survivors = exact-unique minus
+    near-dup-cluster drops; no two survivors share identical text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    warehouse.write_table(docs, "corpus.documents", mode="overwrite")
+
+    result = job_service.execute_job(
+        {"id": "c1", "name": "corpus", "type": "corpus_dedup_etl",
+         "load_date": "2026-08-13"}
+    )
+    assert result["status"] == "Success", result.get("error")
+    assert result["environment"] == "Corpus"
+    n_in, n_q = result["n_input"], result["n_after_quality"]
+    n_e, n_s = result["n_after_exact_dedup"], result["rows_processed"]
+    assert n_in >= n_q >= n_e >= n_s > 0
+    assert result["n_dropped_neardup"] == n_e - n_s
+
+    clean = warehouse.read_table("corpus.documents_clean")
+    assert clean.count() == n_s
+    # exact-dup-free by construction
+    import pyspark.sql.functions as F2
+    assert (
+        clean.groupBy(F2.md5("text")).count().filter("count > 1").count() == 0
+    )
