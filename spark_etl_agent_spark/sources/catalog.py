@@ -137,6 +137,74 @@ class Catalog:
         self.drop_table(tmp)
         return n
 
+    def compact_table(
+        self,
+        name: str,
+        target_file_mb: int = 128,
+        sort_within_by: Optional[List[str]] = None,
+    ) -> int:
+        """Small-file compaction — the maintenance verb every
+        streaming/incremental sink needs at scale: micro-batch appends
+        leave thousands of KB-sized files whose open/footer cost
+        dominates later scans. Rewrites the table into
+        ``ceil(bytes / target_file_mb)`` files; ``sort_within_by``
+        additionally ``sortWithinPartitions`` so per-file min/max column
+        stats become selective (poor-man's clustering — readers skip
+        whole files on sorted-key predicates). Returns the file count
+        after compaction."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        total_bytes = fs.getContentSummary(jpath).getLength()
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+
+        df = self.read_table(name).repartition(int(n_files))
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
+        tmp = f"{name}__compact_tmp"
+        self.write_table(df, tmp, mode="overwrite")
+        final = self.read_table(tmp)
+        self.write_table(final, name, mode="overwrite")
+        self.drop_table(tmp)
+        return sum(
+            1
+            for f in fs.listStatus(jpath)
+            if f.getPath().getName().endswith(".parquet")
+        )
+
+    def analyze_table(self, name: str) -> dict:
+        """ANALYZE-style statistics: row count, size-in-bytes, and
+        per-column null counts + distinct estimates — the inputs a
+        cost-based planner needs for broadcast/join-order decisions.
+        One metadata pass plus one aggregate scan; no row collection."""
+        from pyspark.sql import functions as F
+
+        df = self.read_table(name)
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        size_bytes = int(fs.getContentSummary(jpath).getLength())
+
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in df.columns:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}")
+            )
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        return {
+            "table": name,
+            "row_count": row["__rows"],
+            "size_bytes": size_bytes,
+            "columns": {
+                c: {
+                    "null_count": row[f"__nulls__{c}"],
+                    "approx_distinct": row[f"__ndv__{c}"],
+                }
+                for c in df.columns
+            },
+        }
+
     def write_table_bucketed(
         self,
         df: DataFrame,

@@ -336,3 +336,32 @@ def test_corpus_dedup_etl_end_to_end(spark, sf_dir, tmp_path, job_service, wareh
     assert (
         clean.groupBy(F2.md5("text")).count().filter("count > 1").count() == 0
     )
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction: a fragmented table (32-way append) collapses to few
+    files with identical content; sortWithinPartitions clusters the key."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cat.write_table(orders.repartition(32), "m.orders_frag", mode="overwrite")
+    before_rows = cat.get_table_count("m.orders_frag")
+
+    n_files = cat.compact_table("m.orders_frag", sort_within_by=["o_orderkey"])
+    assert n_files < 32
+    assert cat.get_table_count("m.orders_frag") == before_rows
+    got = sorted(r.o_orderkey for r in cat.read_table("m.orders_frag").collect())
+    want = sorted(r.o_orderkey for r in orders.collect())
+    assert got == want
+
+
+def test_analyze_table_statistics(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cat.write_table(orders, "m.orders", mode="overwrite")
+    stats = cat.analyze_table("m.orders")
+    assert stats["row_count"] == orders.count()
+    assert stats["size_bytes"] > 0
+    ok = stats["columns"]["o_orderkey"]
+    assert ok["null_count"] == 0
+    # HLL estimate of a unique key: within 10% of exact
+    assert abs(ok["approx_distinct"] - stats["row_count"]) <= 0.1 * stats["row_count"]
