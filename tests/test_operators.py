@@ -119,3 +119,53 @@ def test_kmeans_cells_power_ivf_index(spark, sf_dir):
     assert len(got) > 0
     # nprobe=2 of k=4 cells: expect at least half the exact top-5 found
     assert len(got & want) >= len(want) // 2
+
+
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+
+@hsettings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must equal a driver-side
+    union-find on arbitrary small graphs (self-loops included)."""
+    from spark_etl_agent_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical min-id labels: route every node to its root, then the
+    # component label is the min node in that root's set
+    nodes = sorted(parent)
+    comp_members = {}
+    for n in nodes:
+        comp_members.setdefault(find(n), []).append(n)
+    want = {
+        n: min(members)
+        for root, members in comp_members.items()
+        for n in members
+    }
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want
