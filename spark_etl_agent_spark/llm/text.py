@@ -60,13 +60,24 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# BPE-style pre-tokenizer alternation (GPT-2 shape, ASCII-simplified —
+# engine-portable: plain ordered alternation, no lookarounds):
+# space-prefixed letter runs | digit runs | punctuation runs | whitespace
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count + BPE-ish estimate (chars/4, the common
-    rule of thumb) via pure integer arithmetic."""
+    """Token counting three ways: whitespace tokens, a real BPE-style
+    regex pre-tokenization count (the segmentation a byte-pair encoder
+    runs on, minus the merges — the honest proxy for LLM token budget),
+    and the chars/4 rule-of-thumb estimate. All native expressions."""
     text = F.col(text_col)
     return df.select(
         F.col(id_col),
         F.size(words_of(text)).cast("long").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)"))
+        .cast("long")
+        .alias("bpe_regex_tokens"),
         F.expr(f"(length({text_col}) + 3) div 4").alias("bpe_est_tokens"),
     )
 

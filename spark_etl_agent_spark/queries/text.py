@@ -56,6 +56,8 @@ def token_counts(spark, sf_dir):
 TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
   CAST(len({_WORDS}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+       AS BIGINT) AS bpe_regex_tokens,
   (length(text) + 3) // 4 AS bpe_est_tokens
 FROM documents
 """

@@ -271,7 +271,44 @@ GROUP BY p_brand
 """
 
 
+def customer_order_distribution(spark, sf_dir):
+    """Q13 shape: distribution of customers by order count, zero-order
+    customers included — left outer join feeding a second aggregation
+    (the histogram-of-histogram double shuffle, both on bounded keys)."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 QUERIES = {
+    "customer_order_distribution": QuerySpec(
+        "customer_order_distribution", customer_order_distribution,
+        CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "Customers-per-order-count histogram incl. zeros (TPC-H Q13 shape)",
+        ("join", "agg"),
+    ),
     "nation_trade_volume": QuerySpec(
         "nation_trade_volume", nation_trade_volume, NATION_TRADE_VOLUME_SQL,
         "Bidirectional nation-pair shipping volume by year (TPC-H Q7 shape)",
