@@ -223,13 +223,20 @@ def ngram_jaccard_pairs(
     Vs MinHash-LSH: no signatures, exact similarity, but recall drops
     for pairs whose every shared shingle is common — the documented
     trade; at 100 TB the rare-shingle join is one bounded shuffle."""
+    from pyspark import StorageLevel
+
     # persisted once: feeds the frequency table, both inverted-index
     # sides, the hot-shingle correction and the size table
     sh = shingle_table(df, text_col, id_col)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    rare_sh = sh.join(
-        F.broadcast(freq.filter(F.col("df_") <= max_df).select("shingle")), "shingle"
-    )
+    # one shuffle join annotates every (id, shingle) row with its
+    # document frequency; rare/hot splits are then free filters over the
+    # persisted result. (Broadcasting the rare-shingle list instead
+    # would ship the *majority* of the vocabulary to every executor —
+    # wrong at corpus scale.) freq is derived from sh by a groupBy on
+    # the join key, so its partitioning is reused — only sh shuffles.
+    shf = sh.join(freq, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+    rare_sh = shf.filter(F.col("df_") <= max_df)
     a = rare_sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = rare_sh.select(F.col(id_col).alias("id_b"), "shingle")
     # shared-RARE-shingle count per candidate pair (the blocking join)
@@ -245,9 +252,7 @@ def ngram_jaccard_pairs(
     # construction (df > max_df), so this join touches almost nothing,
     # and the result is *exact* Jaccard without re-joining the full
     # index per pair
-    hot_sh = sh.join(
-        F.broadcast(freq.filter(F.col("df_") > max_df).select("shingle")), "shingle"
-    )
+    hot_sh = shf.filter(F.col("df_") > max_df)
     ha = hot_sh.select(F.col(id_col).alias("id_a"), "shingle")
     hb = hot_sh.select(F.col(id_col).alias("id_b"), "shingle")
     hot_common = (
