@@ -168,18 +168,20 @@ def simhash_fingerprints(spark, sf_dir):
 
 SIMHASH_FINGERPRINTS_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+  SELECT doc_id, md5(unnest({_WORDS})) AS h FROM documents
 ),
-bits AS (
-  SELECT doc_id, bit_pos,
-    ((instr('0123456789abcdef',
-            substr(md5(tok), CAST(bit_pos // 4 AS INT) + 1, 1)) - 1)
-     >> CAST(3 - bit_pos % 4 AS INT)) % 2 AS bit
-  FROM toks, range(0, 64) t(bit_pos)
+chunks AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS c0,
+    CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS c1
+  FROM toks
 ),
 votes AS (
-  SELECT doc_id, bit_pos, sum(bit * 2 - 1) AS vote
-  FROM bits GROUP BY doc_id, bit_pos
+  SELECT doc_id, bit_pos,
+    sum((((CASE WHEN bit_pos < 32 THEN c0 ELSE c1 END)
+          >> CAST(31 - bit_pos % 32 AS INT)) % 2) * 2 - 1) AS vote
+  FROM chunks, range(0, 64) t(bit_pos)
+  GROUP BY doc_id, bit_pos
 )
 SELECT doc_id,
   string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos)
