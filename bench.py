@@ -28,6 +28,13 @@ def run_query_to_completion(df) -> None:
 
 
 def main() -> None:
+    # Guarantee the result line is the ONLY stdout of this process: the
+    # JVM and any library chatter that targets fd 1 is rerouted to
+    # stderr for the whole run; fd 1 is restored just for the final
+    # one-line JSON (the driver parses stdout verbatim).
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -59,18 +66,19 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "inventory_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
     manager.stop()
+    sys.stdout.flush()
+    os.dup2(real_stdout, 1)
+    os.write(real_stdout, (line + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -104,7 +104,13 @@ def lsh_candidate_pairs(
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_index, band_key) —
-    docs agreeing on any full band become candidate pairs."""
+    docs agreeing on any full band become candidate pairs.
+
+    Shingle-less documents (< k words) carry an all-NULL signature and
+    are dropped *before* banding: ``concat_ws`` maps NULL columns to
+    ``''``, so without the filter every short doc would share
+    ``md5('')`` in all bands and form one O(n²) candidate clique — a
+    blow-up a short-doc-heavy corpus would hit at scale."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -116,9 +122,9 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
+    banded = signatures.filter(F.col("mh0").isNotNull()).select(
         F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
-    ).filter(F.col("band_key").isNotNull())
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -57,7 +57,21 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side's key, replicate the
     small side once per salt value, join on (key, salt). The heavy key
-    spreads over ``salt_buckets`` tasks instead of one straggler."""
+    spreads over ``salt_buckets`` tasks instead of one straggler.
+
+    Only ``inner``/``left``(-semi/-anti) are supported: every big-side
+    row carries exactly one salt, so those semantics are preserved — but
+    ``right``/``full`` would emit each *unmatched small-side* row once
+    per salt replica (``salt_buckets`` duplicate outer rows), silently
+    corrupting the result, so they are rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "right/full would duplicate unmatched small-side rows "
+            "once per salt bucket"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     salts = skewed_small.sparkSession.range(salt_buckets).select(
         F.col("id").cast("int").alias("_salt")

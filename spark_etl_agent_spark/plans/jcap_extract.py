@@ -19,11 +19,13 @@ implement the *intended* semantics (SURVEY.md §7.4): the reference's
 date columns are cast, and only the genuinely-string ``load_date``
 column is format-parsed.
 
-Scale posture: the fact side streams; the three dimension sides are
-broadcast (each is bounded — DISTINCT over patient/product, zip dim,
-segment dim). At 100 TB the fact scan is partition-pruned by the
-completed-date predicate; no shuffle is needed until the optional final
-sort.
+Scale posture: the fact side streams; the two genuine dimension sides
+(zip alignment, segment) are broadcast. The DISTINCT-of-ref-cap side U
+is fact-derived — its cardinality grows with the data — so it carries
+NO broadcast hint; AQE picks broadcast at runtime only when the distinct
+output is actually small, and falls back to shuffle join otherwise. At
+100 TB the fact scan is partition-pruned by the completed-date
+predicate.
 """
 
 from __future__ import annotations
@@ -181,10 +183,16 @@ def jcap_extract(
     )
 
     # J1 (:207-215): LEFT JOIN on compound key with UPPER() expression.
-    # J2 (:216-218), J3 (:219-224): LEFT JOINs to broadcast dims.
+    # No broadcast hint on U: it is a DISTINCT over the ref-cap *fact*
+    # table (`services/jcap_pa_etl_service.py:208-213`), so its
+    # patient×product cardinality grows with the data — forcing a
+    # broadcast is an OOM at 100× scale. AQE converts to broadcast at
+    # runtime when (and only when) the distinct output is actually small.
+    # J2 (:216-218), J3 (:219-224): LEFT JOINs to genuine bounded dims —
+    # those keep explicit hints.
     joined = (
         p.join(
-            F.broadcast(u),
+            u,
             (p.pmc_patid == u.pmc_patid)
             & (F.upper(p.prod_nm) == F.upper(u.prod_nm)),
             "left",

@@ -76,9 +76,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     task, serializing everything downstream of it; at real scale the scan
     has thousands of splits and this is a no-op — the repartition only
     fires when the input has fewer partitions than the cluster has slots,
-    so it never adds a shuffle to a 100 TB read."""
+    so it never adds a shuffle to a 100 TB read.
+
+    Width is estimated from the scan's file listing (already cached in
+    the file-source relation) — NOT ``df.rdd.getNumPartitions()``, which
+    would build the Python-RDD conversion plan and analyze the query a
+    second time just to read a number. A file count under-estimates
+    splits for huge files (one file may yield many splits), so this only
+    ever *skips* the repartition at real scale — never adds one."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

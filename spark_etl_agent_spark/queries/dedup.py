@@ -29,9 +29,12 @@ _MH = ",\n    ".join(
     for i in range(D.N_MINHASHES)
 )
 
+# mh0 IS NOT NULL mirrors llm.dedup.lsh_candidate_pairs: shingle-less
+# docs must not band (concat_ws would give them all the md5('') key)
 _BANDS = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig"
+    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
+    "WHERE mh0 IS NOT NULL"
     for b in range(D.N_MINHASHES // D.BAND_SIZE)
 )
 
@@ -94,7 +97,6 @@ pairs AS (
   FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-  WHERE a.band_key IS NOT NULL
 ),
 shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),

@@ -114,28 +114,71 @@ class Catalog:
     def merge_upsert(self, source: DataFrame, name: str, keys: List[str]) -> int:
         """MERGE-style upsert: rows in ``source`` replace target rows
         with matching keys; unmatched target rows survive. Composed as
-        target-anti-join-source ∪ source → overwrite (the pattern for
-        plain-Parquet tables; a Delta/Iceberg connector would map this
-        verb to its native MERGE). Returns the new row count.
+        target-anti-join-source ∪ source → staged write → directory
+        swap (the pattern for plain-Parquet tables; a Delta/Iceberg
+        connector would map this verb to its native MERGE). Returns the
+        new row count.
+
+        NULL merge keys are rejected: an equality anti-join never
+        matches NULL, so a NULL-key source row would *append* while the
+        NULL-key target row *survives* — duplicates instead of a
+        replace.
+
+        Crash safety: the merged result is written to a staging
+        directory and promoted by rename (``_swap_in``); the live table
+        is never a partially-written overwrite target, and a crash
+        mid-swap leaves the ``__backup`` copy on disk.
 
         Scale note: the anti-join shuffles on the merge keys once; with
         a bucketed target (``write_table_bucketed``) even that shuffle
         is one-sided."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         target = self.read_table(name)
         missing = [c for c in target.columns if c not in source.columns]
         if missing:
             raise ValueError(f"source is missing target columns: {missing}")
+        null_key = reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
+        if source.filter(null_key).limit(1).count() > 0:
+            raise ValueError(
+                f"merge_upsert into {name}: source has NULL merge keys "
+                f"{keys}; NULL keys never equality-match and would "
+                "duplicate instead of replace"
+            )
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source.select(*target.columns))
-        # materialize on a temp path first — the plan reads the table
-        # being overwritten
+        # materialize on a staging path first — the plan reads the table
+        # being replaced — then promote by rename, never by overwrite
         tmp = f"{name}__merge_tmp"
         self.write_table(merged, tmp, mode="overwrite")
-        final = self.read_table(tmp)
-        self.write_table(final, name, mode="overwrite")
-        n = self.get_table_count(name)
-        self.drop_table(tmp)
+        n = self.get_table_count(tmp)
+        self._swap_in(tmp, name)
         return n
+
+    def _swap_in(self, staged: str, name: str) -> None:
+        """Promote a staged rewrite to the live table via directory
+        renames (single-FS-op on local/HDFS): live → ``__backup``,
+        staged → live, drop backup. A crash between the renames leaves
+        the backup directory for restore instead of losing the system
+        of record to a half-finished overwrite."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        live = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        staged_p = jvm.org.apache.hadoop.fs.Path(self.path(staged))
+        backup = jvm.org.apache.hadoop.fs.Path(self.path(name) + "__backup")
+        fs = live.getFileSystem(hconf)
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        if not fs.rename(live, backup):
+            raise IOError(f"swap_in: could not move live {name} aside")
+        if not fs.rename(staged_p, live):
+            fs.rename(backup, live)  # restore the original
+            raise IOError(f"swap_in: could not promote staged {staged}")
+        fs.delete(backup, True)
 
     def compact_table(
         self,
@@ -163,9 +206,7 @@ class Catalog:
             df = df.sortWithinPartitions(*sort_within_by)
         tmp = f"{name}__compact_tmp"
         self.write_table(df, tmp, mode="overwrite")
-        final = self.read_table(tmp)
-        self.write_table(final, name, mode="overwrite")
-        self.drop_table(tmp)
+        self._swap_in(tmp, name)
         return sum(
             1
             for f in fs.listStatus(jpath)

@@ -221,7 +221,7 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        _await_or_raise(q, timeout_s)
         return None
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
@@ -231,5 +231,18 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
     return spark.table(name)
+
+
+def _await_or_raise(q, timeout_s: int) -> None:
+    """``awaitTermination(timeout)`` returns False when the timeout
+    elapses with the query still running — returning normally there
+    would hand the caller a partially-populated sink as if complete.
+    Stop the query and raise instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout_s}s; stopped to avoid returning partial results"
+        )

@@ -298,6 +298,19 @@ def test_merge_upsert(spark, warehouse, tmp_path):
     with _pytest.raises(ValueError, match="missing target columns"):
         cat.merge_upsert(bad, "m.t", keys=["id"])
 
+    # NULL merge keys never equality-match → must be rejected up front
+    nulled = spark.createDataFrame(
+        [(None, "n", 0.0)], "id long, v string, x double"
+    )
+    with _pytest.raises(ValueError, match="NULL merge keys"):
+        cat.merge_upsert(nulled, "m.t", keys=["id"])
+    # the rejection left the table untouched
+    assert cat.get_table_count("m.t") == 4
+    # and no stray staging/backup dirs survive a successful merge
+    import os as _os
+    names = set(_os.listdir(str(tmp_path / "merge_wh" / "m")))
+    assert names == {"t"}
+
 
 def test_execute_sql_over_registered_views(warehouse):
     """S2 inverted: SQL text executes in Catalyst over catalog tables."""

@@ -62,6 +62,37 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert plain == salted and plain
 
 
+def test_salted_join_rejects_outer(spark):
+    """right/full would replicate unmatched small-side rows once per
+    salt bucket — must raise, not silently corrupt."""
+    import pytest
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(df, df, on="k", how=how)
+
+
+def test_lsh_short_docs_never_band(spark):
+    """Shingle-less docs (< 3 words) carry NULL signatures and must not
+    collide into one md5('') clique (ADVICE r1)."""
+    from spark_etl_agent_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hi there") for i in range(10)]
+        + [(100, "a b c d e f g"), (101, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert pairs == {(100, 101)}  # no short-doc clique
+
+
 def test_approx_profile_shape_and_bounds(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     prof = approx_profile(li, keys=["l_returnflag"], value="l_quantity").collect()

@@ -21,9 +21,18 @@ def plan_of(df) -> str:
 
 
 def test_jcap_extract_broadcasts_dims(spark, sf_dir):
+    """The two genuine dims (alignment, segment) are hint-broadcast; the
+    fact-derived DISTINCT U must NOT carry a forced broadcast (AQE may
+    still choose one at runtime when it is actually small)."""
     plan = plan_of(run_jcap_extract(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3  # U, alignment, segment
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # alignment, segment
+
+    import importlib
+    import inspect
+
+    m = importlib.import_module("spark_etl_agent_spark.plans.jcap_extract")
+    src = inspect.getsource(m.jcap_extract)
+    assert "F.broadcast(u)" not in src
 
 
 def test_pricing_summary_pushes_filter_and_prunes(spark, sf_dir):
