@@ -17,22 +17,62 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
 
 from spark_etl_agent_spark.queries import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``spark_etl_agent_spark`` importable on Python *workers*.
+
+    The driver loads this module by file path from an arbitrary CWD, so
+    the package resolves on the driver via the sys.path insert above —
+    but Arrow-batched operators (``mapInPandas`` in ``llm.multimodal``)
+    serialize closures that reference package functions by module name,
+    and the executor-side Python workers inherit neither the driver's
+    ``sys.path`` nor its CWD. Zip the package once per SparkContext and
+    ``addPyFile`` it — the same mechanism a real cluster submit uses
+    (``--py-files``)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(
+        tempfile.mkdtemp(prefix="spark_etl_agent_pkg_"), "spark_etl_agent_spark"
+    )
+    archive = shutil.make_archive(
+        zip_base, "zip", root_dir=_REPO_ROOT, base_dir="spark_etl_agent_spark"
+    )
+    sc.addPyFile(archive)
+    _SHIPPED.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing_summary) on sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     specs = registry()
     return specs["pricing_summary"].spark(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in registry().items()}
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.spark) for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -98,6 +98,66 @@ class SparkManager:
             self._spark = None
 
 
+# -- deployment conf builders (reference parity: core/spark.py:139-151 and
+# manifests/spark_etl_agent.yaml) — plain dicts merged into ``extra_conf``
+# so the same SparkManager deploys local, k8s, or cloud unchanged.
+
+
+def s3a_conf(committer: str = "magic") -> Dict[str, str]:
+    """S3A cloud-storage wiring: WebIdentity (IRSA) credentials like the
+    reference (`core/spark.py:139-151`), plus the S3A committer the
+    reference lacked — directory rename is NOT atomic on S3, so
+    table-swap maintenance (``Catalog._swap_in``) and plain overwrite
+    jobs need the magic committer's one-shot multipart completion to be
+    crash-safe at 100 TB."""
+    return {
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "com.amazonaws.auth.WebIdentityTokenCredentialsProvider"
+        ),
+        "spark.hadoop.fs.s3a.assumed.role.credentials.provider": (
+            "com.amazonaws.auth.WebIdentityTokenCredentialsProvider"
+        ),
+        "spark.hadoop.fs.s3a.committer.name": committer,
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+        ),
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        # connection pool sized for wide parquet scans
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+    }
+
+
+def k8s_conf(
+    namespace: str,
+    image: str,
+    service_account: str = "spark",
+    executor_instances: int = 2,
+    executor_memory: str = "2g",
+    driver_memory: str = "2g",
+) -> Dict[str, str]:
+    """spark-operator / spark-on-k8s conf mirroring the reference's
+    manifest (`manifests/spark_etl_agent.yaml:31-70`): static allocation
+    with the external shuffle service off — executors own their shuffle
+    files, which is the spark-operator default posture the reference
+    runs."""
+    return {
+        "spark.kubernetes.namespace": namespace,
+        "spark.kubernetes.container.image": image,
+        "spark.kubernetes.authenticate.driver.serviceAccountName": service_account,
+        "spark.executor.instances": str(executor_instances),
+        "spark.executor.memory": executor_memory,
+        "spark.driver.memory": driver_memory,
+        "spark.shuffle.service.enabled": "false",
+        "spark.dynamicAllocation.enabled": "false",
+    }
+
+
 _MANAGER: Optional[SparkManager] = None
 
 

@@ -1,11 +1,27 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-Testdata has no true image/audio bytes and the decode libraries are not
-in this container, so the *decode* step is stubbed (deterministic fake
-dimensions, or ``NotImplementedError`` when a real decode is requested —
-clearly marked). Everything Spark-side is real and tested: the binary
-column, the Arrow-batched ``mapInPandas`` operator shape, its output
-schema, and the partition-parallel execution.
+The *decode* step is REAL for two formats with stdlib-only codecs:
+
+- **PNG**: ``png_encode`` builds valid 8-bit-grayscale PNGs (signature,
+  IHDR, zlib IDAT with per-row filter bytes, CRC-32 per chunk) and
+  ``decode_png_metadata`` parses them back — signature check, IHDR
+  field extraction, CRC verification, and a full IDAT inflate whose
+  length is checked against height·(width+1).
+- **WAV**: ``wav_encode`` builds valid RIFF/WAVE PCM files and
+  ``decode_wav_metadata`` walks the chunk list to the ``fmt `` and
+  ``data`` chunks — sample rate, channels, bit depth, sample count,
+  duration.
+
+Because the container has no image/audio testdata, payload *synthesis*
+derives dimensions/rates from the doc id and pixel/sample content from
+the document text — so the DuckDB oracle can predict the decoded header
+values arithmetically while the Spark side genuinely round-trips real
+binary formats (a broken encoder or parser fails the CRC/inflate/chunk
+checks, not just an echo comparison).
+
+Model-backed steps (feature extraction, resize re-encode) remain
+clearly-marked ``NotImplementedError`` stubs — those genuinely need
+codec/model libraries this container lacks.
 
 At 100 TB: payloads stay in executor-local Arrow batches end-to-end
 (never on the driver); batch size is controlled by
@@ -15,15 +31,13 @@ embarrassingly parallel."""
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+import zlib
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, content_hash string, width int, height int, n_frames int"
-)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -34,40 +48,237 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_metadata(df: DataFrame, real_decode: bool = False) -> DataFrame:
-    """Arrow-batched decode operator over the binary column.
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: PNG (zlib/struct) and WAV (RIFF/struct)
+# ---------------------------------------------------------------------------
 
-    ``real_decode=True`` is the integration point for an actual
-    image/audio decoder; it raises ``NotImplementedError`` here because
-    the codec libraries are not available in this environment (STUB).
-    The default path derives deterministic fake dimensions from the
-    payload so the full Spark plumbing (schema, batching, partitioning)
-    executes and is testable.
-    """
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Valid 8-bit grayscale PNG: signature, IHDR, one zlib IDAT with
+    filter byte 0 per scanline, IEND — all CRCs real."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_parse(raw: bytes) -> Tuple[int, int, int, int, bool]:
+    """Parse and verify a PNG: returns (width, height, bit_depth,
+    color_type, pixels_ok). Checks the 8-byte signature, IHDR length and
+    CRC, then inflates the IDAT stream and verifies the decompressed
+    length equals height·(width+1) (one filter byte per scanline) —
+    i.e. the image data is genuinely decoded, not just the header."""
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    (length,) = struct.unpack(">I", raw[8:12])
+    if raw[12:16] != b"IHDR" or length != 13:
+        raise ValueError("first chunk is not IHDR")
+    ihdr = raw[16:29]
+    (crc,) = struct.unpack(">I", raw[29:33])
+    if zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR CRC mismatch")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", ihdr[:10])
+    # walk chunks, concatenating IDAT data
+    idat, pos = b"", 33
+    while pos + 8 <= len(raw):
+        (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        (ccrc,) = struct.unpack(">I", raw[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != ccrc:
+            raise ValueError(f"{tag!r} CRC mismatch")
+        if tag == b"IDAT":
+            idat += data
+        if tag == b"IEND":
+            break
+        pos += 12 + clen
+    pixels_ok = len(zlib.decompress(idat)) == height * (width + 1)
+    return width, height, bit_depth, color_type, pixels_ok
+
+
+def wav_encode(sample_rate: int, n_channels: int, samples: bytes) -> bytes:
+    """Valid RIFF/WAVE PCM-16 file: RIFF header, ``fmt `` chunk, ``data``
+    chunk. ``samples`` is the raw little-endian PCM byte stream (length
+    must be a multiple of the 16-bit frame size)."""
+    bits = 16
+    block_align = n_channels * bits // 8
+    if len(samples) % block_align:
+        raise ValueError("samples not frame-aligned")
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_parse(raw: bytes) -> Tuple[int, int, int, int]:
+    """Parse a RIFF/WAVE file by walking its chunk list: returns
+    (sample_rate, n_channels, bits_per_sample, n_samples). Verifies the
+    RIFF/WAVE magic, the declared RIFF size, and PCM format."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack("<I", raw[4:8])
+    if riff_size != len(raw) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos, fmt_info, data_len = 12, None, None
+    while pos + 8 <= len(raw):
+        tag = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _, block_align, bits = (
+                struct.unpack("<HHIIHH", raw[pos + 8 : pos + 24])
+            )
+            if audio_fmt != 1:
+                raise ValueError("not PCM")
+            fmt_info = (sample_rate, n_channels, bits, block_align)
+        elif tag == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if fmt_info is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    sample_rate, n_channels, bits, block_align = fmt_info
+    return sample_rate, n_channels, bits, data_len // block_align
+
+
+def _tile(seed: bytes, n: int) -> bytes:
+    """Deterministically expand a digest to n bytes by counter-mode
+    rehashing (no RNG — reproducible across engines and partitions)."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(seed + i.to_bytes(4, "big")).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+PNG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "pixels_ok boolean"
+)
+WAV_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bits_per_sample int, "
+    "n_samples int, duration_ms double"
+)
+
+
+def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a real PNG per document: width/height from doc-id
+    arithmetic (so the oracle can predict them), pixel bytes tiled from
+    the text digest. Output: (doc_id, payload binary)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "real image/audio decode requires codec libs not present "
-                    "in this environment; deterministic stub is the default"
-                )
-            payload = pdf["payload"]
-            n_bytes = payload.map(len).astype("int64")
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                w = 1 + int(doc_id) % 64
+                h = 1 + (int(doc_id) * 7) % 48
+                pix = _tile(hashlib.md5(text.encode()).digest(), w * h)
+                payloads.append(png_encode(w, h, pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", text_col).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def decode_png_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PNG decode over the binary column: signature +
+    IHDR + per-chunk CRC verification + full IDAT inflate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [png_parse(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes,
-                    "content_hash": payload.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "width": (n_bytes % 640).astype("int32"),
-                    "height": ((n_bytes * 7) % 480).astype("int32"),
-                    "n_frames": (n_bytes % 16).astype("int32"),
+                    "width": pd.Series([r[0] for r in rows], dtype="int32"),
+                    "height": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "bit_depth": pd.Series([r[2] for r in rows], dtype="int32"),
+                    "color_type": pd.Series([r[3] for r in rows], dtype="int32"),
+                    "pixels_ok": pd.Series([r[4] for r in rows], dtype="bool"),
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(batches, DECODE_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(batches, PNG_DECODE_SCHEMA)
+
+
+def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a real WAV per document: rate/channels/length from
+    doc-id arithmetic, PCM sample bytes tiled from the text digest."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                rate = 8000 + (d % 8) * 1000
+                ch = 1 + d % 2
+                n_samples = 100 + d % 50
+                pcm = _tile(
+                    hashlib.md5(text.encode()).digest(), n_samples * ch * 2
+                )
+                payloads.append(wav_encode(rate, ch, pcm))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", text_col).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def decode_wav_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode: RIFF chunk walk → rate, channels,
+    bit depth, sample count, duration (ms, one IEEE division)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [wav_parse(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series([r[0] for r in rows], dtype="int32"),
+                    "n_channels": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "bits_per_sample": pd.Series(
+                        [r[2] for r in rows], dtype="int32"
+                    ),
+                    "n_samples": pd.Series([r[3] for r in rows], dtype="int32"),
+                    "duration_ms": pd.Series(
+                        [r[3] * 1000.0 / r[0] for r in rows], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, WAV_DECODE_SCHEMA)
 
 
 FEATURE_DIM = 8

@@ -7,15 +7,17 @@ DISTINCT, SURVEY.md §2.4 A3); at 100 TB corpus scale pairwise output is
 unusable without this step — A~B and B~C must collapse into one
 cluster {A,B,C} with a single keeper.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round every node adopts the smallest label in its
-closed neighborhood; converged when no label changes. Rounds are pure
-DataFrame programs — one shuffle per round on the node id — and the
-label frame is localCheckpoint()ed every round to cut the lineage (an
-iterative plan that re-derives round k from round 0 recompiles
-exponentially; checkpointing keeps each round O(E)). Round count is
-bounded by the graph diameter — O(log n) for the short chains dedup
-produces in practice; ``max_iters`` guards pathological chains.
+Algorithm: min-label propagation with pointer jumping. Every node
+starts labeled with itself; each round every node adopts the smallest
+label in its closed neighborhood (one hop), then adopts *its label's
+label* (the pointer jump — label chains halve every round, the same
+doubling that makes large-star/small-star O(log n)). Converged when no
+label changes; a graph whose diameter exceeds what ``max_iters`` rounds
+can cover raises instead of silently returning partially-propagated
+labels. Rounds are pure DataFrame programs — shuffles on the node id —
+and the label frame is localCheckpoint()ed every round to cut the
+lineage (an iterative plan that re-derives round k from round 0
+recompiles exponentially; checkpointing keeps each round O(E)).
 """
 
 from __future__ import annotations
@@ -36,6 +38,12 @@ def connected_components(
 
     The driver loop only inspects a single aggregate per round (the
     number of changed labels) — no edge or node data is ever collected.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds exhaust without
+    convergence: a partially-propagated labeling is silently *wrong*
+    (it splits one true component into several), so it must never be
+    returned. With pointer jumping a chain of length 2^max_iters still
+    converges, so the cap only fires on genuinely pathological inputs.
     """
     from pyspark import StorageLevel
 
@@ -52,35 +60,51 @@ def connected_components(
 
     try:
         for _ in range(max_iters):
-            # smallest label among each node's neighbors
+            # hop 1: smallest label among each node's neighbors
             neighbor_min = (
                 sym.join(labels, sym.v == labels.node)
                 .groupBy(F.col("u").alias("node"))
                 .agg(F.min("component").alias("nbr_min"))
             )
+            prop = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("_mid"),
+            )
+            # hop 2 (pointer jump): adopt the label OF the label. Labels
+            # are always reachable node ids, so the lookup stays inside
+            # the component; chains collapse geometrically — O(log
+            # diameter) rounds where one-hop propagation is O(diameter).
+            lookup = prop.select(
+                F.col("node").alias("_c_node"), F.col("_mid").alias("_c_comp")
+            )
+            jumped = F.least(
+                F.col("_mid"), F.coalesce(F.col("_c_comp"), F.col("_mid"))
+            )
             # fold the convergence flag into the same pass: counting the
             # flag on the checkpointed frame is a narrow scan, where a
             # separate old-vs-new join would be one more shuffle per round
             new_labels = (
-                labels.join(neighbor_min, "node", "left")
+                prop.join(lookup, prop._mid == F.col("_c_node"), "left")
                 .select(
                     "node",
-                    F.least(
-                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                    ).alias("component"),
-                    F.coalesce(
-                        F.col("nbr_min") < F.col("component"), F.lit(False)
-                    ).alias("_changed"),
+                    jumped.alias("component"),
+                    (jumped < F.col("_old")).alias("_changed"),
                 )
                 .localCheckpoint()
             )
             changed = new_labels.filter(F.col("_changed")).count()
             labels = new_labels.drop("_changed")
             if changed == 0:
-                break
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "partial labels would split true components — raise max_iters"
+        )
     finally:
         sym.unpersist()
-    return labels
 
 
 def dedup_clusters(

@@ -1,8 +1,11 @@
 """Multimodal binary-column inventory (north-star extension). The
-payload is a real BinaryType column (utf-8 bytes standing in for
-image/audio — codecs aren't in this container, SURVEY.md §7.2 M5); the
-Arrow-batched ``mapInPandas`` decode plumbing is real and oracled on
-its deterministic stub output."""
+payload is a real BinaryType column holding REAL binary formats —
+stdlib-encoded PNG and RIFF/WAVE files — and the decode queries
+genuinely parse them back (signature, CRC, IDAT inflate, chunk walk;
+``llm/multimodal.py``). Payload dimensions derive from doc-id
+arithmetic so the DuckDB oracle predicts the decoded values without a
+codec: a broken encoder or parser fails CRC/inflate checks or
+mismatches the oracle, not just an echo comparison."""
 
 from __future__ import annotations
 
@@ -13,19 +16,40 @@ from .base import QuerySpec, fan_out, load
 
 
 def multimodal_decode(spark, sf_dir):
-    """Binary payload → mapInPandas decode (deterministic stub
-    dimensions) — exercises schema, Arrow batching, partition
-    parallelism end-to-end."""
-    return M.decode_metadata(M.attach_payload(fan_out(load(spark, sf_dir, "documents"))))
+    """Real PNG round-trip: synthesize a valid PNG per document →
+    Arrow-batched parse (signature + IHDR + CRCs + full IDAT inflate)."""
+    return M.decode_png_metadata(
+        M.attach_png_payload(fan_out(load(spark, sf_dir, "documents")))
+    )
 
 
 MULTIMODAL_DECODE_SQL = """
 SELECT doc_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  md5(text) AS content_hash,
-  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-  CAST(octet_length(encode(text)) % 16 AS INT) AS n_frames
+  CAST(1 + doc_id % 64 AS INT) AS width,
+  CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
+  CAST(8 AS INT) AS bit_depth,
+  CAST(0 AS INT) AS color_type,
+  TRUE AS pixels_ok
+FROM documents
+"""
+
+
+def multimodal_wav_decode(spark, sf_dir):
+    """Real WAV round-trip: synthesize a valid RIFF/WAVE PCM file per
+    document → Arrow-batched chunk-walk parse (rate/channels/bits/
+    samples/duration)."""
+    return M.decode_wav_metadata(
+        M.attach_wav_payload(fan_out(load(spark, sf_dir, "documents")))
+    )
+
+
+MULTIMODAL_WAV_DECODE_SQL = """
+SELECT doc_id,
+  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+  CAST(1 + doc_id % 2 AS INT) AS n_channels,
+  CAST(16 AS INT) AS bits_per_sample,
+  CAST(100 + doc_id % 50 AS INT) AS n_samples,
+  (100 + doc_id % 50) * 1000.0 / (8000 + (doc_id % 8) * 1000) AS duration_ms
 FROM documents
 """
 
@@ -52,7 +76,13 @@ FROM documents GROUP BY source
 QUERIES = {
     "multimodal_decode": QuerySpec(
         "multimodal_decode", multimodal_decode, MULTIMODAL_DECODE_SQL,
-        "Binary payload + Arrow-batched mapInPandas decode (stub codec)",
+        "Real PNG encode/parse round-trip via Arrow-batched mapInPandas",
+        ("multimodal", "llm", "pandas-udf"),
+    ),
+    "multimodal_wav_decode": QuerySpec(
+        "multimodal_wav_decode", multimodal_wav_decode,
+        MULTIMODAL_WAV_DECODE_SQL,
+        "Real RIFF/WAVE encode/parse round-trip (rate/channels/duration)",
         ("multimodal", "llm", "pandas-udf"),
     ),
     "multimodal_source_stats": QuerySpec(

@@ -1,14 +1,29 @@
-"""Streaming inventory entry: the genuine Structured Streaming pipeline
-(file source → watermark → tumbling windows) executed with
-Trigger.AvailableNow and returned as a batch frame — so the driver's
-DuckDB oracle checks *streaming* results value-for-value. The stateful
-ops that cannot surface this way (session windows, watermark dedup,
-foreachBatch sinks) are pytest-verified against batch twins in
-``tests/test_streaming.py``."""
+"""Streaming inventory entries: genuine Structured Streaming pipelines
+(file source → watermark → windowed state) executed with
+Trigger.AvailableNow and returned as batch frames — so the driver's
+DuckDB oracle checks *streaming* results value-for-value. Tumbling,
+sliding, and gap-based session windows all surface this way; the
+stateful ops that cannot (watermark dedup, foreachBatch sinks,
+applyInPandasWithState) are pytest-verified against batch twins in
+``tests/test_streaming.py``.
+
+Oracle notes: Spark windows align to the Unix epoch, so a 3-hour slide
+start is day-trunc + 3h·⌊hour/3⌋ and each event lands in exactly two
+6h/3h sliding windows (that start and the one 3h earlier). Session
+windows close at last-event + gap with an *exclusive* end — an event
+arriving exactly ``gap`` after the previous one starts a NEW session,
+so the oracle's break condition is ``>=`` (the batch ``sessionization``
+query deliberately uses ``>``, the other boundary convention)."""
 
 from __future__ import annotations
 
-from ..streaming import events_stream, run_available_now, tumbling_window_counts
+from ..streaming import (
+    events_stream,
+    run_available_now,
+    session_window_stats,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
 from .base import QuerySpec
 
 
@@ -31,11 +46,80 @@ GROUP BY 1, 2, 3
 """
 
 
+def streaming_sliding_agg(spark, sf_dir):
+    return run_available_now(
+        sliding_window_counts(events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
+STREAMING_SLIDING_AGG_SQL = """
+WITH starts AS (
+  SELECT event_type,
+    date_trunc('day', ts) + INTERVAL 3 HOUR * CAST(FLOOR(EXTRACT(hour FROM ts) / 3) AS INTEGER) AS s0
+  FROM events
+),
+expanded AS (
+  SELECT s0 AS window_start, event_type FROM starts
+  UNION ALL
+  SELECT s0 - INTERVAL 3 HOUR AS window_start, event_type FROM starts
+)
+SELECT window_start,
+  window_start + INTERVAL 6 HOUR AS window_end,
+  event_type,
+  COUNT(*) AS n_events
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+
+def streaming_session_agg(spark, sf_dir):
+    return run_available_now(
+        session_window_stats(events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
+STREAMING_SESSION_AGG_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+  CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+  user_id,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling_agg": QuerySpec(
         "streaming_tumbling_agg", streaming_tumbling_agg,
         STREAMING_TUMBLING_AGG_SQL,
         "Structured Streaming tumbling windows (AvailableNow), oracled",
+        ("streaming", "window-agg"),
+    ),
+    "streaming_sliding_agg": QuerySpec(
+        "streaming_sliding_agg", streaming_sliding_agg,
+        STREAMING_SLIDING_AGG_SQL,
+        "Structured Streaming sliding 6h/3h windows (AvailableNow), oracled",
+        ("streaming", "window-agg"),
+    ),
+    "streaming_session_agg": QuerySpec(
+        "streaming_session_agg", streaming_session_agg,
+        STREAMING_SESSION_AGG_SQL,
+        "Structured Streaming gap-based session windows (AvailableNow), oracled",
         ("streaming", "window-agg"),
     ),
 }

@@ -37,6 +37,33 @@ def test_get_settings_is_cached():
     assert get_settings() is get_settings()
 
 
+def test_deploy_manifest_renders_session_conf():
+    """The k8s manifest must stay in sync with the conf the session
+    builders produce — AQE, Kryo, shuffle-service-off, S3A committer
+    (the reference sets the same families in core/spark.py:139-151 and
+    manifests/spark_etl_agent.yaml)."""
+    import os
+
+    from spark_etl_agent_spark.core.session import k8s_conf, s3a_conf
+
+    manifest = open(
+        os.path.join(os.path.dirname(__file__), "..", "deploy", "spark_application.yaml")
+    ).read()
+    s3a = s3a_conf()
+    assert s3a["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    k8s = k8s_conf(namespace="spark-etl", image="img", service_account="sa")
+    assert k8s["spark.shuffle.service.enabled"] == "false"
+    for key in list(s3a) + list(k8s):
+        if key in ("spark.kubernetes.container.image", "spark.executor.memory",
+                   "spark.driver.memory", "spark.hadoop.fs.s3a.connection.maximum",
+                   "spark.hadoop.fs.s3a.fast.upload"):
+            continue  # values are deployment-specific / perf-tuning only
+        assert f'"{key}"' in manifest, f"manifest missing conf key {key}"
+    for key in ("spark.sql.adaptive.enabled", "spark.serializer",
+                "spark.sql.adaptive.skewJoin.enabled"):
+        assert f'"{key}"' in manifest
+
+
 def test_job_service_rejects_incomplete_config(spark, tmp_path):
     from spark_etl_agent_spark.jobs.registry import JobService
     from spark_etl_agent_spark.sources.catalog import Catalog

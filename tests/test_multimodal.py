@@ -1,7 +1,9 @@
 """Multimodal operator tests: the Arrow/mapInPandas plumbing is real
-(schemas, batching, 1→N expansion); decode/extract/resize are
-deterministic stubs with clearly-marked real-codec integration points
-that raise NotImplementedError."""
+(schemas, batching, 1→N expansion) and the PNG/WAV codecs are real
+stdlib implementations — encode→parse round-trips with CRC/inflate
+verification, plus corruption detection. Model-backed steps
+(feature extraction on real embeddings, resize re-encode) remain
+clearly-marked NotImplementedError stubs."""
 
 import hashlib
 
@@ -11,12 +13,65 @@ from pyspark.sql import functions as F
 from spark_etl_agent_spark.llm.multimodal import (
     FEATURE_DIM,
     attach_payload,
-    decode_metadata,
+    attach_png_payload,
+    attach_wav_payload,
+    decode_png_metadata,
+    decode_wav_metadata,
     extract_features,
+    png_encode,
+    png_parse,
     resize_stub,
     sample_frames,
+    wav_encode,
+    wav_parse,
 )
 from spark_etl_agent_spark.queries.base import load
+
+
+def test_png_codec_roundtrip_and_corruption():
+    pix = bytes(range(256)) * 6  # 48*32
+    raw = png_encode(48, 32, pix)
+    assert png_parse(raw) == (48, 32, 8, 0, True)
+    # flip one IDAT byte → CRC mismatch must be detected
+    bad = bytearray(raw)
+    bad[50] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|signature"):
+        png_parse(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        png_parse(b"JFIF" + raw)
+
+
+def test_wav_codec_roundtrip_and_corruption():
+    pcm = bytes(range(256)) * 4  # 256 stereo 16-bit frames
+    raw = wav_encode(44100, 2, pcm)
+    assert wav_parse(raw) == (44100, 2, 16, 256)
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_parse(raw[4:])
+    truncated = raw[:-10]  # declared RIFF size no longer matches
+    with pytest.raises(ValueError, match="size mismatch"):
+        wav_parse(truncated)
+
+
+def test_png_decode_distributed(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(40)
+    out = decode_png_metadata(attach_png_payload(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.width == 1 + r.doc_id % 64
+        assert r.height == 1 + (r.doc_id * 7) % 48
+        assert r.bit_depth == 8 and r.color_type == 0 and r.pixels_ok
+
+
+def test_wav_decode_distributed(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(40)
+    out = decode_wav_metadata(attach_wav_payload(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.sample_rate == 8000 + (r.doc_id % 8) * 1000
+        assert r.n_channels == 1 + r.doc_id % 2
+        assert r.bits_per_sample == 16
+        assert r.n_samples == 100 + r.doc_id % 50
+        assert r.duration_ms == pytest.approx(r.n_samples * 1000.0 / r.sample_rate)
 
 
 @pytest.fixture(scope="module")
@@ -56,8 +111,8 @@ def test_sample_frames_expansion(payloads):
     assert got0 == expected0
 
 
-def test_real_codec_paths_are_marked_stubs(payloads):
-    with pytest.raises(Exception, match="NotImplementedError|STUB|real"):
-        decode_metadata(payloads, real_decode=True).collect()
+def test_model_backed_paths_are_marked_stubs(payloads):
     with pytest.raises(Exception, match="NotImplementedError|STUB|real"):
         extract_features(payloads, real_extract=True).collect()
+    with pytest.raises(Exception, match="NotImplementedError|STUB|real"):
+        resize_stub(payloads, real_resize=True).collect()

@@ -133,6 +133,32 @@ def test_connected_components_chain_and_islands(spark):
     assert clusters == {1: (4, 4), 10: (2, 11)}
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping: a 200-node chain needs O(log n) rounds, far under
+    the default cap (one-hop propagation alone would need ~200)."""
+    from spark_etl_agent_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.component for r in connected_components(edges, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_connected_components_raises_on_cap(spark):
+    """Exhausting max_iters without convergence must raise — partial
+    labels silently split true components."""
+    import pytest
+
+    from spark_etl_agent_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
+
+
 def test_kmeans_cells_power_ivf_index(spark, sf_dir):
     """The trained k-means assignment must drop into ivf_topk as the
     cell column (the codebook-trainer contract): recall vs brute force
