@@ -2,9 +2,9 @@
 configuration with range validation and per-job-type completeness
 checks, minus the reference's two bugs (SURVEY.md §3.4): the
 secrets-manager import typo that made secrets loading dead code (here
-secrets are simply out of scope — env only), and the ``lru_cache``
-that was imported but never applied (here ``get_settings`` genuinely
-caches).
+the surface is LIVE — ``core.secrets`` providers overlay via
+:meth:`Settings.from_secrets`), and the ``lru_cache`` that was
+imported but never applied (here ``get_settings`` genuinely caches).
 
 Stdlib dataclass instead of pydantic: same validations, no extra
 dependency."""
@@ -73,6 +73,24 @@ class Settings:
                     f"job type {job_type!r} requires setting {attr!r} "
                     "(env or constructor)"
                 )
+
+    @classmethod
+    def from_secrets(cls, provider) -> "Settings":
+        """Build Settings with credential fields overlaid from a
+        ``core.secrets`` provider — the reference's (dead) intent of
+        feeding connection settings from Secrets Manager
+        (``utils/secrets_manger.py``), made live and backend-agnostic.
+        Secret values win over env; absent keys keep env/defaults."""
+        s = cls()
+        for attr, key in (
+            ("jdbc_url", "SPARK_ETL_JDBC_URL"),
+            ("jdbc_user", "SPARK_ETL_JDBC_USER"),
+            ("jdbc_password", "SPARK_ETL_JDBC_PASSWORD"),
+        ):
+            value = provider.get_secret_value(key)
+            if value:
+                setattr(s, attr, value)
+        return s
 
 
 @lru_cache(maxsize=1)

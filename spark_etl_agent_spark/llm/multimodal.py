@@ -74,7 +74,9 @@ def png_encode(width: int, height: int, pixels: bytes) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw))
+        # level 1: the synthetic pixel bytes are hash output
+        # (incompressible), so higher levels only burn encoder CPU
+        + _png_chunk(b"IDAT", zlib.compress(raw, 1))
         + _png_chunk(b"IEND", b"")
     )
 

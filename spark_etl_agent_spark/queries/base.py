@@ -114,6 +114,7 @@ def _collect_modules():
         strings,
         subqueries,
         text,
+        tpch_ext,
         tpch_multi,
         windows_ext,
     )
@@ -133,6 +134,7 @@ def _collect_modules():
         windows_ext,
         subqueries,
         tpch_multi,
+        tpch_ext,
     )
 
 

@@ -20,7 +20,8 @@ from .base import QuerySpec, dec, load
 def nation_trade_volume(spark, sf_dir):
     """Q7 shape: shipping volume between two nations, both directions,
     by year — double dimension-join (supplier nation × customer nation)
-    with a symmetric pair filter."""
+    with a symmetric pair filter. Pair chosen non-empty at every SF
+    (a pair with no trade at small SFs makes oracle parity vacuous)."""
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     supp_n = (
         load(spark, sf_dir, "supplier")
@@ -35,8 +36,8 @@ def nation_trade_volume(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load(spark, sf_dir, "lineitem")
     pair = (
-        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     )
     volume = (
         F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount", 6)))
@@ -70,8 +71,8 @@ FROM (
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation cn ON c_nationkey = cn.n_nationkey
-  WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-     OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+  WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+     OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
 )
 GROUP BY supp_nation, cust_nation, l_year
 """

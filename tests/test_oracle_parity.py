@@ -32,6 +32,9 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     spec = SPECS[name]
     spark_pdf = spec.spark(spark, sf_dir).toPandas()
     duck_pdf = duck_df(duck, spec.oracle)
+    # two empty frames "match" trivially — a scale-dependent predicate
+    # that empties the result must fail loudly, not pass vacuously
+    assert len(duck_pdf) > 0, f"{name}: oracle returned 0 rows (vacuous parity)"
     assert_frames_match(spark_pdf, duck_pdf, name)
 
 
