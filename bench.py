@@ -53,6 +53,15 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the Python-worker fleet (one process per core, each paying
+    # the pandas/pyarrow import) — measured ~6s cold vs ~0.9s warm for
+    # the first mapInPandas query; steady-state is what the benchmark
+    # should measure (workers are long-lived on a real cluster)
+    spark.range(
+        10_000, numPartitions=int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     specs = registry()
     timings: dict[str, float] = {}

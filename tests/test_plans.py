@@ -127,6 +127,24 @@ def test_market_share_broadcasts_all_dim_chains(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_exists_shape_is_semi_join_with_pushed_filter(spark, sf_dir):
+    """Q4 shape: the EXISTS must be a semi join (no row duplication) and
+    the returnflag predicate must reach the lineitem scan."""
+    plan = plan_of(SPECS["exists_returned_orders"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(l_returnflag,R)" in l for l in pushed), pushed
+
+
+def test_min_cost_supplier_no_cartesian_and_prunes(spark, sf_dir):
+    """Q2 shape: decorrelated min re-join must stay an equi-join (never
+    cartesian) and the lineitem scan must read only the 4 used columns."""
+    plan = plan_of(SPECS["min_cost_supplier"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_shipdate" not in read_schema and "l_discount" not in read_schema
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Two co-bucketed tables must sort-merge join with ZERO Exchange
     nodes — the co-located join layout for recurring joins at scale."""
