@@ -102,3 +102,52 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         rolling.alias("rolling_hash"),
         F.length("_sq").cast("long").alias("squashed_len"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic
+    primitive of a training-data pipeline.
+
+    Shape: explode to (doc, term) → tf agg (one shuffle on the pair,
+    map-side combined) → document frequency derived FROM the tf table
+    (tf rows are already distinct doc-term pairs, so df is a plain
+    count — no second pass over raw text) → join on term (co-partitioned
+    with df's own shuffle) → scalar doc count broadcast → top-k by
+    row_number windowed on the doc id. Every shuffle key is bounded or
+    uniform; nothing touches the driver.
+
+    Determinism: ``ln`` is transcendental and differs in the last ULP
+    between the JVM's Math.log and C libm, so the raw double score is
+    NOT cross-engine-stable. The score is therefore quantized to
+    integer micro-units — ``floor(tf · ln(N/df) · 1e6)`` — before
+    ranking and output: integer comparison is exact, and a 1-ULP input
+    wobble (~2e-10 at this scale) changes the floor only when the value
+    sits within that distance of an integer boundary (negligible, and
+    semantically a tie anyway). The window order carries the term as
+    tie-break."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(words_of(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_micro",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("_n_docs").cast("double") / F.col("df_"))
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_micro"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df_", "tfidf_micro", "term_rank")
+    )

@@ -17,7 +17,10 @@ query deliberately uses ``>``, the other boundary convention)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..streaming import (
+    dedup_within_watermark,
     events_stream,
     run_available_now,
     session_window_stats,
@@ -103,7 +106,31 @@ GROUP BY user_id, session_id
 """
 
 
+def streaming_watermark_dedup(spark, sf_dir):
+    """Stateful streaming dedup (``dropDuplicatesWithinWatermark``) on
+    (user_id, event_type): state holds each key only until the
+    watermark passes it — the bounded-state dedup for unbounded input.
+    The kept row's non-key columns are arrival-order-dependent, so the
+    oracled output projects exactly the dedup keys (deterministic:
+    the distinct key set)."""
+    stream = events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    deduped = dedup_within_watermark(stream, keys=["user_id", "event_type"])
+    out = run_available_now(deduped, output_mode="append")
+    return out.select("user_id", "event_type")
+
+
+STREAMING_WATERMARK_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 QUERIES = {
+    "streaming_watermark_dedup": QuerySpec(
+        "streaming_watermark_dedup", streaming_watermark_dedup,
+        STREAMING_WATERMARK_DEDUP_SQL,
+        "Stateful dropDuplicatesWithinWatermark dedup (AvailableNow), oracled",
+        ("streaming", "dedup"),
+    ),
     "streaming_tumbling_agg": QuerySpec(
         "streaming_tumbling_agg", streaming_tumbling_agg,
         STREAMING_TUMBLING_AGG_SQL,

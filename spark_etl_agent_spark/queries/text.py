@@ -86,7 +86,42 @@ FROM squashed
 """
 
 
+def tfidf_top_terms(spark, sf_dir):
+    return T.tfidf_top_terms(load(spark, sf_dir, "documents"))
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+n AS (SELECT count(*) AS _n_docs FROM documents),
+scored AS (
+  -- floor to integer micro-units: ln differs in the last ULP between
+  -- engines, integer comparison does not (see llm.text.tfidf_top_terms)
+  SELECT doc_id, term, tf, df_,
+    CAST(FLOOR(tf * ln(CAST(_n_docs AS DOUBLE) / df_) * 1e6) AS BIGINT)
+      AS tfidf_micro
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df_ AS BIGINT) AS df_,
+  tfidf_micro, CAST(term_rank AS INT) AS term_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY tfidf_micro DESC, term) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= 3
+"""
+
+
 QUERIES = {
+    "tfidf_top_terms": QuerySpec(
+        "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
+        "Per-doc top-3 TF-IDF keywords (tf agg + df-from-tf + log scale)",
+        ("text", "llm", "window"),
+    ),
     "text_stats": QuerySpec(
         "text_stats", text_stats, TEXT_STATS_SQL,
         "Per-doc chars/words/quality stats (no-shuffle projection)",
