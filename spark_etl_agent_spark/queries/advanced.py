@@ -205,7 +205,60 @@ UNION ALL SELECT 'o_orderpriority', count(*),
 """
 
 
+def snapshot_diff_orders(spark, sf_dir):
+    """CDC between two deterministic snapshots of ``orders``: the "old"
+    state is pre-2000 orders, the "new" state is 1996+ orders with a
+    keyed price revision — yielding inserts (2000+), deletes (pre-1996)
+    and updates (revised keys in the overlap). Exercises
+    ``operators.cdc.snapshot_diff`` (one full-outer join, null-safe
+    column compare) through the oracle."""
+    from ..operators.cdc import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    new = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+SNAPSHOT_DIFF_ORDERS_SQL = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01'
+),
+new_snap AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+         ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+)
+SELECT o_orderkey, change_type FROM (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+         WHEN n.o_orderkey IS NULL THEN 'delete'
+         WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+           THEN 'update' END AS change_type
+  FROM old_snap o FULL JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+WHERE change_type IS NOT NULL
+"""
+
+
 QUERIES = {
+    "snapshot_diff_orders": QuerySpec(
+        "snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORDERS_SQL,
+        "CDC snapshot diff: insert/delete/update rows between table states",
+        ("cdc", "join", "operators"),
+    ),
     "agg_topk_quantities": QuerySpec(
         "agg_topk_quantities", agg_topk_quantities, AGG_TOPK_QUANTITIES_SQL,
         "Top-k per group via bounded collect-sort-slice (no window)",

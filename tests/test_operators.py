@@ -93,6 +93,27 @@ def test_lsh_short_docs_never_band(spark):
     assert pairs == {(100, 101)}  # no short-doc clique
 
 
+def test_snapshot_diff_change_types(spark):
+    """CDC verb: inserts/deletes/updates classified; unchanged rows
+    dropped; NULL→value and value→NULL count as updates (null-safe
+    compare)."""
+    from spark_etl_agent_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "id long, v string, x double",
+    )
+    got = {
+        r.id: r.change_type
+        for r in snapshot_diff(old, new, keys=["id"]).collect()
+    }
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
 def test_approx_profile_shape_and_bounds(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     prof = approx_profile(li, keys=["l_returnflag"], value="l_quantity").collect()
