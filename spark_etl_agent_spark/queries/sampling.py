@@ -8,7 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llm.sampling import deterministic_sample, train_val_test_split, weighted_sample
+from ..llm.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    train_val_test_split,
+    weighted_sample,
+)
 from .base import QuerySpec, load
 
 _BUCKET = "CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
@@ -73,7 +78,37 @@ WHERE {_BUCKET.format(salt='w1')} < CAST(floor(quality_w * 4294967296) AS BIGINT
 """
 
 
+def stratified_sample_docs(spark, sf_dir):
+    """Per-source rates (the downweight-boilerplate-sources move of a
+    corpus build): keep 50% of src0, 10% of src1, drop the rest —
+    membership still a pure function of the key, audited per source."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sampled = stratified_sample(
+        docs, key_col="doc_id", stratum_col="source",
+        rates={"src0": 0.5, "src1": 0.1, "src2": 0.9},
+    )
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+STRATIFIED_SAMPLE_DOCS_SQL = f"""
+SELECT source, count(*) AS n_kept FROM documents
+WHERE (source = 'src0'
+       AND {_BUCKET.format(salt='strat1')} < CAST(0.5 * 4294967296 AS BIGINT))
+   OR (source = 'src1'
+       AND {_BUCKET.format(salt='strat1')} < CAST(0.1 * 4294967296 AS BIGINT))
+   OR (source = 'src2'
+       AND {_BUCKET.format(salt='strat1')} < CAST(0.9 * 4294967296 AS BIGINT))
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "stratified_sample_docs": QuerySpec(
+        "stratified_sample_docs", stratified_sample_docs,
+        STRATIFIED_SAMPLE_DOCS_SQL,
+        "Per-stratum reproducible sampling rates + audit counts",
+        ("sampling", "llm", "agg"),
+    ),
     "weighted_sample_docs": QuerySpec(
         "weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL,
         "Quality-weighted reproducible sampling", ("sampling", "llm"),
