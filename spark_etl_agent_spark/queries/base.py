@@ -115,6 +115,7 @@ def _collect_modules():
         subqueries,
         text,
         tpch_ext,
+        tpch_final,
         tpch_multi,
         windows_ext,
     )
@@ -135,6 +136,7 @@ def _collect_modules():
         subqueries,
         tpch_multi,
         tpch_ext,
+        tpch_final,
     )
 
 
