@@ -24,35 +24,8 @@ from spark_etl_agent_spark.queries import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-_SHIPPED: set[int] = set()
-
-
-def _ship_package(spark: SparkSession) -> None:
-    """Make ``spark_etl_agent_spark`` importable on Python *workers*.
-
-    The driver loads this module by file path from an arbitrary CWD, so
-    the package resolves on the driver via the sys.path insert above —
-    but Arrow-batched operators (``mapInPandas`` in ``llm.multimodal``)
-    serialize closures that reference package functions by module name,
-    and the executor-side Python workers inherit neither the driver's
-    ``sys.path`` nor its CWD. Zip the package once per SparkContext and
-    ``addPyFile`` it — the same mechanism a real cluster submit uses
-    (``--py-files``)."""
-    sc = spark.sparkContext
-    key = id(sc)
-    if key in _SHIPPED:
-        return
-    import shutil
-    import tempfile
-
-    zip_base = os.path.join(
-        tempfile.mkdtemp(prefix="spark_etl_agent_pkg_"), "spark_etl_agent_spark"
-    )
-    archive = shutil.make_archive(
-        zip_base, "zip", root_dir=_REPO_ROOT, base_dir="spark_etl_agent_spark"
-    )
-    sc.addPyFile(archive)
-    _SHIPPED.add(key)
+# canonical home: the package, so bench.py and notebooks share it
+from spark_etl_agent_spark.core.ship import ship_package as _ship_package  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_etl_agent_spark.core.session import SparkManager  # noqa: E402
+from spark_etl_agent_spark.core.ship import ship_package  # noqa: E402
 from spark_etl_agent_spark.queries import registry  # noqa: E402
 
 
@@ -44,6 +45,9 @@ def main() -> None:
 
     manager = SparkManager(app_name="spark_etl_agent_spark-bench")
     spark = manager.spark
+    # workers don't inherit the driver's sys.path patch — ship the
+    # package so mapInPandas closures resolve from any CWD
+    ship_package(spark)
 
     # untimed warmup: JVM/codegen/parquet-reader spin-up lands here, not
     # in the first (alphabetical) query's number

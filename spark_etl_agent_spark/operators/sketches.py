@@ -78,6 +78,46 @@ def table_profile(df: DataFrame) -> DataFrame:
     return rows
 
 
+def histogram(df: DataFrame, value: str, nbuckets: int = 20) -> DataFrame:
+    """Equi-width histogram of ``value``: (bucket, n_rows, lo, hi).
+
+    Two passes: a scalar min/max aggregate (broadcast back — one row),
+    then one groupBy on the bucket id. The division/floor arithmetic is
+    identical IEEE ops in any engine, so bucket assignment is
+    deterministic; the top boundary value is clamped into the last
+    bucket. At 100 TB this is the profiling shape that replaces a
+    driver-side ``df.describe()``: nothing leaves the executors but
+    ``nbuckets`` rows."""
+    stats = df.agg(F.min(value).alias("_mn"), F.max(value).alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(nbuckets))
+    bucket = F.least(
+        F.floor((F.col(value) - F.col("_mn")) / width), F.lit(nbuckets - 1)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(stats))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_mn").alias("_mn"),
+            F.min("_mx").alias("_mx"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            (
+                F.col("_mn")
+                + F.col("bucket") * ((F.col("_mx") - F.col("_mn")) / F.lit(float(nbuckets)))
+            ).alias("lo"),
+            (
+                F.col("_mn")
+                + (F.col("bucket") + 1)
+                * ((F.col("_mx") - F.col("_mn")) / F.lit(float(nbuckets)))
+            ).alias("hi"),
+        )
+    )
+
+
 def approx_profile(
     df: DataFrame, keys: List[str], value: str, rsd: float = 0.05
 ) -> DataFrame:

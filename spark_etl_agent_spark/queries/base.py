@@ -106,6 +106,7 @@ def _collect_modules():
         dedup,
         events,
         jcap,
+        lifecycle,
         multimodal,
         relational,
         sampling,
@@ -123,6 +124,7 @@ def _collect_modules():
     return (
         relational,
         jcap,
+        lifecycle,
         events,
         text,
         dedup,

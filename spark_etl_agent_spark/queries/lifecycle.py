@@ -1,0 +1,152 @@
+"""Warehouse-lifecycle operator queries: SCD2 history build,
+referential-integrity audit, equi-width histogram profiling.
+
+These are the maintenance verbs around the reference's full-reload ETL
+(``services/jcap_pa_etl_service.py``) re-expressed for a warehouse that
+cannot afford reloads: keep dimension history (SCD2), gate loads on
+relationship integrity, and profile distributions without collecting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.quality import referential_audit
+from ..operators.scd import scd2_collapse
+from ..operators.sketches import histogram
+from .base import QuerySpec, load
+
+
+def scd2_priority_history(spark, sf_dir):
+    """SCD Type-2 collapse of each customer's order-priority attribute
+    observed per order date (max() pre-aggregation makes (key, ts)
+    unique, so runs are well-defined): one row per run of identical
+    priority with [valid_from, valid_to) validity and is_current."""
+    snap = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderpriority").alias("priority"))
+    )
+    return scd2_collapse(
+        snap, keys=["o_custkey"], attrs=["priority"], ts="o_orderdate"
+    )
+
+
+SCD2_PRIORITY_HISTORY_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_orderdate AS ts, max(o_orderpriority) AS priority
+  FROM orders GROUP BY 1, 2
+),
+flagged AS (
+  SELECT o_custkey, ts, priority,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN priority IS DISTINCT FROM lag(priority) OVER w THEN 1
+         ELSE 0 END AS new_version
+  FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)
+),
+versioned AS (
+  SELECT o_custkey, ts, priority,
+    sum(new_version) OVER (PARTITION BY o_custkey ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM flagged
+),
+runs AS (
+  SELECT o_custkey, version, priority, min(ts) AS valid_from
+  FROM versioned GROUP BY 1, 2, 3
+)
+SELECT o_custkey, priority, valid_from,
+  lead(valid_from) OVER wv AS valid_to,
+  (lead(valid_from) OVER wv IS NULL) AS is_current
+FROM runs WINDOW wv AS (PARTITION BY o_custkey ORDER BY valid_from)
+"""
+
+
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity load gate over the star schema: three real
+    FK relations (expected clean) plus one deliberately degraded parent
+    (every 10th part key removed) proving the orphan counter counts."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    events = load(spark, sf_dir, "events")
+    degraded_part = part.filter(F.col("p_partkey") % 10 != 0)
+    return referential_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("events->customer", events, "user_id", customer, "c_custkey"),
+            ("lineitem->part_degraded", li, "l_partkey", degraded_part, "p_partkey"),
+        ]
+    )
+
+
+FK_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS relation, count(*) AS n_child_rows,
+  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+  (SELECT count(*) FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
+    AS n_orphans
+FROM lineitem
+UNION ALL
+SELECT 'orders->customer', count(*),
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  (SELECT count(*) FROM orders c WHERE c.o_custkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+FROM orders
+UNION ALL
+SELECT 'events->customer', count(*),
+  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  (SELECT count(*) FROM events c WHERE c.user_id IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.user_id))
+FROM events
+UNION ALL
+SELECT 'lineitem->part_degraded', count(*),
+  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+  (SELECT count(*) FROM lineitem c WHERE c.l_partkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey
+                       AND p.p_partkey % 10 <> 0))
+FROM lineitem
+"""
+
+
+def retailprice_histogram(spark, sf_dir):
+    """Equi-width 20-bucket histogram of part retail price — executor-
+    side profiling (scalar min/max broadcast + one groupBy)."""
+    return histogram(load(spark, sf_dir, "part"), value="p_retailprice", nbuckets=20)
+
+
+RETAILPRICE_HISTOGRAM_SQL = """
+WITH s AS (
+  SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx FROM part
+),
+b AS (
+  SELECT CAST(least(floor((p_retailprice - mn) / ((mx - mn) / 20.0)), 19) AS INT)
+           AS bucket,
+         mn, mx
+  FROM part, s
+)
+SELECT bucket, count(*) AS n_rows,
+  min(mn) + bucket * ((min(mx) - min(mn)) / 20.0) AS lo,
+  min(mn) + (bucket + 1) * ((min(mx) - min(mn)) / 20.0) AS hi
+FROM b GROUP BY bucket
+"""
+
+
+QUERIES = {
+    "scd2_priority_history": QuerySpec(
+        "scd2_priority_history", scd2_priority_history, SCD2_PRIORITY_HISTORY_SQL,
+        "SCD Type-2 gaps-and-islands collapse to validity intervals",
+        ("scd", "window", "operators"),
+    ),
+    "fk_integrity_audit": QuerySpec(
+        "fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_AUDIT_SQL,
+        "Referential-integrity audit via anti-joins (load gate)",
+        ("validation", "join", "operators"),
+    ),
+    "retailprice_histogram": QuerySpec(
+        "retailprice_histogram", retailprice_histogram, RETAILPRICE_HISTOGRAM_SQL,
+        "Equi-width histogram profile, executor-side only",
+        ("agg", "validation", "operators"),
+    ),
+}

@@ -247,3 +247,58 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_scd2_collapse_runs_and_null_attrs(spark):
+    """Gaps-and-islands collapse: runs merge, NULL→value and value→NULL
+    transitions open new versions, is_current marks each key's last run."""
+    from spark_etl_agent_spark.operators.scd import scd2_collapse
+
+    rows = [
+        (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, None), (1, 5, None),
+        (1, 6, "A"),
+        (2, 1, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "attr"])
+    out = scd2_collapse(df, keys=["k"], attrs=["attr"], ts="ts")
+    got = sorted(
+        (
+            (r.k, r.valid_from),
+            (r.k, r.attr, r.valid_from, r.valid_to, r.is_current),
+        )
+        for r in out.collect()
+    )
+    assert [g[1] for g in got] == [
+        (1, "A", 1, 3, False),
+        (1, "B", 3, 4, False),
+        (1, None, 4, 6, False),
+        (1, "A", 6, None, True),
+        (2, "X", 1, None, True),
+    ]
+
+
+def test_referential_audit_counts_orphans_and_null_fks(spark):
+    from spark_etl_agent_spark.operators.quality import orphans, referential_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    audit = referential_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(audit) == 1
+    row = audit[0]
+    assert (row.relation, row.n_child_rows, row.n_null_fk, row.n_orphans) == (
+        "c->p", 5, 1, 1
+    )
+    assert [r.id for r in orphans(child, "fk", parent, "pk").collect()] == [4]
+
+
+def test_histogram_clamps_max_into_last_bucket(spark):
+    from spark_etl_agent_spark.operators.sketches import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 101)], ["v"])
+    out = {r.bucket: r for r in histogram(df, "v", nbuckets=10).collect()}
+    assert set(out) == set(range(10))
+    # v=100.0 (== max) lands in bucket 9, not a phantom bucket 10
+    assert out[9].n_rows == 11 and out[0].n_rows == 10
+    assert out[0].lo == 0.0 and abs(out[9].hi - 100.0) < 1e-9
