@@ -10,16 +10,18 @@ identical attribute values with a validity interval
 Shape (gaps-and-islands, pure window algebra — no collect, no Python):
 
 1. one window pass per key ordered by ts: a null-safe "changed vs
-   previous row" flag (``lag``),
-2. a running sum of the flag → version number (island id),
-3. one groupBy (key, version) → ``min(ts)`` as valid_from,
-4. one final ``lead`` window → valid_to (next version's start).
+   previous row" flag (``lag``) marks each run's *start* row,
+2. filter to the start rows — they carry the run's attrs and its
+   ``valid_from`` (attrs are constant within a run, so the start row IS
+   the run; no groupBy / running-sum island id is needed),
+3. one ``lead`` window → valid_to (next run's start).
 
-Cost at 100 TB: two shuffles on the dimension key — the same key both
-times, so AQE/exchange-reuse collapses them to one physical exchange;
-per-key state in the windows is O(1). Skewed keys are not a concern for
-true dimensions (bounded rows per key); for fact-derived keys use the
-pre-aggregation the caller already needs for (key, ts) uniqueness.
+Cost at 100 TB: ONE shuffle — both windows partition on the same key
+and the filter preserves partitioning, so the second window adds no
+exchange (pinned by ``tests/test_plans.py``); per-key window state is
+O(1). Skewed keys are not a concern for true dimensions (bounded rows
+per key); for fact-derived keys use the pre-aggregation the caller
+already needs for (key, ts) uniqueness.
 """
 
 from __future__ import annotations
@@ -52,27 +54,17 @@ def scd2_collapse(
         lambda a, b: a | b,
         [~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w)) for a in attrs],
     )
-    # first row of each key: lag is NULL on every attr → eqNullSafe is
-    # False only if the attr itself is NULL; force the first row open
-    versioned = df.withColumn(
-        "_new_version",
-        F.when(F.lag(F.col(ts)).over(w).isNull(), F.lit(1))
-        .when(changed, F.lit(1))
-        .otherwise(F.lit(0)),
-    ).withColumn(
-        "_version",
-        F.sum("_new_version").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    runs = versioned.groupBy(*keys, "_version", *attrs).agg(
-        F.min(ts).alias("valid_from")
-    )
-    wv = Window.partitionBy(*keys).orderBy("valid_from")
-    return runs.select(
+    # first row of each key: lag(ts) is NULL → always a run start
+    # (eqNullSafe against an all-NULL lag would miss NULL-valued attrs)
+    starts = df.withColumn(
+        "_is_start",
+        F.lag(F.col(ts)).over(w).isNull() | changed,
+    ).filter(F.col("_is_start"))
+    wv = Window.partitionBy(*keys).orderBy(ts)
+    return starts.select(
         *keys,
         *attrs,
-        "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
-        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(wv).alias("valid_to"),
+        F.lead(ts).over(wv).isNull().alias("is_current"),
     )

@@ -37,27 +37,19 @@ WITH snap AS (
   SELECT o_custkey, o_orderdate AS ts, max(o_orderpriority) AS priority
   FROM orders GROUP BY 1, 2
 ),
-flagged AS (
-  SELECT o_custkey, ts, priority,
-    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-         WHEN priority IS DISTINCT FROM lag(priority) OVER w THEN 1
-         ELSE 0 END AS new_version
-  FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)
-),
-versioned AS (
-  SELECT o_custkey, ts, priority,
-    sum(new_version) OVER (PARTITION BY o_custkey ORDER BY ts
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
-  FROM flagged
-),
-runs AS (
-  SELECT o_custkey, version, priority, min(ts) AS valid_from
-  FROM versioned GROUP BY 1, 2, 3
+starts AS (
+  SELECT o_custkey, ts, priority
+  FROM (
+    SELECT o_custkey, ts, priority,
+      (lag(ts) OVER w IS NULL
+       OR priority IS DISTINCT FROM lag(priority) OVER w) AS is_start
+    FROM snap WINDOW w AS (PARTITION BY o_custkey ORDER BY ts)
+  ) WHERE is_start
 )
-SELECT o_custkey, priority, valid_from,
-  lead(valid_from) OVER wv AS valid_to,
-  (lead(valid_from) OVER wv IS NULL) AS is_current
-FROM runs WINDOW wv AS (PARTITION BY o_custkey ORDER BY valid_from)
+SELECT o_custkey, priority, ts AS valid_from,
+  lead(ts) OVER wv AS valid_to,
+  (lead(ts) OVER wv IS NULL) AS is_current
+FROM starts WINDOW wv AS (PARTITION BY o_custkey ORDER BY ts)
 """
 
 

@@ -176,3 +176,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
     ).count()
     assert joined.count() == expected
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """Both SCD2 windows partition on the dimension key and the run-start
+    filter preserves partitioning — the whole collapse must cost exactly
+    two exchanges (the (key, ts) pre-aggregation + one window shuffle),
+    never a third for the lead() pass."""
+    plan = plan_of(SPECS["scd2_priority_history"].spark(spark, sf_dir))
+    # tree nodes render as "Name (id)"; detail headers as "(id) Name"
+    assert plan.count("Window (") == 2
+    assert plan.count("Exchange (") == 2
+
+
+def test_fk_audit_anti_joins_broadcast(spark, sf_dir):
+    """Every relation's orphan check must be a broadcast anti-join on the
+    distinct parent key set (dimension-sized) — a sort-merge anti join
+    would shuffle the full fact side once per relation."""
+    plan = plan_of(SPECS["fk_integrity_audit"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_is_two_scans_no_shuffle_join(spark, sf_dir):
+    """The scalar min/max frame joins back by broadcast (single row) —
+    the bucket assignment itself must not shuffle the table."""
+    plan = plan_of(SPECS["retailprice_histogram"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
