@@ -111,6 +111,7 @@ def _collect_modules():
         relational,
         sampling,
         similarity,
+        stats,
         streaming,
         strings,
         subqueries,
@@ -125,6 +126,7 @@ def _collect_modules():
         relational,
         jcap,
         lifecycle,
+        stats,
         events,
         text,
         dedup,

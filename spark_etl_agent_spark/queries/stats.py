@@ -1,0 +1,144 @@
+"""Statistical-moment aggregates and incremental aggregate maintenance.
+
+``var_samp``/``stddev``/``corr`` built-ins stream doubles in
+engine-specific order, so their low bits differ between Spark and any
+oracle — unusable for hash-checked parity. The moments gallery instead
+carries the *sufficient statistics* (n, Σx, Σx², Σxy) as exact decimals
+(the inputs are integer- or cent-valued, so the decimal products are
+exact) and derives variance/stddev/correlation with a fixed sequence of
+IEEE double ops on identical operands — bitwise deterministic in any
+engine, at any parallelism. This is the same decimal-sufficient-
+statistics idiom ``functions/deterministic.py`` uses for sums/averages,
+extended to second moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.incremental import merge_partial_aggs
+from .base import QuerySpec, load
+
+
+def stat_moments_gallery(spark, sf_dir):
+    """Per-returnflag variance / stddev of quantity and the
+    quantity-price correlation, all from exact decimal sufficient
+    statistics (see module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    p = F.col("l_extendedprice").cast("decimal(10,2)")
+    suff = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("_sq"),
+        F.sum(p).alias("_sp"),
+        F.sum(q * q).alias("_sqq"),
+        F.sum(p * p).alias("_spp"),
+        F.sum(q * p).alias("_sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("_sq").cast("double")
+    sp = F.col("_sp").cast("double")
+    sqq = F.col("_sqq").cast("double")
+    spp = F.col("_spp").cast("double")
+    sqp = F.col("_sqp").cast("double")
+    var_q = (sqq - sq * sq / n) / (n - F.lit(1.0))
+    var_p = (spp - sp * sp / n) / (n - F.lit(1.0))
+    cov_qp = (sqp - sq * sp / n) / (n - F.lit(1.0))
+    return suff.select(
+        "l_returnflag",
+        "n",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("std_qty"),
+        (cov_qp / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+    )
+
+
+STAT_MOMENTS_GALLERY_SQL = """
+WITH suff AS (
+  SELECT l_returnflag, count(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sq,
+    SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS sp,
+    SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)))
+      AS sqq,
+    SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_extendedprice AS DECIMAL(10,2)))
+      AS spp,
+    SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(10,2)))
+      AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+  sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(n AS DOUBLE) - 1.0)) AS std_qty,
+  ((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(n AS DOUBLE) - 1.0))
+  / (sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0))
+     * sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0))) AS corr_qty_price
+FROM suff
+"""
+
+
+def incremental_revenue_agg(spark, sf_dir):
+    """Aggregate maintenance without a reload: a stored pre-2000
+    aggregate merged with the 2000+ delta aggregate must equal the
+    full-table aggregate (which is exactly what the oracle computes) —
+    the merge touches only partials, never the full fact table."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("_rev"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_partial_aggs(
+        base,
+        delta,
+        keys=["o_orderstatus"],
+        measures=[
+            ("n_orders", "count"),
+            ("_rev", "sum"),
+            ("first_order", "min"),
+            ("last_order", "max"),
+        ],
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("_rev").cast("decimal(20,4)").cast("double").alias("revenue"),
+        "first_order",
+        "last_order",
+    )
+
+
+INCREMENTAL_REVENUE_AGG_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DECIMAL(20,4)) AS DOUBLE)
+    AS revenue,
+  min(o_orderdate) AS first_order,
+  max(o_orderdate) AS last_order
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "stat_moments_gallery": QuerySpec(
+        "stat_moments_gallery", stat_moments_gallery, STAT_MOMENTS_GALLERY_SQL,
+        "Deterministic variance/stddev/corr from decimal sufficient stats",
+        ("agg", "stats"),
+    ),
+    "incremental_revenue_agg": QuerySpec(
+        "incremental_revenue_agg", incremental_revenue_agg,
+        INCREMENTAL_REVENUE_AGG_SQL,
+        "Incremental aggregate maintenance: base+delta merge == full agg",
+        ("agg", "incremental", "operators"),
+    ),
+}

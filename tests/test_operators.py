@@ -302,3 +302,31 @@ def test_histogram_clamps_max_into_last_bucket(spark):
     # v=100.0 (== max) lands in bucket 9, not a phantom bucket 10
     assert out[9].n_rows == 11 and out[0].n_rows == 10
     assert out[0].lo == 0.0 and abs(out[9].hi - 100.0) < 1e-9
+
+
+def test_merge_partial_aggs_equals_direct_and_rejects_unmergeable(spark):
+    import pytest
+
+    from spark_etl_agent_spark.operators.incremental import merge_partial_aggs
+
+    rows = [("a", 1, 10.0), ("a", 2, 5.0), ("b", 3, 7.0), ("a", 9, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    from pyspark.sql import functions as F
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+            F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+        )
+
+    base = partial(df.filter("seq <= 2"))
+    delta = partial(df.filter("seq > 2"))
+    measures = [("n", "count"), ("sv", "sum"), ("lo", "min"), ("hi", "max")]
+    merged = {
+        r.k: (r.n, r.sv, r.lo, r.hi)
+        for r in merge_partial_aggs(base, delta, ["k"], measures).collect()
+    }
+    direct = {r.k: (r.n, r.sv, r.lo, r.hi) for r in partial(df).collect()}
+    assert merged == direct
+    with pytest.raises(ValueError, match="not sum-mergeable"):
+        merge_partial_aggs(base, delta, ["k"], [("n", "avg")])
