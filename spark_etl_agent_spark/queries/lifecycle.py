@@ -125,7 +125,60 @@ FROM b GROUP BY bucket
 """
 
 
+def key_skew_report(spark, sf_dir):
+    """Skew diagnostics: the top-20 heaviest join/agg keys with their
+    row share in parts-per-million — the report that decides whether a
+    key needs salting (``operators/skew.py``) or AQE skew-join handling.
+    Shape: one groupBy on the key, a broadcast scalar total, then a
+    global top-k via sort+limit (TakeOrderedAndProject — bounded driver
+    state, never a full sort at scale); rank is a window over the
+    already-limited 20 rows. Share is floor(ppm) — integer-valued, so
+    cross-engine deterministic."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").alias("_tot"))
+    top = (
+        counts.join(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.floor(F.col("n_rows") * F.lit(1000000.0) / F.col("_tot"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), "l_suppkey")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), "l_suppkey")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+KEY_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS t FROM counts),
+top AS (
+  SELECT l_suppkey, n_rows,
+    CAST(FLOOR(n_rows * 1000000.0 / t) AS BIGINT) AS share_ppm
+  FROM counts, tot
+  ORDER BY n_rows DESC, l_suppkey
+  LIMIT 20
+)
+SELECT l_suppkey, n_rows, share_ppm,
+  CAST(row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS INT) AS rnk
+FROM top
+"""
+
+
 QUERIES = {
+    "key_skew_report": QuerySpec(
+        "key_skew_report", key_skew_report, KEY_SKEW_REPORT_SQL,
+        "Heavy-hitter key report (share in ppm) — the salting decision input",
+        ("validation", "skew", "agg"),
+    ),
     "scd2_priority_history": QuerySpec(
         "scd2_priority_history", scd2_priority_history, SCD2_PRIORITY_HISTORY_SQL,
         "SCD Type-2 gaps-and-islands collapse to validity intervals",

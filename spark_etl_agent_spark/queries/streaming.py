@@ -124,7 +124,58 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def streaming_static_enrichment(spark, sf_dir):
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — no stream state for
+    the static side), then windowed per market segment. The canonical
+    'enrich facts with dims in flight' shape."""
+    from .base import load
+
+    stream = events_stream(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(customer, "user_id")
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+STREAMING_STATIC_ENRICHMENT_SQL = """
+SELECT
+  date_trunc('day', ts) + INTERVAL 6 HOUR * CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INTEGER) AS window_start,
+  date_trunc('day', ts) + INTERVAL 6 HOUR * CAST(FLOOR(EXTRACT(hour FROM ts) / 6) + 1 AS INTEGER) AS window_end,
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "streaming_static_enrichment": QuerySpec(
+        "streaming_static_enrichment", streaming_static_enrichment,
+        STREAMING_STATIC_ENRICHMENT_SQL,
+        "Stream-static dimension enrichment join + windowed agg, oracled",
+        ("streaming", "join", "window-agg"),
+    ),
     "streaming_watermark_dedup": QuerySpec(
         "streaming_watermark_dedup", streaming_watermark_dedup,
         STREAMING_WATERMARK_DEDUP_SQL,
