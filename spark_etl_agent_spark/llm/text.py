@@ -151,3 +151,40 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "df_", "tfidf_micro", "term_rank")
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """First step of BPE tokenizer training at corpus scale: adjacent
+    character-pair frequencies, counted over the *weighted vocabulary*.
+
+    The classic BPE trick that makes this tractable at 100 TB: collapse
+    the corpus to (distinct word, frequency) first — the vocabulary is
+    orders of magnitude smaller than the token stream — then explode
+    each distinct word's adjacent pairs once and weight by the word's
+    corpus frequency. Two bounded shuffles (word, then pair ≤
+    alphabet²); the raw text is scanned exactly once. Each merge round
+    of real BPE training re-runs this count over the re-segmented
+    vocabulary — the plan shape is identical per round.
+    """
+    wf = (
+        df.select(F.explode(words_of(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wfreq",
+    )
+    from pyspark.sql import Window
+
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wfreq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "pair")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

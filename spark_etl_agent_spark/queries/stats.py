@@ -5,11 +5,13 @@ engine-specific order, so their low bits differ between Spark and any
 oracle — unusable for hash-checked parity. The moments gallery instead
 carries the *sufficient statistics* (n, Σx, Σx², Σxy) as exact decimals
 (the inputs are integer- or cent-valued, so the decimal products are
-exact) and derives variance/stddev/correlation with a fixed sequence of
-IEEE double ops on identical operands — bitwise deterministic in any
-engine, at any parallelism. This is the same decimal-sufficient-
-statistics idiom ``functions/deterministic.py`` uses for sums/averages,
-extended to second moments.
+exact) and derives variance/stddev/correlation from them with a fixed
+sequence of double ops, quantized to integer micro/nano-units on output
+(compiled engines may contract a·b+c chains into FMA — a 1-2 ULP wobble
+that integer units absorb; measured on the corr chain vs DuckDB). This
+is the decimal-sufficient-statistics idiom of
+``functions/deterministic.py`` extended to second moments, plus the
+``tfidf_micro`` quantization idiom for the derived ratios.
 """
 
 from __future__ import annotations
@@ -44,12 +46,17 @@ def stat_moments_gallery(spark, sf_dir):
     var_q = (sqq - sq * sq / n) / (n - F.lit(1.0))
     var_p = (spp - sp * sp / n) / (n - F.lit(1.0))
     cov_qp = (sqp - sq * sp / n) / (n - F.lit(1.0))
+    # quantized to integer micro/nano-units: compiled engines may
+    # contract a*b+c into FMA, wobbling the last 1-2 ULP of the chain —
+    # integer units absorb it (same idiom as tfidf_micro)
     return suff.select(
         "l_returnflag",
         "n",
-        var_q.alias("var_qty"),
-        F.sqrt(var_q).alias("std_qty"),
-        (cov_qp / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+        F.floor(var_q * 1e6).cast("bigint").alias("var_qty_micro"),
+        F.floor(F.sqrt(var_q) * 1e6).cast("bigint").alias("std_qty_micro"),
+        F.floor(cov_qp / (F.sqrt(var_q) * F.sqrt(var_p)) * 1e9)
+        .cast("bigint")
+        .alias("corr_qty_price_nano"),
     )
 
 
@@ -67,16 +74,19 @@ WITH suff AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-  (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-    / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
-  sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
-    / (CAST(n AS DOUBLE) - 1.0)) AS std_qty,
-  ((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
-    / (CAST(n AS DOUBLE) - 1.0))
-  / (sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+  CAST(FLOOR(
+    (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0) * 1e6) AS BIGINT) AS var_qty_micro,
+  CAST(FLOOR(
+    sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(n AS DOUBLE) - 1.0)) * 1e6) AS BIGINT) AS std_qty_micro,
+  CAST(FLOOR(
+    ((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
       / (CAST(n AS DOUBLE) - 1.0))
-     * sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
-      / (CAST(n AS DOUBLE) - 1.0))) AS corr_qty_price
+    / (sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(n AS DOUBLE) - 1.0))
+       * sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(n AS DOUBLE) - 1.0))) * 1e9) AS BIGINT) AS corr_qty_price_nano
 FROM suff
 """
 

@@ -116,7 +116,40 @@ WHERE term_rank <= 3
 """
 
 
+def bpe_pair_counts(spark, sf_dir):
+    return T.bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH w AS (
+  SELECT unnest({_WORDS}) AS word FROM documents
+),
+wf AS (
+  SELECT word, count(*) AS wfreq FROM w WHERE length(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+           i -> substr(word, CAST(i AS INT), 2))) AS pair,
+         wfreq
+  FROM wf
+),
+top AS (
+  SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+  ORDER BY n_occurrences DESC, pair LIMIT 50
+)
+SELECT pair, n_occurrences,
+  CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INT) AS rnk
+FROM top
+"""
+
+
 QUERIES = {
+    "bpe_pair_counts": QuerySpec(
+        "bpe_pair_counts", bpe_pair_counts, BPE_PAIR_COUNTS_SQL,
+        "BPE training step 1: weighted-vocabulary adjacent-pair counts",
+        ("text", "llm", "agg"),
+    ),
     "tfidf_top_terms": QuerySpec(
         "tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
         "Per-doc top-3 TF-IDF keywords (tf agg + df-from-tf + log scale)",
