@@ -14,6 +14,7 @@ from .alerts import Alerter
 from .corpus import CorpusDedupService
 from .etl import EtlService
 from .jcap import JcapPaEtlService
+from .sync import IncrementalSyncService
 
 
 class JobService:
@@ -31,6 +32,7 @@ class JobService:
             catalog, stage_path=stage_path, alerter=alerter
         )
         self.corpus_dedup_service = CorpusDedupService(catalog)
+        self.incremental_sync_service = IncrementalSyncService(catalog)
         # registry shape mirrors services/job_service.py:23-38
         self.supported_job_types: Dict[str, Dict[str, Any]] = {
             "control_m_poc_etl": {
@@ -52,6 +54,16 @@ class JobService:
                 ),
                 "parameters": ["load_date"],
                 "environment": "Corpus",
+            },
+            "incremental_sync_etl": {
+                "service": self.incremental_sync_service,
+                "method": "run_incremental_sync",
+                "description": (
+                    "Incremental sync ETL - snapshot diff, referential "
+                    "gate, CDC apply with row-count invariant"
+                ),
+                "parameters": ["load_date"],
+                "environment": "Warehouse",
             },
             "jcap_pa_etl": {
                 "service": self.jcap_pa_etl_service,

@@ -159,6 +159,41 @@ class Catalog:
         self._swap_in(tmp, name)
         return n
 
+    def apply_cdc(self, changes: DataFrame, name: str, keys: List[str]) -> int:
+        """Apply a CDC change set (``operators/cdc.py::snapshot_diff``
+        output joined back to its data rows): ``change_type`` ∈
+        {insert, update, delete}, where insert/update rows carry the
+        full target schema and delete rows need only the keys.
+
+        New state = target minus every changed key, union the
+        insert/update rows. One anti-join shuffle on the merge keys
+        (one-sided when the target is bucketed) — cost scales with the
+        delta, not with re-deriving the source. Same staged-write +
+        rename-with-backup promotion as ``merge_upsert``; same NULL-key
+        rejection (equality joins never match NULL keys). Returns the
+        new row count."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        target = self.read_table(name)
+        null_key = reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
+        if changes.filter(null_key).limit(1).count() > 0:
+            raise ValueError(
+                f"apply_cdc into {name}: change set has NULL keys {keys}"
+            )
+        upserts = changes.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select(*target.columns)
+        changed_keys = changes.select(*keys).distinct()
+        kept = target.join(changed_keys, keys, "left_anti")
+        merged = kept.unionByName(upserts)
+        tmp = f"{name}__cdc_tmp"
+        self.write_table(merged, tmp, mode="overwrite")
+        n = self.get_table_count(tmp)
+        self._swap_in(tmp, name)
+        return n
+
     def _swap_in(self, staged: str, name: str) -> None:
         """Promote a staged rewrite to the live table via directory
         renames (single-FS-op on local/HDFS): live → ``__backup``,

@@ -378,3 +378,56 @@ def test_analyze_table_statistics(spark, sf_dir, tmp_path):
     assert ok["null_count"] == 0
     # HLL estimate of a unique key: within 10% of exact
     assert abs(ok["approx_distinct"] - stats["row_count"]) <= 0.1 * stats["row_count"]
+
+
+def test_incremental_sync_etl_end_to_end(spark, tmp_path):
+    """Job 4: diff → referential gate → CDC apply → invariant. The
+    target converges to the source snapshot; counts and the row-count
+    invariant land in the envelope; a poisoned source trips the gate
+    before anything is written."""
+    from spark_etl_agent_spark.jobs.sync import IncrementalSyncService
+
+    cat = Catalog(spark, str(tmp_path / "sync_wh"))
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, v string, amt double",
+    )
+    # new snapshot: 1 unchanged, 2 updated, 3 deleted, 4 inserted
+    source = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 40.0)],
+        "id long, v string, amt double",
+    )
+    dim = spark.createDataFrame([("a",), ("B",), ("d",)], "v string")
+    cat.write_table(target, "warehouse.t", mode="overwrite")
+    cat.write_table(source, "staging.t", mode="overwrite")
+    cat.write_table(dim, "dims.v", mode="overwrite")
+
+    svc = IncrementalSyncService(
+        cat,
+        source_table="staging.t",
+        target_table="warehouse.t",
+        keys=["id"],
+        fk_relations=[("t->v", "v", "dims.v", "v")],
+    )
+    env = svc.run_incremental_sync(load_date="2001-01-01")
+    assert env["status"] == "Success"
+    assert (env["inserts"], env["updates"], env["deletes"]) == (1, 1, 1)
+    assert env["rows_before"] == 3 and env["rows_after"] == 3
+    assert env["audit"]["t->v"]["n_orphans"] == 0
+    got = sorted(
+        (r.id, r.v, r.amt) for r in cat.read_table("warehouse.t").collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 40.0)]
+
+    # idempotent: a second run sees no changes and writes nothing
+    env2 = svc.run_incremental_sync(load_date="2001-01-02")
+    assert env2["status"] == "Success"
+    assert (env2["inserts"], env2["updates"], env2["deletes"]) == (0, 0, 0)
+
+    # poisoned source: orphan FK must abort before apply
+    bad = spark.createDataFrame([(9, "ZZZ", 1.0)], "id long, v string, amt double")
+    cat.write_table(bad, "staging.t", mode="overwrite")
+    env3 = svc.run_incremental_sync(load_date="2001-01-03")
+    assert env3["status"] == "Failed" and "referential gate" in env3["error"]
+    # target untouched by the failed run
+    assert cat.get_table_count("warehouse.t") == 3
