@@ -116,6 +116,7 @@ def _collect_modules():
         strings,
         subqueries,
         text,
+        timeseries,
         tpch_ext,
         tpch_final,
         tpch_multi,
@@ -127,6 +128,7 @@ def _collect_modules():
         jcap,
         lifecycle,
         stats,
+        timeseries,
         events,
         text,
         dedup,
