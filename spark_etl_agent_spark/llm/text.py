@@ -188,3 +188,43 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> DataF
     )
     w = Window.orderBy(F.desc("n_occurrences"), "pair")
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def unigram_doc_logprob(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level unigram language-model score per document — the
+    classic quality/fluency signal for corpus filtering (documents with
+    very low average token log-probability are gibberish or boilerplate
+    outliers).
+
+    Shape: token explode → unigram counts (bounded-vocab shuffle with
+    map-side combine) → scalar total broadcast → join tokens back to
+    their counts (co-partitioned with the count shuffle) → per-doc sum.
+    Two bounded shuffles; the corpus is scanned once.
+
+    Determinism: ``ln`` is transcendental (1-ULP engine wobble) and the
+    per-doc sum order is partition-dependent, so the per-token
+    log-probs are quantized to integer micro-units FIRST (floor, exact
+    int sum after) — the summed integers are order-independent and
+    cross-engine stable (the ``tfidf_micro`` idiom)."""
+    toks = df.select(F.col(id_col), F.explode(words_of(F.col(text_col))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    total = counts.agg(F.sum("wc").alias("_tot"))
+    scored = (
+        toks.join(counts, "w")
+        .join(F.broadcast(total))
+        .withColumn(
+            "lp_micro",
+            F.floor(
+                F.log(F.col("wc").cast("double") / F.col("_tot").cast("double"))
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp_micro").alias("logprob_micro_sum"),
+        F.floor(
+            F.sum("lp_micro").cast("double") / F.count(F.lit(1)).cast("double")
+        ).cast("bigint").alias("avg_logprob_micro"),
+    )

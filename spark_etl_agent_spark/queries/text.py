@@ -144,7 +144,54 @@ FROM top
 """
 
 
+def unigram_doc_logprob(spark, sf_dir):
+    return T.unigram_doc_logprob(load(spark, sf_dir, "documents"))
+
+
+UNIGRAM_DOC_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+total AS (SELECT sum(wc) AS tot FROM counts),
+scored AS (
+  SELECT doc_id,
+    CAST(FLOOR(ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT)
+      AS lp_micro
+  FROM toks JOIN counts USING (w), total
+)
+SELECT doc_id,
+  count(*) AS n_tokens,
+  CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro_sum,
+  CAST(FLOOR(CAST(SUM(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+    AS avg_logprob_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+def bpe_train_merges(spark, sf_dir):
+    """Iterative BPE training (6 merge rounds) over the corpus — the
+    ordered merge table a tokenizer ships. Rows-only checked: the loop
+    is not SQL-expressible (each round depends on the previous round's
+    collected winner); the algorithm is pinned against a pure-Python
+    reference in ``test_bpe_train_matches_pure_python_reference``."""
+    from ..llm.bpe import bpe_train
+
+    table, _ = bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
+    return table
+
+
 QUERIES = {
+    "bpe_train_merges": QuerySpec(
+        "bpe_train_merges", bpe_train_merges, None,
+        "Iterative distributed BPE training (merge table); pytest-pinned",
+        ("text", "llm", "iterative"),
+    ),
+    "unigram_doc_logprob": QuerySpec(
+        "unigram_doc_logprob", unigram_doc_logprob, UNIGRAM_DOC_LOGPROB_SQL,
+        "Unigram LM doc score (corpus-quality signal), micro-unit ints",
+        ("text", "llm", "agg"),
+    ),
     "bpe_pair_counts": QuerySpec(
         "bpe_pair_counts", bpe_pair_counts, BPE_PAIR_COUNTS_SQL,
         "BPE training step 1: weighted-vocabulary adjacent-pair counts",

@@ -330,3 +330,61 @@ def test_merge_partial_aggs_equals_direct_and_rejects_unmergeable(spark):
     assert merged == direct
     with pytest.raises(ValueError, match="not sum-mergeable"):
         merge_partial_aggs(base, delta, ["k"], [("n", "avg")])
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed BPE loop must reproduce the classic
+    single-machine algorithm exactly: same merge sequence, same counts
+    (ties broken on the pair string in both)."""
+    from collections import Counter
+
+    from spark_etl_agent_spark.llm.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new low news",
+        "wider wide widest wider",
+    ]
+
+    # pure-python reference: weighted vocab of char-split words
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                vocab[" ".join(w)] += 1
+
+    def ref_merges(vocab, n_rounds):
+        out = []
+        vocab = dict(vocab)
+        for _ in range(n_rounds):
+            pairs = Counter()
+            for sym, freq in vocab.items():
+                toks = sym.split(" ")
+                for a, b in zip(toks, toks[1:]):
+                    pairs[f"{a} {b}"] += freq
+            if not pairs:
+                break
+            # max count, ties broken on pair string ascending
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            a, b = best[0].split(" ")
+            out.append((a, b, best[1]))
+            merged = {}
+            import re as _re
+
+            pat = _re.compile(f"(^|(?<= )){_re.escape(a)} {_re.escape(b)}((?= )|$)")
+            for sym, freq in vocab.items():
+                new = pat.sub(a + b, sym)
+                merged[new] = merged.get(new, 0) + freq
+            vocab = merged
+        return out
+
+    want = ref_merges(vocab, 8)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    table, got = bpe_train(df, n_merges=8)
+    assert got == want and len(got) >= 5
+    rows = sorted((r.merge_rank, r.left, r.right, r.merged) for r in table.collect())
+    assert rows == [
+        (i + 1, a, b, a + b) for i, (a, b, n) in enumerate(want)
+    ]
