@@ -431,3 +431,23 @@ def test_incremental_sync_etl_end_to_end(spark, tmp_path):
     assert env3["status"] == "Failed" and "referential gate" in env3["error"]
     # target untouched by the failed run
     assert cat.get_table_count("warehouse.t") == 3
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appending a widened schema (new nullable column) must stay
+    readable: mergeSchema unions the field lists and old files yield
+    NULL for the new column — the add-a-column migration path without a
+    table rewrite."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("v"))
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v"), F.lit(1.5).alias("score")
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows[0] == ("a", None) and rows[7] == ("b", 1.5)
+    assert merged.count() == 8
