@@ -204,3 +204,29 @@ def test_histogram_is_two_scans_no_shuffle_join(spark, sf_dir):
     plan = plan_of(SPECS["retailprice_histogram"].spark(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_join_broadcasts(spark, sf_dir):
+    """The calendar spine is |keys| x |days| — it must reach the daily
+    aggregate as a broadcast join, and the key-frame x spine cross
+    product must be broadcast-nested-loop, never a cartesian product."""
+    plan = plan_of(SPECS["gap_fill_daily"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_distinct_dedups_before_explode(spark, sf_dir):
+    """Dedup-first: the distinct (entity, day) aggregate must sit below
+    the explode (Generate) in the plan, so the 7x fan-out applies to
+    deduped rows, not raw events."""
+    plan = plan_of(SPECS["rolling_active_users"].spark(spark, sf_dir))
+    gen_pos = plan.find("Generate")
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    assert gen_pos > 0 and agg_positions
+    # at least one aggregate node appears after Generate in the tree
+    # rendering (formatted plans list children below parents, so the
+    # dedup aggregate that FEEDS the explode prints after it)
+    assert any(p > gen_pos for p in agg_positions)
