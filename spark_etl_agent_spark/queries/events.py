@@ -138,7 +138,57 @@ FROM events GROUP BY 1
 """
 
 
+def conversion_funnel(spark, sf_dir):
+    """Ordered-stage funnel view→click→purchase: a user converts a
+    stage only if its FIRST occurrence is strictly after the previous
+    stage's first occurrence. One shuffle (user_id) for the per-user
+    first-touch pivot, then a scalar aggregate — the standard funnel
+    shape without self-joins."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(stage1.cast("long")).alias("n_viewed"),
+        F.sum(stage2.cast("long")).alias("n_clicked_after_view"),
+        F.sum(stage3.cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_viewed,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+    AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchased_after_click
+FROM firsts
+"""
+
+
 QUERIES = {
+    "conversion_funnel": QuerySpec(
+        "conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,
+        "Ordered-stage funnel via per-user first-touch pivot (no self-join)",
+        ("events", "agg"),
+    ),
     "events_tumbling_agg": QuerySpec(
         "events_tumbling_agg", events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL,
         "Tumbling 6h event-time windows (batch twin of the streaming agg)",
