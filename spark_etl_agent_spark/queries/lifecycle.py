@@ -173,7 +173,72 @@ FROM top
 """
 
 
+def revenue_concentration(spark, sf_dir):
+    """Pareto view: customers bucketed into revenue deciles (ntile over
+    the aggregated per-customer revenue — ~1500 rows/SF, not the fact
+    table), each decile's share of total revenue in ppm. The shape
+    behind 'top 10% of customers drive X% of revenue'.
+
+    Scale note: the global ntile sorts the *entity aggregate* in one
+    partition — fine up to tens of millions of entities; beyond that,
+    swap the ntile for approx-percentile boundary cuts + a range join
+    (same output contract, fully parallel)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("_rev")
+    )
+    w = Window.orderBy(F.desc("_rev"), "o_custkey")
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    by_decile = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("_rev").alias("_drev"),
+    )
+    total = by_decile.agg(F.sum("_drev").alias("_tot"))
+    return (
+        by_decile.join(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("_drev").cast("decimal(20,4)").cast("double").alias("revenue"),
+            F.floor(
+                F.col("_drev").cast("double") * 1e6 / F.col("_tot").cast("double")
+            ).cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+deciled AS (
+  SELECT o_custkey, rev,
+    ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM per_cust
+),
+by_decile AS (
+  SELECT decile, count(*) AS n_customers, SUM(rev) AS drev FROM deciled
+  GROUP BY decile
+),
+total AS (SELECT SUM(drev) AS tot FROM by_decile)
+SELECT decile, n_customers,
+  CAST(CAST(drev AS DECIMAL(20,4)) AS DOUBLE) AS revenue,
+  CAST(FLOOR(CAST(drev AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE)) AS BIGINT)
+    AS share_ppm
+FROM by_decile, total
+"""
+
+
 QUERIES = {
+    "revenue_concentration": QuerySpec(
+        "revenue_concentration", revenue_concentration,
+        REVENUE_CONCENTRATION_SQL,
+        "Pareto deciles: revenue share per customer decile (ppm)",
+        ("agg", "window", "validation"),
+    ),
     "key_skew_report": QuerySpec(
         "key_skew_report", key_skew_report, KEY_SKEW_REPORT_SQL,
         "Heavy-hitter key report (share in ppm) — the salting decision input",
