@@ -139,7 +139,80 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def value_outlier_fences(spark, sf_dir):
+    """IQR outlier detection per group: Tukey fences (q1 − 1.5·IQR,
+    q3 + 1.5·IQR) over event values, plus the count of rows outside
+    them (the right-tailed value distribution genuinely trips the
+    upper fence — ~5% per type).
+
+    Exactness: values are floored to integer cents FIRST (explicit
+    ``floor`` — Spark's double→bigint cast truncates while DuckDB's
+    rounds), so percentile interpolation is dyadic-fraction × integer
+    — exact binary doubles with nothing for FMA contraction to wobble.
+    Two passes: one percentile aggregate, one broadcast-fence recount."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    fences = cents.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    ).select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    return (
+        cents.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.sum((F.col("cents") < F.col("lo_fence")).cast("long")).alias(
+                "n_below"
+            ),
+            F.sum((F.col("cents") > F.col("hi_fence")).cast("long")).alias(
+                "n_above"
+            ),
+        )
+    )
+
+
+VALUE_OUTLIER_FENCES_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+fences AS (
+  SELECT event_type,
+    quantile_cont(cents, 0.25) AS q1,
+    quantile_cont(cents, 0.75) AS q3
+  FROM c GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3,
+    q1 - 1.5 * (q3 - q1) AS lo_fence,
+    q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM fences
+)
+SELECT c.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence,
+  CAST(SUM(CASE WHEN c.cents < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_below,
+  CAST(SUM(CASE WHEN c.cents > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_above
+FROM c JOIN f ON c.event_type = f.event_type
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 QUERIES = {
+    "value_outlier_fences": QuerySpec(
+        "value_outlier_fences", value_outlier_fences,
+        VALUE_OUTLIER_FENCES_SQL,
+        "Tukey IQR fences + outlier counts (exact dyadic percentiles)",
+        ("agg", "stats", "validation"),
+    ),
     "stat_moments_gallery": QuerySpec(
         "stat_moments_gallery", stat_moments_gallery, STAT_MOMENTS_GALLERY_SQL,
         "Deterministic variance/stddev/corr from decimal sufficient stats",
