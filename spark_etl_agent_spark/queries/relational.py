@@ -439,6 +439,47 @@ SELECT 'finished_only' AS tag, custkey FROM (SELECT custkey FROM done_cust EXCEP
 """
 
 
+def multiset_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — bag semantics: duplicates count.
+    Per-priority order-key bags for two years; INTERSECT ALL keeps
+    min(m, n) copies, EXCEPT ALL keeps m−n. Distinct from the set
+    variants (``set_operations``) both semantically and physically —
+    Spark plans these as aggregated count-compare, not dedup."""
+    o = load(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    y98 = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    common = y97.intersectAll(y98).groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("tag", F.lit("common_all"))
+    surplus = y97.exceptAll(y98).groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("tag", F.lit("y97_surplus"))
+    return common.unionByName(surplus).select("tag", "prio", "n")
+
+
+MULTISET_OPERATIONS_SQL = """
+WITH y97 AS (
+  SELECT o_orderpriority AS prio FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1997
+),
+y98 AS (
+  SELECT o_orderpriority AS prio FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1998
+)
+SELECT 'common_all' AS tag, prio, count(*) AS n FROM (
+  SELECT prio FROM y97 INTERSECT ALL SELECT prio FROM y98
+) GROUP BY prio
+UNION ALL
+SELECT 'y97_surplus' AS tag, prio, count(*) AS n FROM (
+  SELECT prio FROM y97 EXCEPT ALL SELECT prio FROM y98
+) GROUP BY prio
+"""
+
+
 # ---------------------------------------------------------------------------
 # Semi / anti joins (EXISTS / NOT EXISTS)
 # ---------------------------------------------------------------------------
@@ -795,6 +836,10 @@ QUERIES = {
     "set_operations": QuerySpec(
         "set_operations", set_operations, SET_OPERATIONS_SQL,
         "INTERSECT / EXCEPT / UNION ALL", ("setop",),
+    ),
+    "multiset_operations": QuerySpec(
+        "multiset_operations", multiset_operations, MULTISET_OPERATIONS_SQL,
+        "INTERSECT ALL / EXCEPT ALL bag semantics", ("setop",),
     ),
     "semi_anti_join": QuerySpec(
         "semi_anti_join", semi_anti_join, SEMI_ANTI_JOIN_SQL,
