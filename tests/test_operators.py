@@ -388,3 +388,45 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert rows == [
         (i + 1, a, b, a + b) for i, (a, b, n) in enumerate(want)
     ]
+
+
+def test_zorder_bounds_both_dims_vs_single_key_sort(spark, sf_dir, tmp_path):
+    """File-skipping proof from the actual parquet footers: z-ordered
+    files bound BOTH dimensions (mean normalized width well under the
+    full range), while a single-key sort leaves the second dimension
+    spanning ~its full range in every file."""
+    from spark_etl_agent_spark.operators.layout import (
+        file_stat_ranges,
+        zorder_write,
+    )
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "singlesort")
+    zorder_write(part, zpath, dims=("p_retailprice", "p_size"), n_files=16)
+    (
+        part.repartitionByRange(16, "p_retailprice")
+        .sortWithinPartitions("p_retailprice")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    def mean_norm_width(path, col):
+        stats = file_stat_ranges(path, [col])
+        los = [s[col][0] for s in stats]
+        his = [s[col][1] for s in stats]
+        full = max(his) - min(los)
+        widths = [(h - l) / full for l, h in zip(los, his)]
+        return sum(widths) / len(widths)
+
+    # rows preserved
+    assert spark.read.parquet(zpath).count() == part.count()
+
+    z_price = mean_norm_width(zpath, "p_retailprice")
+    z_size = mean_norm_width(zpath, "p_size")
+    s_price = mean_norm_width(spath, "p_price" if False else "p_retailprice")
+    s_size = mean_norm_width(spath, "p_size")
+
+    # single-key sort: tight on its key, near-useless on the other dim
+    assert s_price < 0.35 and s_size > 0.75, (s_price, s_size)
+    # z-order: meaningfully bounded on BOTH dims
+    assert z_price < 0.6 and z_size < 0.6, (z_price, z_size)
