@@ -118,6 +118,31 @@ def histogram(df: DataFrame, value: str, nbuckets: int = 20) -> DataFrame:
     )
 
 
+def distinct_sketches(df: DataFrame, keys: List[str], entity: str) -> DataFrame:
+    """Pre-aggregated distinct: one mergeable HLL sketch per key group
+    (``hll_sketch_agg`` — Apache DataSketches binary). At 100 TB this
+    is the only affordable shape for "uniques over an arbitrary date
+    range": scan the facts ONCE into per-day sketches, then answer any
+    range by unioning sketches — COUNT(DISTINCT) re-scans the facts per
+    question, and exact distinct counts are not mergeable at all."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"hll_sketch_agg({entity})").alias("sketch")
+    )
+
+
+def union_distinct_estimate(
+    sketches: DataFrame, group: List[str] | None = None
+) -> DataFrame:
+    """Union pre-built sketches (optionally re-grouped coarser) and
+    estimate uniques — touches only the sketch table."""
+    agg = F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+        "approx_uniques"
+    )
+    if group:
+        return sketches.groupBy(*group).agg(agg)
+    return sketches.agg(agg)
+
+
 def approx_profile(
     df: DataFrame, keys: List[str], value: str, rsd: float = 0.05
 ) -> DataFrame:

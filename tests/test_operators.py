@@ -430,3 +430,39 @@ def test_zorder_bounds_both_dims_vs_single_key_sort(spark, sf_dir, tmp_path):
     assert s_price < 0.35 and s_size > 0.75, (s_price, s_size)
     # z-order: meaningfully bounded on BOTH dims
     assert z_price < 0.6 and z_size < 0.6, (z_price, z_size)
+
+
+def test_distinct_sketches_merge_across_days(spark, sf_dir):
+    """Mergeable-HLL pattern: daily sketches built ONCE answer both the
+    per-type daily questions and the all-range union within ~5% of
+    exact, without touching the fact table again."""
+    from spark_etl_agent_spark.operators.sketches import (
+        distinct_sketches,
+        union_distinct_estimate,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "user_id"
+    )
+    daily = distinct_sketches(ev, keys=["day", "event_type"], entity="user_id")
+    daily = daily.cache()
+    try:
+        # re-grouped union: per event_type across all days
+        per_type = {
+            r.event_type: r.approx_uniques
+            for r in union_distinct_estimate(daily, group=["event_type"]).collect()
+        }
+        exact_type = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        for t, exact in exact_type.items():
+            assert abs(per_type[t] - exact) <= max(2, 0.05 * exact), (t, per_type[t], exact)
+        # global union of every sketch
+        total = union_distinct_estimate(daily).collect()[0]["approx_uniques"]
+        exact_total = ev.select("user_id").distinct().count()
+        assert abs(total - exact_total) <= max(2, 0.05 * exact_total)
+    finally:
+        daily.unpersist()
