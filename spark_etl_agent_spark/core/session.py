@@ -158,6 +158,41 @@ def k8s_conf(
     }
 
 
+def streaming_conf(
+    checkpoint_root: str,
+    state_store: str = "rocksdb",
+    max_files_per_trigger: int = 1000,
+) -> Dict[str, str]:
+    """Production Structured-Streaming posture. The default in-memory
+    (HDFS-backed) state store holds every key's state on the executor
+    heap — at 100 TB of keyed state that is an OOM, not a tuning
+    problem; RocksDB spills state to local disk with changelog
+    checkpointing so executor memory bounds the working set, not the
+    key space. ``maxFilesPerTrigger`` bounds micro-batch size so one
+    huge backlog catch-up cannot blow past executor memory either."""
+    conf = {
+        "spark.sql.streaming.checkpointLocation": checkpoint_root,
+        "spark.sql.streaming.maxBatchesToRetainInMemory": "2",
+        "spark.sql.streaming.fileSource.log.compactInterval": "10",
+        "spark.sql.streaming.sources.maxFilesPerTrigger": str(
+            max_files_per_trigger
+        ),
+    }
+    if state_store == "rocksdb":
+        conf.update(
+            {
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                ),
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+                    "true"
+                ),
+            }
+        )
+    return conf
+
+
 _MANAGER: Optional[SparkManager] = None
 
 

@@ -194,3 +194,42 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, batch_events):
     got, want = canon(streamed, cols), canon(batch, cols)
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_conf_rocksdb_state_store_runs(spark, sf_dir, tmp_path):
+    """streaming_conf renders the production posture AND the RocksDB
+    provider actually loads: the tumbling aggregate runs AvailableNow
+    with RocksDB-backed state and matches the heap-state result."""
+    from spark_etl_agent_spark.core.session import streaming_conf
+    from spark_etl_agent_spark.streaming import (
+        events_stream,
+        tumbling_window_counts,
+    )
+
+    conf = streaming_conf(str(tmp_path / "ckpt"))
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert (
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+        == "true"
+    )
+
+    heap = run_available_now(
+        tumbling_window_counts(events_stream(spark, sf_dir)),
+        output_mode="complete",
+    ).collect()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, conf[key])
+        rocks = run_available_now(
+            tumbling_window_counts(events_stream(spark, sf_dir)),
+            output_mode="complete",
+        ).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert sorted(map(tuple, rocks)) == sorted(map(tuple, heap)) and rocks
