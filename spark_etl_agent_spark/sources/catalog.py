@@ -248,6 +248,28 @@ class Catalog:
             if f.getPath().getName().endswith(".parquet")
         )
 
+    def overwrite_partitions(
+        self, df: DataFrame, name: str, partition_by: List[str]
+    ) -> None:
+        """Idempotent per-partition replace (dynamic partition
+        overwrite): ONLY the partitions present in ``df`` are rewritten;
+        every other partition of the table is untouched. This is the
+        backfill/restatement verb — re-running one day replaces that
+        day, never the table — and re-running the same input twice is a
+        no-op difference. Static overwrite (the default mode) would drop
+        ALL partitions first, silently truncating history."""
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = self.spark.conf.get(key, "static")
+        try:
+            self.spark.conf.set(key, "dynamic")
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(self.path(name))
+            )
+        finally:
+            self.spark.conf.set(key, old)
+
     def analyze_table(self, name: str) -> dict:
         """ANALYZE-style statistics: row count, size-in-bytes, and
         per-column null counts + distinct estimates — the inputs a
@@ -319,3 +341,32 @@ class Catalog:
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if fs.exists(jpath):
             fs.delete(jpath, True)
+
+
+def expect_schema(df, contract: dict, strict: bool = False) -> None:
+    """Data-contract gate: assert ``df`` carries the contracted columns
+    and types before a write crosses a table boundary. ``contract`` maps
+    column name → Spark simpleString type (e.g. ``{"o_orderkey":
+    "bigint"}``). ``strict`` additionally rejects columns outside the
+    contract (producer added a field no consumer agreed to). Raises
+    ``SchemaContractError`` with the full diff — the load fails at the
+    gate, not as NULL-filled joins three tables downstream."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, typ in contract.items():
+        if col not in actual:
+            problems.append(f"missing column {col!r} ({typ})")
+        elif actual[col] != typ:
+            problems.append(
+                f"column {col!r}: expected {typ}, got {actual[col]}"
+            )
+    if strict:
+        for col in actual:
+            if col not in contract:
+                problems.append(f"uncontracted column {col!r} present")
+    if problems:
+        raise SchemaContractError("; ".join(problems))
+
+
+class SchemaContractError(Exception):
+    pass

@@ -499,3 +499,52 @@ def test_versioned_table_time_travel_rollback_vacuum(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(NoSuchVersionError):
         t.read(version=1)
+
+
+def test_overwrite_partitions_is_idempotent_backfill(spark, tmp_path):
+    """Dynamic partition overwrite: restating one day replaces ONLY
+    that day's partition; the rest of the table survives. Static mode
+    would truncate every other partition — the classic backfill
+    data-loss bug."""
+    cat = Catalog(spark, str(tmp_path / "bf_wh"))
+    days = spark.createDataFrame(
+        [("2001-01-01", 1, 10.0), ("2001-01-02", 2, 20.0), ("2001-01-03", 3, 30.0)],
+        "day string, id long, v double",
+    )
+    cat.write_table(days, "wh.daily", mode="overwrite", partition_by=["day"])
+    assert cat.get_table_count("wh.daily") == 3
+
+    # restate day 2 only
+    restated = spark.createDataFrame(
+        [("2001-01-02", 2, 99.0), ("2001-01-02", 22, 22.0)],
+        "day string, id long, v double",
+    )
+    cat.overwrite_partitions(restated, "wh.daily", partition_by=["day"])
+    # partition-dir values read back type-inferred (string → date)
+    rows = {(str(r.day), r.id): r.v for r in cat.read_table("wh.daily").collect()}
+    assert rows == {
+        ("2001-01-01", 1): 10.0,   # untouched
+        ("2001-01-02", 2): 99.0,   # restated
+        ("2001-01-02", 22): 22.0,  # restated
+        ("2001-01-03", 3): 30.0,   # untouched
+    }
+    # idempotent: same restatement again changes nothing
+    cat.overwrite_partitions(restated, "wh.daily", partition_by=["day"])
+    assert cat.get_table_count("wh.daily") == 4
+
+
+def test_expect_schema_contract_gate(spark):
+    from spark_etl_agent_spark.sources.catalog import (
+        SchemaContractError,
+        expect_schema,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.5)], "id long, v string, score double")
+    contract = {"id": "bigint", "v": "string"}
+    expect_schema(df, contract)  # subset passes in non-strict mode
+    with pytest.raises(SchemaContractError, match="uncontracted column 'score'"):
+        expect_schema(df, contract, strict=True)
+    with pytest.raises(SchemaContractError, match="missing column 'missing'"):
+        expect_schema(df, {**contract, "missing": "int"})
+    with pytest.raises(SchemaContractError, match="expected int, got bigint"):
+        expect_schema(df, {"id": "int"})
