@@ -232,7 +232,46 @@ FROM by_decile, total
 """
 
 
+def scd2_temporal_join(spark, sf_dir):
+    """Point-in-time join: every order matched to the dimension row
+    whose [valid_from, valid_to) interval covers its date — the read
+    side of SCD2 (and the proof the history build is consistent: each
+    fact matches EXACTLY one interval, so the totals reconcile). Shape:
+    equi-join on the key with the range predicate as residual — one
+    co-partitioned shuffle, no range explosion."""
+    hist = scd2_priority_history(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    cond = (
+        (orders["o_custkey"] == hist["o_custkey"])
+        & (orders["o_orderdate"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (orders["o_orderdate"] < hist["valid_to"]))
+    )
+    return (
+        orders.join(hist, cond)
+        .groupBy(hist["priority"])
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SCD2_TEMPORAL_JOIN_SQL = (
+    "WITH hist AS (" + SCD2_PRIORITY_HISTORY_SQL + ")\n"
+    + """
+SELECT h.priority, count(*) AS n_orders
+FROM orders o JOIN hist h
+  ON o.o_custkey = h.o_custkey
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+GROUP BY h.priority
+"""
+)
+
+
 QUERIES = {
+    "scd2_temporal_join": QuerySpec(
+        "scd2_temporal_join", scd2_temporal_join, SCD2_TEMPORAL_JOIN_SQL,
+        "Point-in-time join of facts onto SCD2 validity intervals",
+        ("scd", "join", "operators"),
+    ),
     "revenue_concentration": QuerySpec(
         "revenue_concentration", revenue_concentration,
         REVENUE_CONCENTRATION_SQL,

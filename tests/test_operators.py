@@ -466,3 +466,16 @@ def test_distinct_sketches_merge_across_days(spark, sf_dir):
         assert abs(total - exact_total) <= max(2, 0.05 * exact_total)
     finally:
         daily.unpersist()
+
+
+def test_scd2_temporal_join_covers_every_fact_exactly_once(spark, sf_dir):
+    """SCD2 consistency invariant: the validity intervals tile each
+    key's timeline with no gaps or overlaps, so a point-in-time join
+    matches every fact exactly once — totals reconcile."""
+    from spark_etl_agent_spark.queries.lifecycle import scd2_temporal_join
+
+    joined_total = sum(
+        r.n_orders for r in scd2_temporal_join(spark, sf_dir).collect()
+    )
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert joined_total == n_orders
