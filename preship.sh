@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Pre-ship gate — run as the LAST step of every round, against the
+# CURRENT /root/testdata (the generator's physical choices are not
+# frozen between rounds; round 2 shipped green against stale data and
+# lost 9 correctness rows + the whole bench to a parquet dtype flip).
+#
+#   1. full unit/parity suite at sf0.001 (fast)
+#   2. oracle parity at sf0.01 — mirrors the driver's correctness gate
+#   3. bench smoke at sf0.01 — proves bench.py exits 0 and emits JSON
+#
+# Usage: ./preship.sh          (all three stages)
+#        ./preship.sh quick    (stage 1 only)
+set -euo pipefail
+cd "$(dirname "$0")"
+
+echo "== stage 1/3: full suite @ sf0.001 =="
+python -m pytest tests/ -q
+
+if [[ "${1:-}" == "quick" ]]; then exit 0; fi
+
+echo "== stage 2/3: oracle parity @ sf0.01 (driver mirror) =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+  python -m pytest tests/test_oracle_parity.py tests/test_schema_contract.py -q
+
+echo "== stage 3/3: bench smoke @ sf0.01 =="
+out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py)
+echo "$out" | python -c '
+import json, sys
+line = sys.stdin.readline()
+d = json.loads(line)
+assert d["queries"], "bench emitted no per-query timings"
+print(f"bench ok: {len(d[\"queries\"])} queries, total {d[\"value\"]}s @ sf={d[\"sf\"]}")
+'
+echo "== preship: ALL GREEN =="

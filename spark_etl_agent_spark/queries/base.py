@@ -57,16 +57,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters/pruning into the scan; at 100 TB the same call reads a
     partitioned table directory.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects by
-    default; it is read as a long (legacy conf) and truncated to
-    microseconds — the same truncation DuckDB's TIMESTAMP_NS→TIMESTAMP
-    cast performs, and lossless for this data (ns remainders are zero).
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) parquet (which
+    Spark reads as a long under the legacy conf) and plain
+    ``timestamp[us]`` — the generator's choice is NOT a frozen contract,
+    so the conversion branches on the dtype that actually arrives instead
+    of assuming an era. Nanos-as-long is truncated to microseconds (the
+    same truncation DuckDB's TIMESTAMP_NS→TIMESTAMP cast performs,
+    lossless here); native timestamp columns pass through unchanged.
     """
     if name == "events":
+        # Conf must be set before the read so a NANOS file surfaces as
+        # LongType rather than failing the scan; it is a no-op for
+        # micro/milli timestamp columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(dt, TimestampNTZType):
+            # Normalize to TIMESTAMP (LTZ): value-identical under the
+            # UTC-pinned session, and required downstream — streaming
+            # watermarks reject TIMESTAMP_NTZ event-time columns.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

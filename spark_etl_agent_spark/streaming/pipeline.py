@@ -29,22 +29,32 @@ from ..sources.catalog import Catalog
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet. ``ts`` is
-    TIMESTAMP(NANOS) in the footer, which Spark rejects by default: read
-    nanos-as-long and truncate to micros (lossless here — same as the
-    batch loader in ``queries.base.load``)."""
+    """File-source stream over the events parquet. ``ts`` has shipped as
+    both TIMESTAMP(NANOS) (read as long under the legacy conf, truncated
+    to micros — lossless here) and native ``timestamp[us]``; branch on
+    the dtype that actually arrives, same as the batch loader in
+    ``queries.base.load``."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts: long under the legacy conf
-    return (
+    schema = spark.read.parquet(path).schema
+    stream = (
         spark.readStream.schema(schema)
         # the file source needs a *directory*; the fixture is a single
         # file, so stream the parent dir filtered down to the events file
         # (in production this is simply the table's directory)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    dt = schema["ts"].dataType
+    if isinstance(dt, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); value-identical under the
+        # UTC-pinned session timezone
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 # -- windowed aggregations ------------------------------------------------------

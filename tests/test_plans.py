@@ -265,3 +265,19 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_revenue_concentration_no_global_data_window(spark, sf_dir):
+    """Exact-ntile-at-scale gate: the entity aggregate must be range-
+    partitioned and ranked per-partition — no ntile window, and the only
+    unpartitioned windows run over the partition-metadata frame (bounded
+    by numPartitions), never the data. The range exchange proves the
+    parallel global ordering."""
+    plan = plan_of(SPECS["revenue_concentration"].spark(spark, sf_dir))
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+    # the row_number window (the only per-row data window) partitions on
+    # _pid; the unpartitioned offset windows see only the ≤numPartitions
+    # size rows
+    win_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert win_lines and all("_pid" in l for l in win_lines), win_lines
