@@ -61,21 +61,31 @@ def agg_topk_per_group(
 
 def table_profile(df: DataFrame) -> DataFrame:
     """Per-column data-quality profile (row count, null count, exact
-    distinct) — the validation verb behind 'is this load sane', one
-    pass per column batch. At scale swap n_distinct for
-    approx_count_distinct (same shape, constant memory)."""
-    rows = None
-    for c in df.columns:
-        piece = df.agg(
-            F.lit(c).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(
-                "n_nulls"
-            ),
-            F.countDistinct(c).alias("n_distinct"),
+    distinct) — the validation verb behind 'is this load sane'.
+
+    Single-pass: ONE aggregation computes every column's stats (the
+    multiple exact-distincts compile to one Expand + one shuffle), then
+    ``stack`` unpivots the one-row result to (column, stats) rows. The
+    naive per-column loop would scan the table N times — at 100 TB a
+    10-column profile must not cost 10 full scans. Expand multiplies
+    rows ×N_distinct_columns in-flight; for very wide tables swap
+    ``countDistinct`` for ``approx_count_distinct`` (no Expand, constant
+    memory, same single-scan shape)."""
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}")
         )
-        rows = piece if rows is None else rows.unionByName(piece)
-    return rows
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `__nn_{c}`, `__nd_{c}`" for c in cols)
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
 
 
 def histogram(df: DataFrame, value: str, nbuckets: int = 20) -> DataFrame:
