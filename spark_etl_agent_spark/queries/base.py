@@ -52,6 +52,15 @@ class QuerySpec:
     tags: tuple = field(default_factory=tuple)
 
 
+# Inferred schemas memoized per (sf_dir, table): the testdata is
+# read-only for the process lifetime, and schema inference is a real
+# JVM job (footer read, ~0.1 s) that a 100+-query batch pays hundreds
+# of times for identical answers. The cache stores only the StructType
+# — every load() still returns a FRESH DataFrame, so self-joins keep
+# distinct lineage for column disambiguation.
+_SCHEMA_CACHE: Dict[tuple, "object"] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Columnar parquet scan → Catalyst pushes
     filters/pruning into the scan; at 100 TB the same call reads a
@@ -65,15 +74,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same truncation DuckDB's TIMESTAMP_NS→TIMESTAMP cast performs,
     lossless here); native timestamp columns pass through unchanged.
     """
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
     if name == "events":
         # Conf must be set before the read so a NANOS file surfaces as
         # LongType rather than failing the scan; it is a no-op for
         # micro/milli timestamp columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if key not in _SCHEMA_CACHE:
+            _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+        schema = _SCHEMA_CACHE[key]
+        df = spark.read.schema(schema).parquet(path)
         from pyspark.sql.types import LongType, TimestampNTZType
 
-        dt = df.schema["ts"].dataType
+        dt = schema["ts"].dataType
         if isinstance(dt, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(dt, TimestampNTZType):
@@ -82,7 +96,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # watermarks reject TIMESTAMP_NTZ event-time columns.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
 
 
 def fan_out(df: DataFrame) -> DataFrame:
