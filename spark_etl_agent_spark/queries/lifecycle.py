@@ -181,61 +181,18 @@ def revenue_concentration(spark, sf_dir):
     Scale design — exact ntile WITHOUT a single-partition sort (at
     100 TB the per-customer aggregate is itself tens of millions of
     entities, so a global ``ntile().over(Window.orderBy(...))`` window
-    is the bottleneck):
-
-    1. range-partition the entity aggregate on the sort key
-       (``repartitionByRange`` — sampled boundaries, fully parallel);
-    2. per-partition sizes → cumulative offsets. This is *partition
-       metadata* (≤ numPartitions rows, thousands at cluster scale), so
-       its tiny ordering window is bounded regardless of data volume;
-    3. global rank = partition offset + intra-partition ``row_number``
-       (windows partitioned by partition id run in parallel);
-    4. exact SQL ntile bucket from (rank, n): the first ``n mod k``
-       buckets get ``n div k + 1`` rows, the rest ``n div k`` — matching
-       the oracle's ``ntile(10)`` bit-for-bit.
-
-    Both branches (offsets + ranks) share the identical scan→agg→range-
-    exchange subplan, which Spark dedupes via ReusedExchange."""
-    from pyspark.sql import Window
+    is the bottleneck): ``operators.ranks.parallel_ntile`` — range
+    partition + metadata offsets + parallel per-partition row_number →
+    exact SQL bucket formula, hash-identical to the oracle's
+    ``ntile(10)`` and partition-count independent."""
+    from ..operators.ranks import parallel_ntile
 
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("_rev")
     )
-    npart = spark.sparkContext.defaultParallelism
-    ranged = per_cust.repartitionByRange(
-        npart, F.desc("_rev"), F.asc("o_custkey")
-    ).withColumn("_pid", F.spark_partition_id())
-
-    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_psz"))
-    w_meta = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "_pid",
-        F.coalesce(F.sum("_psz").over(w_meta), F.lit(0)).alias("_off"),
-        F.sum("_psz").over(
-            Window.orderBy("_pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
-    )
-
-    w_local = Window.partitionBy("_pid").orderBy(F.desc("_rev"), "o_custkey")
-    ranked = (
-        ranged.withColumn("_lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn("_rank", F.col("_off") + F.col("_lrn"))
-    )
-    # exact ntile(10): q = n div 10 rows per bucket, first rem = n mod 10
-    # buckets get one extra row. greatest(q,1) only guards the (n<10)
-    # branch that CASE never takes — ANSI div-by-zero safety.
-    q = F.floor(F.col("_n") / F.lit(10))
-    rem = F.col("_n") % F.lit(10)
-    cut = rem * (q + 1)
-    deciled = ranked.withColumn(
-        "decile",
-        F.when(F.col("_rank") <= cut, F.ceil(F.col("_rank") / (q + 1)))
-        .otherwise(rem + F.ceil((F.col("_rank") - cut) / F.greatest(q, F.lit(1))))
-        .cast("int"),
+    deciled = parallel_ntile(
+        per_cust, 10, [F.desc("_rev"), F.asc("o_custkey")], bucket_col="decile"
     )
     by_decile = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -71,3 +71,77 @@ def test_entry_schema_stable(spark):
     s1 = mod.entry(spark).schema
     s2 = mod.entry(spark).schema
     assert s1 == s2
+
+
+def test_parallel_ntile_matches_window_ntile_any_npart(spark, sf_dir):
+    """The distributed exact-ntile must equal Spark's own window ntile
+    bit-for-bit at every partition count — boundary placement moves
+    work, never answers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.ranks import parallel_ntile
+
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,4)")).alias("rev"))
+    )
+    order = [F.desc("rev"), F.asc("o_custkey")]
+    expected = sorted(
+        (r.o_custkey, r.b)
+        for r in per_cust.withColumn(
+            "b", F.ntile(7).over(Window.orderBy(*order))
+        ).collect()
+    )
+    for npart in (1, 3, 32):
+        got = sorted(
+            (r.o_custkey, r.b)
+            for r in parallel_ntile(
+                per_cust, 7, order, bucket_col="b", npart=npart
+            ).collect()
+        )
+        assert got == expected, f"npart={npart}"
+
+
+def test_global_rank_is_dense_and_partition_independent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.ranks import global_rank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    order = [F.asc("doc_id")]
+    base = None
+    for npart in (1, 5, 32):
+        rows = sorted(
+            (r.doc_id, r.rank)
+            for r in global_rank(docs, order, npart=npart).collect()
+        )
+        n = len(rows)
+        assert sorted(r[1] for r in rows) == list(range(1, n + 1)), "dense 1..n"
+        if base is None:
+            base = rows
+        else:
+            assert rows == base, f"npart={npart}"
+
+
+def test_query_results_shuffle_partition_independent(spark, sf_dir):
+    """A cross-family sample of the inventory re-run under a different
+    spark.sql.shuffle.partitions must produce identical canonical rows
+    — the cheap stand-in for 'same answer on any cluster width'."""
+    sample = [
+        "pricing_summary",
+        "revenue_concentration",
+        "window_topk_per_group",
+        "minhash_near_duplicates",
+        "tfidf_top_terms",
+        "scd2_temporal_join",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {n: _rows(SPECS[n].spark(spark, sf_dir)) for n in sample}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in sample:
+            assert _rows(SPECS[n].spark(spark, sf_dir)) == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
