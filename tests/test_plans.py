@@ -281,3 +281,30 @@ def test_revenue_concentration_no_global_data_window(spark, sf_dir):
     # size rows
     win_lines = [l for l in plan.splitlines() if "row_number()" in l]
     assert win_lines and all("_pid" in l for l in win_lines), win_lines
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    """LSH candidate generation must join on band keys (hash/sort-merge)
+    — an all-pairs nested loop defeats the entire blocking design."""
+    plan = plan_of(SPECS["minhash_near_duplicates"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_blocks_on_shingles(spark, sf_dir):
+    """Inverted-index blocking: pair generation joins on shingle keys,
+    never all-pairs."""
+    plan = plan_of(SPECS["ngram_jaccard_dedup"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_table_profile_is_single_scan(spark, sf_dir):
+    """The per-column profile must read the table ONCE (one parquet scan
+    node) — the naive shape scans it once per column."""
+    plan = plan_of(SPECS["orders_table_profile"].spark(spark, sf_dir))
+    # formatted plans render each node in the tree AND a detail block —
+    # count tree nodes only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in tree  # the one-scan multi-distinct strategy
