@@ -64,6 +64,47 @@ class JdbcConnector:
             self.url, f"({sql_query}) AS spark_query", properties=self.properties
         )
 
+    def read_table_partitioned(
+        self,
+        table_name: str,
+        partition_column: str,
+        schema: Optional[str] = None,
+        num_partitions: int = 8,
+        lower_bound: Optional[int] = None,
+        upper_bound: Optional[int] = None,
+    ) -> DataFrame:
+        """Parallel JDBC ingestion: ``num_partitions`` concurrent
+        connections each scanning a ``partition_column`` stride. The
+        plain ``read_table`` pulls the whole table through ONE
+        connection into one partition — at warehouse scale that
+        serializes ingest behind a single socket; this is the shape
+        every big extract must use (the reference never did,
+        ``utils/db_utils.py:80-109`` is single-stream).
+
+        Bounds omitted → probed with one pushed-down MIN/MAX query
+        (a scalar round trip, not a data read). The column should be
+        indexed/sort-keyed on the remote or each stride becomes a
+        remote full scan."""
+        qualified = self._qualified(table_name, schema)
+        if lower_bound is None or upper_bound is None:
+            row = self.execute_sql(
+                f"SELECT MIN({partition_column}) AS lo, "
+                f"MAX({partition_column}) AS hi FROM {qualified}"
+            ).collect()[0]
+            if row[0] is None:  # empty table — bounds are arbitrary
+                return self.read_table(table_name, schema)
+            lower_bound = int(row[0]) if lower_bound is None else lower_bound
+            upper_bound = int(row[1]) if upper_bound is None else upper_bound
+        return self.spark.read.jdbc(
+            self.url,
+            qualified,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+            properties=self.properties,
+        )
+
     def write_table(
         self,
         df: DataFrame,

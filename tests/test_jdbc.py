@@ -64,3 +64,25 @@ def test_jdbc_read_limit_pushdown(spark, jdbc):
     )
     jdbc.write_table(src, "wide", mode="overwrite")
     assert jdbc.read_table("wide", limit=7).count() == 7
+
+
+def test_jdbc_partitioned_read_parallel_and_complete(spark, jdbc):
+    src = spark.range(1, 101).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2).cast("double").alias("val"),
+    )
+    jdbc.write_table(src, "part_read", mode="overwrite")
+
+    df = jdbc.read_table_partitioned("part_read", '"id"', num_partitions=4)
+    # genuinely partitioned: the scan side carries 4 JDBC partitions
+    assert df.rdd.getNumPartitions() == 4
+    # and no rows are lost or duplicated at stride boundaries
+    assert df.count() == 100
+    assert {r[0] for r in df.select("id").collect()} == set(range(1, 101))
+
+
+def test_jdbc_partitioned_read_empty_table_falls_back(spark, jdbc):
+    src = spark.range(0).select(F.col("id").cast("int").alias("id"))
+    jdbc.write_table(src, "part_empty", mode="overwrite")
+    df = jdbc.read_table_partitioned("part_empty", '"id"', num_partitions=4)
+    assert df.count() == 0
