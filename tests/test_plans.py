@@ -308,3 +308,38 @@ def test_table_profile_is_single_scan(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "Expand" in tree  # the one-scan multi-distinct strategy
+
+
+def test_aqe_skew_join_splits_skewed_partitions(spark, sf_dir):
+    """The session's skewJoin conf must actually FIRE on a skewed join:
+    with thresholds lowered to fixture scale, the executed plan's
+    sort-merge join must be marked skew=true (AQE split the straggler
+    partition into parallel subtasks). This is the runtime half of the
+    skew story — operators/skew.py is the planned half."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one giant key (90% of rows) + a uniform tail
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v"
+        )
+        right = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS w")
+        j = left.join(right, "k").selectExpr("sum(v + w) AS s")
+        j.collect()
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in phys, phys[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
