@@ -271,6 +271,88 @@ def ivf_topk(
     )
 
 
+def gemm_topk(
+    df: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy GEMM — the vectorized
+    execution of the same logical plan as :func:`brute_force_topk`.
+
+    The element-wise ``F.aggregate(zip_with(...))`` dot product is exact
+    and oracle-reproducible but evaluates one JVM expression tree per
+    vector pair; at billions of candidates the arithmetic itself
+    dominates. This path computes each Arrow batch's query·candidate
+    similarities as ONE ``C @ Q.T`` matrix multiply (BLAS, float64) and
+    emits only the per-batch top-k — so the shuffle that follows carries
+    ``n_batches × |Q| × k`` rows, never the full pair matrix. The global
+    window then refines the per-batch winners: the classic local-top-k /
+    global-refine reduction, exact because a global top-k row is
+    necessarily a top-k row of its own batch.
+
+    Query vectors are collected to the driver (bounded: the query set is
+    small by contract — same posture as the broadcast join in
+    ``brute_force_topk``) and ship to workers inside the closure.
+    Float64 summation differs from the scaled-integer path in the last
+    bits, so this variant is pinned against ``brute_force_topk`` for
+    identical neighbor SETS (``tests/test_operators.py``) rather than
+    hashed as an oracle query."""
+    import numpy as np
+
+    qrows = (
+        df.filter(F.col(id_col) < query_ids_below)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def batch_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (batch, |Q|) — one BLAS call
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                take = min(k, len(cand_idx))
+                # argpartition: O(batch) selection, then exact ordering
+                part = cand_idx[
+                    np.argpartition(-col[cand_idx], take - 1)[:take]
+                ]
+                order = part[np.lexsort((ids[part], -col[part]))]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[order],
+                        "cosine_sim": col[order],
+                    }
+                )
+
+    local = df.select(id_col, vec_col).mapInPandas(batch_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine_sim")
+    )
+
+
 def label_centroids(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

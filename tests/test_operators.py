@@ -479,3 +479,22 @@ def test_scd2_temporal_join_covers_every_fact_exactly_once(spark, sf_dir):
     )
     n_orders = load(spark, sf_dir, "orders").count()
     assert joined_total == n_orders
+
+
+def test_gemm_topk_matches_bruteforce_neighbors(spark, sf_dir):
+    """The BLAS path must return the same neighbor sets (and ranks) as
+    the exact scaled-integer JVM path — float64 GEMM error (~1e-15) is
+    far below real similarity gaps."""
+    from spark_etl_agent_spark.llm.similarity import brute_force_topk, gemm_topk
+    from spark_etl_agent_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings").repartition(4)
+    exact = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in brute_force_topk(emb, query_ids_below=8, k=5).collect()
+    }
+    gemm = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in gemm_topk(emb, query_ids_below=8, k=5).collect()
+    }
+    assert exact == gemm and len(exact) > 0
