@@ -26,9 +26,9 @@ echo "== stage 3/3: bench smoke @ sf0.01 =="
 out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py)
 echo "$out" | python -c '
 import json, sys
-line = sys.stdin.readline()
-d = json.loads(line)
-assert d["queries"], "bench emitted no per-query timings"
-print(f"bench ok: {len(d[\"queries\"])} queries, total {d[\"value\"]}s @ sf={d[\"sf\"]}")
+d = json.loads(sys.stdin.readline())
+nq, tot, sf = len(d["queries"]), d["value"], d["sf"]
+assert nq > 0, "bench emitted no per-query timings"
+print(f"bench ok: {nq} queries, total {tot}s @ sf={sf}")
 '
 echo "== preship: ALL GREEN =="
