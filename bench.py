@@ -43,7 +43,23 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    manager = SparkManager(app_name="spark_etl_agent_spark-bench")
+    # Size the shuffle partitioning to the DATA, not the core count
+    # (SCALE.md "Session contract"): at 100 TB the rule below yields
+    # thousands of ~64 MB reduce partitions; at bench fixtures it avoids
+    # paying 32-way shuffle-task scheduling to move a few megabytes —
+    # measured 2.5× lower per-query floor at sf0.1 with identical
+    # results (partition-count independence is a tested invariant).
+    import glob
+
+    input_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{sf_dir}/*.parquet")
+    )
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    shuffle = max(8, min(cores * 4, (input_bytes >> 26) + 1))  # ~64MB each
+
+    manager = SparkManager(
+        app_name="spark_etl_agent_spark-bench", shuffle_partitions=shuffle
+    )
     spark = manager.spark
     # workers don't inherit the driver's sys.path patch — ship the
     # package so mapInPandas closures resolve from any CWD
@@ -61,8 +77,11 @@ def main() -> None:
     # the pandas/pyarrow import) — measured ~6s cold vs ~0.9s warm for
     # the first mapInPandas query; steady-state is what the benchmark
     # should measure (workers are long-lived on a real cluster)
+    # worker pool sized by CORES, not the shuffle conf — decode queries
+    # fan out to defaultParallelism partitions and every one needs a
+    # warm worker
     spark.range(
-        10_000, numPartitions=int(spark.conf.get("spark.sql.shuffle.partitions"))
+        10_000, numPartitions=spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
