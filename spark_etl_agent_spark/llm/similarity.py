@@ -306,11 +306,15 @@ def gemm_topk(
         .select(id_col, vec_col)
         .collect()
     )
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    if not qrows:
+        empty = df.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rnk", F.lit(1)).select(
+            "query_id", "neighbor_id", "rnk", "cosine_sim"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-
-    out_schema = "query_id long, neighbor_id long, cosine_sim double"
 
     def batch_topk(batches):
         import pandas as pd
