@@ -1,23 +1,28 @@
-"""Data-quality audit verbs: referential integrity at scale.
+"""Data-quality audit verbs: referential integrity + expectation rules
+at scale.
 
 The reference's validation surface is row-count variance
 (``services/jcap_pa_etl_service.py`` backup/validate); a 100 TB corpus
 also needs *relationship* checks — how many child rows point at a
-parent key that does not exist. This is the load-gate that catches a
-partial dimension load before a silently-wrong join fans out NULLs.
+parent key that does not exist — and *column expectation* gates
+(completeness / range / set-membership / uniqueness). These are the
+load-gates that catch a partial dimension load or a schema-valid-but-
+garbage batch before a silently-wrong join fans out NULLs.
 
-Shape: ``left_anti`` join per relation (one shuffle on the FK — or zero
-when the parent key set broadcasts), aggregated to a one-row summary,
-results unioned. Never materializes the orphan rows to the driver; for
-the remediation path, call :func:`orphans` to get the rows themselves
-as a DataFrame and sink them.
+Shapes: ``left_anti`` join per relation (one shuffle on the FK — or
+zero when the parent key set broadcasts); ONE aggregation pass for all
+expectation rules on a table (uniqueness adds one distinct per keyed
+rule, planned as Expand in the same scan). Never materializes failing
+rows to the driver; for the remediation path, call :func:`orphans` (or
+filter by the rule predicate) and sink them.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,3 +66,95 @@ def referential_audit(
         piece = base.join(n_orphans, on="relation", how="inner")
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+# -- expectation rules ---------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named rule over a table. ``predicate`` is a boolean Column
+    evaluated per row; rows where it is false (or NULL) count as
+    violations. ``max_violation_ratio`` is the gate: 0.0 = hard rule,
+    0.01 = tolerate up to 1% bad rows (real corpora are never
+    perfectly clean; a hard gate on a soft rule blocks every load)."""
+
+    name: str
+    predicate: Column
+    max_violation_ratio: float = 0.0
+
+
+def not_null(col: str) -> Column:
+    return F.col(col).isNotNull()
+
+
+def in_range(col: str, lo, hi) -> Column:
+    return F.col(col).between(F.lit(lo), F.lit(hi))
+
+
+def in_set(col: str, values: Sequence) -> Column:
+    return F.col(col).isin(list(values))
+
+
+def matches(col: str, regex: str) -> Column:
+    return F.col(col).rlike(regex)
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: List[Expectation],
+    unique_keys: Optional[List[str]] = None,
+) -> DataFrame:
+    """Evaluate every rule in ONE aggregation over one scan: each rule
+    contributes a conditional count, so N rules cost the same pass as
+    one (never a scan per rule — the per-column-loop anti-pattern).
+    Optional ``unique_keys`` adds a key-uniqueness rule via one
+    count-distinct in the same aggregate.
+
+    Output: one row per rule — (rule, n_rows, n_violations,
+    violation_ppm, allowed_ppm, passed). The caller gates the load on
+    ``passed`` (``bool_and`` over the frame, or anti-filter to quarantine
+    the violating rows)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        aggs.append(
+            F.sum(
+                F.when(r.predicate, F.lit(0)).otherwise(F.lit(1))
+            ).cast("long").alias(f"__v_{i}")
+        )
+    if unique_keys:
+        aggs.append(F.countDistinct(*[F.col(k) for k in unique_keys]).alias("__nd"))
+    one = df.agg(*aggs)
+
+    stack_parts = []
+    names = []
+    for i, r in enumerate(rules):
+        nm = r.name.replace("'", "")
+        names.append((nm, r.max_violation_ratio))
+        stack_parts.append(f"'{nm}', `__v_{i}`")
+    if unique_keys:
+        nm = "unique(" + ",".join(unique_keys) + ")"
+        names.append((nm, 0.0))
+        stack_parts.append(f"'{nm}', `__n` - `__nd`")
+    n_rules = len(stack_parts)
+    rows = one.selectExpr(
+        "__n",
+        f"stack({n_rules}, {', '.join(stack_parts)}) AS (rule, n_violations)",
+    )
+    allowed = F.create_map(
+        *[x for nm, ratio in names for x in (F.lit(nm), F.lit(ratio))]
+    )
+    return rows.select(
+        "rule",
+        F.col("__n").alias("n_rows"),
+        "n_violations",
+        F.floor(
+            F.col("n_violations") * F.lit(1_000_000.0)
+            / F.greatest(F.col("__n"), F.lit(1))
+        ).cast("bigint").alias("violation_ppm"),
+        F.floor(allowed[F.col("rule")] * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("allowed_ppm"),
+    ).withColumn(
+        "passed", F.col("violation_ppm") <= F.col("allowed_ppm")
+    )

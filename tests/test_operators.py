@@ -498,3 +498,66 @@ def test_gemm_topk_matches_bruteforce_neighbors(spark, sf_dir):
         for r in gemm_topk(emb, query_ids_below=8, k=5).collect()
     }
     assert exact == gemm and len(exact) > 0
+
+
+def test_expectation_report_single_pass_and_gates(spark, sf_dir):
+    from spark_etl_agent_spark.operators.quality import (
+        Expectation, expectation_report, in_range, in_set, not_null,
+    )
+    from spark_etl_agent_spark.queries.base import load
+
+    orders = load(spark, sf_dir, "orders")
+    rules = [
+        Expectation("o_orderkey not null", not_null("o_orderkey")),
+        Expectation(
+            "status known",
+            in_set("o_orderstatus", ["O", "F", "P"]),
+        ),
+        Expectation("price positive", in_range("o_totalprice", 0.0, 1e9)),
+        # deliberately failing hard rule: every row violates
+        Expectation("impossible", in_range("o_totalprice", -2.0, -1.0)),
+        # soft rule with a tolerance that passes
+        Expectation(
+            "price under 300k (soft)",
+            in_range("o_totalprice", 0.0, 300_000.0),
+            max_violation_ratio=0.5,
+        ),
+    ]
+    rep = expectation_report(orders, rules, unique_keys=["o_orderkey"])
+    rows = {r.rule: r for r in rep.collect()}
+    n = orders.count()
+    assert rows["o_orderkey not null"].passed
+    assert rows["status known"].passed
+    assert rows["price positive"].passed
+    assert not rows["impossible"].passed
+    assert rows["impossible"].n_violations == n
+    assert rows["price under 300k (soft)"].passed
+    assert rows["unique(o_orderkey)"].passed
+    assert all(r.n_rows == n for r in rows.values())
+
+    # single scan: all rules in one aggregation pass (after execution the
+    # formatted plan renders Final AND Initial adaptive plans — count the
+    # final one only)
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0].split("== Initial Plan ==")[0]
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_expectation_report_uniqueness_catches_dupes(spark):
+    from spark_etl_agent_spark.operators.quality import (
+        Expectation, expectation_report, not_null,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d")], "k int, v string"
+    )
+    rep = expectation_report(
+        df, [Expectation("k not null", not_null("k"))], unique_keys=["k"]
+    )
+    rows = {r.rule: r for r in rep.collect()}
+    assert not rows["k not null"].passed
+    uk = rows["unique(k)"]
+    # 4 rows, 2 distinct non-null + countDistinct ignores NULL -> 4-2=2
+    assert uk.n_violations == 2 and not uk.passed
