@@ -27,6 +27,7 @@ classic source of cross-engine hash mismatches.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -67,6 +68,107 @@ def global_rank(
         .join(F.broadcast(offsets), _PID)
         .withColumn(rank_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
     )
+
+
+def grouped_quantile_cont(
+    df: DataFrame,
+    groups: List[str],
+    value: str,
+    qs: List[float],
+    npart: Optional[int] = None,
+) -> DataFrame:
+    """Exact linear-interpolated quantiles (SQL ``quantile_cont`` /
+    Spark ``percentile`` semantics: position ``h = (n-1)·q``, result
+    ``v[⌊h⌋] + (h-⌊h⌋)·(v[⌊h⌋+1] - v[⌊h⌋])``) per group — WITHOUT
+    collecting any group's values into one reducer.
+
+    Spark's exact ``percentile()`` aggregate buffers every value of a
+    group in memory; with a handful of groups over a 100 TB fact table
+    that is an OOM by construction. Here the values are range-partitioned
+    on (group, value), ranked per group via partition-size offsets
+    (metadata, ≤ |groups|·npart rows), and only the TWO ranked rows each
+    quantile needs are picked out and interpolated — one extra range
+    shuffle, constant memory everywhere.
+
+    Output: one row per group with a ``q_<q>`` double column per
+    requested quantile (``0.25 → q_25``)."""
+    npart = npart or df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(g) for g in groups]
+    ranged = df.repartitionByRange(npart, *gcols, F.col(value)).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    sizes = ranged.groupBy(*groups, _PID).agg(F.count(F.lit(1)).alias("_psz"))
+    w_prev = (
+        Window.partitionBy(*groups)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*groups)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = sizes.select(
+        *groups,
+        F.col(_PID),
+        F.coalesce(F.sum("_psz").over(w_prev), F.lit(0)).alias(_OFF),
+        F.sum("_psz").over(w_all).alias(_N),
+    )
+    w_local = Window.partitionBy(_PID, *groups).orderBy(F.col(value))
+    ranked = (
+        ranged.withColumn(_LRN, F.row_number().over(w_local))
+        .join(F.broadcast(offsets), groups + [_PID])
+        .withColumn("_rank", F.col(_OFF) + F.col(_LRN))
+    )
+
+    # one (group, q) target row set: ranks ⌊h⌋+1 and min(⌊h⌋+2, n)
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    pos = (
+        offsets.select(*groups, _N)
+        .distinct()
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("_h", (F.col(_N) - 1) * F.col("q"))
+        .select(
+            *[F.col(g).alias(f"_pg_{g}") for g in groups],
+            "q",
+            (F.floor("_h") + 1).alias("_rlo"),
+            F.least(F.floor("_h") + 2, F.col(_N)).alias("_rhi"),
+            (F.col("_h") - F.floor("_h")).alias("_frac"),
+        )
+    )
+    cond = [F.col(g) == F.col(f"_pg_{g}") for g in groups]
+    cond.append(
+        (F.col("_rank") == F.col("_rlo")) | (F.col("_rank") == F.col("_rhi"))
+    )
+    picked = ranked.join(
+        F.broadcast(pos), reduce(lambda a, b: a & b, cond)
+    ).select(
+        *groups,
+        "q",
+        "_rlo",
+        "_rhi",
+        "_frac",
+        "_rank",
+        F.col(value).cast("double").alias("_v"),
+    )
+    per_q = picked.groupBy(*groups, "q", "_frac").agg(
+        F.min(F.when(F.col("_rank") == F.col("_rlo"), F.col("_v"))).alias("_vlo"),
+        F.min(F.when(F.col("_rank") == F.col("_rhi"), F.col("_v"))).alias("_vhi"),
+    ).select(
+        *groups,
+        "q",
+        (
+            F.col("_vlo") + F.col("_frac") * (F.col("_vhi") - F.col("_vlo"))
+        ).alias("_quant"),
+    )
+    out = per_q.groupBy(*groups).pivot(
+        "q", [float(q) for q in qs]
+    ).agg(F.first("_quant"))
+    for q in qs:
+        out = out.withColumnRenamed(str(float(q)), f"q_{int(round(q * 100))}")
+    return out
 
 
 def parallel_ntile(

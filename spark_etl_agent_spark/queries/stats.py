@@ -149,15 +149,26 @@ def value_outlier_fences(spark, sf_dir):
     ``floor`` — Spark's double→bigint cast truncates while DuckDB's
     rounds), so percentile interpolation is dyadic-fraction × integer
     — exact binary doubles with nothing for FMA contraction to wobble.
-    Two passes: one percentile aggregate, one broadcast-fence recount."""
+
+    Scale: quantiles come from ``operators.ranks.grouped_quantile_cont``
+    (range-partitioned per-group ranks, interpolate at the two needed
+    ranks) — Spark's exact ``percentile()`` aggregate buffers a whole
+    group's values on one reducer, an OOM by construction when a
+    handful of event types cover a 100 TB fact table. Identical
+    result (same (n-1)·q linear interpolation), constant memory."""
+    from ..operators.ranks import grouped_quantile_cont
+
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     cents = ev.select(
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    fences = cents.groupBy("event_type").agg(
-        F.expr("percentile(cents, 0.25)").alias("q1"),
-        F.expr("percentile(cents, 0.75)").alias("q3"),
+    fences = grouped_quantile_cont(
+        cents, ["event_type"], "cents", [0.25, 0.75]
+    ).select(
+        "event_type",
+        F.col("q_25").alias("q1"),
+        F.col("q_75").alias("q3"),
     ).select(
         "event_type",
         "q1",

@@ -145,3 +145,38 @@ def test_query_results_shuffle_partition_independent(spark, sf_dir):
             assert _rows(SPECS[n].spark(spark, sf_dir)) == baseline[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_grouped_quantile_cont_matches_percentile_any_npart(spark, sf_dir):
+    """Distributed exact quantiles must equal Spark's in-memory exact
+    percentile() bit-for-bit at every partition count."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.ranks import grouped_quantile_cont
+
+    cents = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    expected = {
+        r.event_type: (r.q25, r.q50, r.q75)
+        for r in cents.groupBy("event_type")
+        .agg(
+            F.expr("percentile(cents, 0.25)").alias("q25"),
+            F.expr("percentile(cents, 0.5)").alias("q50"),
+            F.expr("percentile(cents, 0.75)").alias("q75"),
+        )
+        .collect()
+    }
+    for npart in (1, 3, 32):
+        got = {
+            r.event_type: (r.q_25, r.q_50, r.q_75)
+            for r in grouped_quantile_cont(
+                cents, ["event_type"], "cents", [0.25, 0.5, 0.75], npart=npart
+            ).collect()
+        }
+        assert got == expected, f"npart={npart}"
