@@ -18,15 +18,25 @@ from pyspark.sql import functions as F
 def column_profile(df: DataFrame, keys: List[str], value: str) -> DataFrame:
     """Per-group profile with deterministic members: count, min, max,
     exact decimal sum, exact median (0.5 interpolation is exact in
-    binary for integer-valued inputs)."""
+    binary for integer-valued inputs).
+
+    The median comes from ``ranks.grouped_quantile_cont`` — the exact
+    ``percentile()`` aggregate buffers a whole group's values on one
+    reducer, which cannot hold when a handful of groups cover a fact
+    table; the rank-based form is identical and constant-memory."""
+    from .ranks import grouped_quantile_cont
+
     v = F.col(value)
-    return df.groupBy(*keys).agg(
+    base = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(v).alias("v_min"),
         F.max(v).alias("v_max"),
         F.sum(v.cast("decimal(12,4)")).cast("decimal(18,4)").cast("double").alias("v_sum"),
-        F.expr(f"percentile({value}, 0.5)").alias("v_median"),
     )
+    med = grouped_quantile_cont(df.select(*keys, value), keys, value, [0.5])
+    return base.join(
+        med.select(*keys, F.col("q_50").alias("v_median")), keys
+    ).select(*keys, "n", "v_min", "v_max", "v_sum", "v_median")
 
 
 def agg_topk_per_group(
