@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,27 +45,30 @@ def agg_topk_per_group(
     order_cols: List[str],
     k: int = 3,
 ) -> DataFrame:
-    """Top-k per group WITHOUT a window: collect-sort-slice aggregation.
-    vs the window form (`window_topk_per_group` query): the window sorts
-    every group's full row set; this keeps only a bounded list per group
-    through the map-side combine — the better physical strategy when
-    groups are huge and k is small (the 100 TB case). First order column
-    descends (negated), the rest ascend as tie-breaks."""
+    """Top-k per group via two-stage bounded reduction. First order
+    column descends, the rest ascend as tie-breaks.
+
+    Stage 1 takes each (input-partition, group) slice's local top-k —
+    the window's sort is external (spills), and its output is ≤ k rows
+    per slice. Stage 2 ranks the ≤ k·npartitions survivors per group —
+    a tiny shuffle. This replaces the earlier collect-sort-slice
+    aggregate, whose ``collect_list`` buffered the ENTIRE group in the
+    aggregation buffer before the slice — a heap OOM (object agg
+    buffers don't spill) exactly when groups are huge, the case the
+    operator exists for. The window form sorts but never holds a group
+    in memory; bounding happens before the cross-partition shuffle."""
     head, *ties = order_cols
-    item = F.struct(
-        (-F.col(head)).alias("_neg"), *[F.col(c) for c in ties], F.col(head)
-    )
-    topk = F.slice(F.sort_array(F.collect_list(item)), 1, k)
+    order = [F.col(head).desc()] + [F.col(c).asc() for c in ties]
+    w_local = Window.partitionBy("_pid", group).orderBy(*order)
+    w_global = Window.partitionBy(group).orderBy(*order)
     return (
-        df.groupBy(group)
-        .agg(topk.alias("_top"))
-        .select(F.col(group), F.posexplode("_top").alias("_pos", "_item"))
-        .select(
-            group,
-            (F.col("_pos") + 1).alias("rnk"),
-            F.col(f"_item.{head}").alias(head),
-            *[F.col(f"_item.{c}").alias(c) for c in ties],
-        )
+        df.select(group, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= k)
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= k)
+        .select(group, "rnk", head, *ties)
     )
 
 
