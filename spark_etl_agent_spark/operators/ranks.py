@@ -1,5 +1,6 @@
-"""Distributed global ranking — exact ``ntile``/``row_number`` over an
-unbounded frame WITHOUT a single-partition sort.
+"""Distributed global ranking — exact ``ntile``/``row_number``/
+``quantile_cont`` over an unbounded frame WITHOUT a single-partition
+sort or a whole-group memory buffer.
 
 A global ``Window.orderBy(...)`` moves every row to one partition; at
 100 TB (or even a tens-of-millions-row entity aggregate) that serial
