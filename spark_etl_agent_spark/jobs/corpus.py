@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..llm import dedup as D
 from ..llm.text import EN_STOPWORDS, words_of
 from ..operators.graph import connected_components
+from ..operators.quality import Expectation, expectation_report, not_null
 from ..sources.catalog import Catalog
 
 
@@ -77,6 +78,25 @@ class CorpusDedupService:
 
         docs = self.catalog.read_table(self.source_table)
         n_input = docs.count()
+
+        # contract gate BEFORE any cleaning: a batch whose keys are
+        # broken must fail loudly, not flow into dedup where a NULL or
+        # duplicated doc_id silently corrupts keeper selection. One
+        # aggregation pass (operators.quality.expectation_report).
+        contract = expectation_report(
+            docs,
+            [
+                Expectation("doc_id not null", not_null("doc_id")),
+                Expectation("text not null", not_null("text")),
+            ],
+            unique_keys=["doc_id"],
+        ).collect()  # bounded: one row per rule
+        failed_rules = [r.rule for r in contract if not r.passed]
+        if failed_rules:
+            raise RuntimeError(
+                f"source contract violated: {failed_rules} "
+                f"(table {self.source_table})"
+            )
 
         gated = quality_gate(docs).cache()
         uniq = None

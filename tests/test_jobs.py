@@ -548,3 +548,19 @@ def test_expect_schema_contract_gate(spark):
         expect_schema(df, {**contract, "missing": "int"})
     with pytest.raises(SchemaContractError, match="expected int, got bigint"):
         expect_schema(df, {"id": "int"})
+
+
+def test_corpus_dedup_contract_gate_rejects_broken_keys(spark, tmp_path):
+    from spark_etl_agent_spark.jobs.corpus import CorpusDedupService
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    bad = spark.createDataFrame(
+        [(1, "a real document " * 40), (1, "duplicate key " * 40),
+         (None, "null key " * 40)],
+        "doc_id long, text string",
+    )
+    cat.write_table(bad, "corpus.documents", mode="overwrite")
+    svc = CorpusDedupService(cat)
+    with pytest.raises(RuntimeError, match="source contract violated"):
+        svc.run_corpus_dedup_etl()
