@@ -92,12 +92,15 @@ def grouped_quantile_cont(
     shuffle, constant memory everywhere.
 
     Output: one row per group with a ``q_<q>`` double column per
-    requested quantile (``0.25 → q_25``)."""
+    requested quantile (``0.25 → q_25``). NULL values are dropped
+    first — SQL ``quantile_cont`` / ``percentile`` semantics; a group
+    with only NULLs produces no row (matching the aggregate's NULL by
+    absence of interpolable data)."""
     npart = npart or df.sparkSession.sparkContext.defaultParallelism
     gcols = [F.col(g) for g in groups]
-    ranged = df.repartitionByRange(npart, *gcols, F.col(value)).withColumn(
-        _PID, F.spark_partition_id()
-    )
+    ranged = df.filter(F.col(value).isNotNull()).repartitionByRange(
+        npart, *gcols, F.col(value)
+    ).withColumn(_PID, F.spark_partition_id())
     sizes = ranged.groupBy(*groups, _PID).agg(F.count(F.lit(1)).alias("_psz"))
     w_prev = (
         Window.partitionBy(*groups)

@@ -561,3 +561,43 @@ def test_expectation_report_uniqueness_catches_dupes(spark):
     uk = rows["unique(k)"]
     # 4 rows, 2 distinct non-null + countDistinct ignores NULL -> 4-2=2
     assert uk.n_violations == 2 and not uk.passed
+
+
+def test_grouped_quantile_cont_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.ranks import grouped_quantile_cont
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("a", 20),          # NULLs ignored
+         ("b", 7),                                    # single value
+         ("c", None)],                                # all-NULL group
+        "g string, v int",
+    )
+    got = {
+        r.g: (r.q_25, r.q_50)
+        for r in grouped_quantile_cont(df, ["g"], "v", [0.25, 0.5]).collect()
+    }
+    ref = {
+        r.g: (r.q25, r.q50)
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q25"),
+            F.expr("percentile(v, 0.5)").alias("q50"),
+        )
+        .collect()
+        if r.q25 is not None
+    }
+    assert got == ref  # {'a': (12.5, 15.0), 'b': (7.0, 7.0)}
+    assert "c" not in got
+
+
+def test_parallel_ntile_empty_frame(spark):
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.ranks import parallel_ntile
+
+    empty = spark.createDataFrame([], "k long, v double")
+    out = parallel_ntile(empty, 4, [F.desc("v"), F.asc("k")], bucket_col="b")
+    assert out.count() == 0
+    assert "b" in out.columns
