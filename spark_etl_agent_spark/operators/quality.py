@@ -158,3 +158,42 @@ def expectation_report(
     ).withColumn(
         "passed", F.col("violation_ppm") <= F.col("allowed_ppm")
     )
+
+
+def freshness_report(
+    df: DataFrame,
+    ts_col: str,
+    as_of,
+    max_lag_hours: float,
+    groups: Optional[List[str]] = None,
+) -> DataFrame:
+    """Freshness gate: is the newest event (optionally per group/source)
+    recent enough? One MIN/MAX aggregation — no sort, no collect.
+    ``as_of`` is injected (a datetime or ISO string), never wall-clock
+    read inside the plan: reruns and backfills must evaluate the gate
+    against the batch's logical time, and tests need determinism.
+
+    Output per group: newest_ts, oldest_ts, lag_hours (as_of − newest),
+    passed. A source that stopped emitting shows up as a failing row
+    here hours before a volume-variance check would notice."""
+    as_of_col = F.lit(as_of).cast("timestamp")
+    agg = [
+        F.min(ts_col).alias("oldest_ts"),
+        F.max(ts_col).alias("newest_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    base = df.groupBy(*groups).agg(*agg) if groups else df.agg(*agg)
+    lag_h = (
+        as_of_col.cast("double") - F.col("newest_ts").cast("double")
+    ) / F.lit(3600.0)
+    return base.select(
+        *(groups or []),
+        "n_rows",
+        "oldest_ts",
+        "newest_ts",
+        F.round(lag_h, 6).alias("lag_hours"),
+    ).withColumn(
+        "passed",
+        F.col("newest_ts").isNotNull()
+        & (F.col("lag_hours") <= F.lit(float(max_lag_hours))),
+    )

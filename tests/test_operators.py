@@ -601,3 +601,30 @@ def test_parallel_ntile_empty_frame(spark):
     out = parallel_ntile(empty, 4, [F.desc("v"), F.asc("k")], bucket_col="b")
     assert out.count() == 0
     assert "b" in out.columns
+
+
+def test_freshness_report_gates_stale_sources(spark, sf_dir):
+    from spark_etl_agent_spark.operators.quality import freshness_report
+    from spark_etl_agent_spark.queries.base import load
+
+    ev = load(spark, sf_dir, "events")
+    newest = ev.agg(F.max("ts")).collect()[0][0]
+
+    # as_of 1h after the global newest, 48h budget → every type fresh
+    # (per-type newest can trail the global one by hours)
+    import datetime
+
+    soon = newest + datetime.timedelta(hours=1)
+    rep = freshness_report(ev, "ts", soon, 48.0, groups=["event_type"])
+    rows = rep.collect()
+    assert rows and all(r.passed for r in rows)
+
+    # as_of 30 days later with a 48h budget → everything stale
+    late = newest + datetime.timedelta(days=30)
+    rep2 = freshness_report(ev, "ts", late, 48.0, groups=["event_type"])
+    assert all(not r.passed for r in rep2.collect())
+
+    # empty input: ungrouped report fails loudly rather than passing
+    empty = ev.filter(F.lit(False))
+    r = freshness_report(empty, "ts", late, 2.0).collect()[0]
+    assert r.n_rows == 0 and not r.passed
