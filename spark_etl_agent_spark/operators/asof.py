@@ -38,7 +38,13 @@ def asof_join(
     """Left as-of join. ``value_cols`` are the right-side payload
     columns carried over (default: all non-key, non-ts columns).
     Right rows must be unique per (key, ts) for a deterministic result
-    — pre-aggregate the right side if they are not."""
+    — pre-aggregate the right side if they are not.
+
+    Caveat: a right row whose payload value is itself NULL is treated
+    as "no observation" for that column (``ignorenulls`` carries the
+    previous non-NULL forward) — pandas ``merge_asof`` would surface
+    the matched row's NULL instead. Encode explicit missing as a
+    sentinel if the distinction matters."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, ts)
     ]
