@@ -97,15 +97,18 @@ def main(argv: Optional[list] = None) -> int:
     )
     logger = logging.getLogger("spark_etl_agent_spark.cli")
 
+    if args.list_job_types:
+        # static metadata — no reason to boot a JVM for a listing
+        from .jobs.registry import list_job_types
+
+        for name, desc in list_job_types().items():
+            print(f"{name}: {desc}")
+        return 0
+
     manager = SparkManager(app_name="spark_etl_agent_spark", local_mode=args.local)
     try:
         catalog = Catalog(manager.spark, args.warehouse)
         job_service = JobService(catalog, stage_path=args.stage_path)
-
-        if args.list_job_types:
-            for name, desc in job_service.list_supported_job_types().items():
-                print(f"{name}: {desc}")
-            return 0
 
         config = load_job_config(args)
         validate_job_config(config)

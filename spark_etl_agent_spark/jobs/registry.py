@@ -16,6 +16,56 @@ from .etl import EtlService
 from .jcap import JcapPaEtlService
 from .sync import IncrementalSyncService
 
+# Static job-type metadata (reference services/job_service.py:23-38) —
+# module-level so listings (CLI --list-job-types) never have to boot a
+# SparkSession; JobService binds each entry to its service instance.
+JOB_TYPE_INFO: Dict[str, Dict[str, Any]] = {
+    "control_m_poc_etl": {
+        "method": "run_control_m_poc_etl",
+        "description": (
+            "Control M POC ETL - Development/testing with row limits "
+            "and append mode"
+        ),
+        "parameters": ["load_date", "limit"],
+        "environment": "POC",
+    },
+    "corpus_dedup_etl": {
+        "method": "run_corpus_dedup_etl",
+        "description": (
+            "Corpus dedup ETL - quality gate, exact + MinHash near-dup "
+            "dedup, cluster survivors"
+        ),
+        "parameters": ["load_date"],
+        "environment": "Corpus",
+    },
+    "incremental_sync_etl": {
+        "method": "run_incremental_sync",
+        "description": (
+            "Incremental sync ETL - snapshot diff, referential "
+            "gate, CDC apply with row-count invariant"
+        ),
+        "parameters": ["load_date"],
+        "environment": "Warehouse",
+    },
+    "jcap_pa_etl": {
+        "method": "run_jcap_pa_etl",
+        "description": (
+            "JCAP PA ETL - Production workflow with backup/restore, "
+            "variance validation, and alerts"
+        ),
+        "parameters": ["load_date"],
+        "environment": "Production",
+    },
+}
+
+
+def list_job_types() -> Dict[str, str]:
+    """Session-free listing (CLI --list-job-types)."""
+    return {
+        job_type: f"[{cfg['environment']}] {cfg['description']}"
+        for job_type, cfg in JOB_TYPE_INFO.items()
+    }
+
 
 class JobService:
     def __init__(
@@ -33,48 +83,17 @@ class JobService:
         )
         self.corpus_dedup_service = CorpusDedupService(catalog)
         self.incremental_sync_service = IncrementalSyncService(catalog)
-        # registry shape mirrors services/job_service.py:23-38
+        # registry shape mirrors services/job_service.py:23-38; the
+        # static half lives in module-level JOB_TYPE_INFO
+        services = {
+            "control_m_poc_etl": self.etl_service,
+            "corpus_dedup_etl": self.corpus_dedup_service,
+            "incremental_sync_etl": self.incremental_sync_service,
+            "jcap_pa_etl": self.jcap_pa_etl_service,
+        }
         self.supported_job_types: Dict[str, Dict[str, Any]] = {
-            "control_m_poc_etl": {
-                "service": self.etl_service,
-                "method": "run_control_m_poc_etl",
-                "description": (
-                    "Control M POC ETL - Development/testing with row limits "
-                    "and append mode"
-                ),
-                "parameters": ["load_date", "limit"],
-                "environment": "POC",
-            },
-            "corpus_dedup_etl": {
-                "service": self.corpus_dedup_service,
-                "method": "run_corpus_dedup_etl",
-                "description": (
-                    "Corpus dedup ETL - quality gate, exact + MinHash near-dup "
-                    "dedup, cluster survivors"
-                ),
-                "parameters": ["load_date"],
-                "environment": "Corpus",
-            },
-            "incremental_sync_etl": {
-                "service": self.incremental_sync_service,
-                "method": "run_incremental_sync",
-                "description": (
-                    "Incremental sync ETL - snapshot diff, referential "
-                    "gate, CDC apply with row-count invariant"
-                ),
-                "parameters": ["load_date"],
-                "environment": "Warehouse",
-            },
-            "jcap_pa_etl": {
-                "service": self.jcap_pa_etl_service,
-                "method": "run_jcap_pa_etl",
-                "description": (
-                    "JCAP PA ETL - Production workflow with backup/restore, "
-                    "variance validation, and alerts"
-                ),
-                "parameters": ["load_date"],
-                "environment": "Production",
-            },
+            job_type: {"service": services[job_type], **info}
+            for job_type, info in JOB_TYPE_INFO.items()
         }
 
     def list_supported_job_types(self) -> Dict[str, str]:
