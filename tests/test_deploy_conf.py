@@ -59,3 +59,30 @@ def test_session_defaults_match_sparkmanager_source():
     src = inspect.getsource(SparkManager.create_spark_session)
     for key, val in SESSION_DEFAULTS.items():
         assert f'"{key}": "{val}"' in src, key
+
+
+def test_manifest_is_valid_spark_application():
+    """Structural validation of the SparkApplication manifest: the
+    fields the spark-operator requires must exist with sane values —
+    catches a YAML typo that would otherwise only fail at submit time."""
+    import yaml
+
+    doc = yaml.safe_load(open("deploy/spark_application.yaml"))
+    assert doc["apiVersion"] == "sparkoperator.k8s.io/v1beta2"
+    assert doc["kind"] == "SparkApplication"
+    spec = doc["spec"]
+    assert spec["type"] == "Python" and spec["mode"] == "cluster"
+    assert spec["mainApplicationFile"].startswith("local://")
+    for side in ("driver", "executor"):
+        assert spec[side]["memory"].endswith("g")
+        assert spec[side]["serviceAccount"]
+    assert spec["restartPolicy"]["type"] == "OnFailure"
+    # executor instances consistent between sparkConf and the spec block
+    assert str(spec["executor"]["instances"]) == spec["sparkConf"][
+        "spark.executor.instances"
+    ]
+    # the token projection the WebIdentity credentials provider expects
+    vols = {v["name"] for v in spec["volumes"]}
+    for side in ("driver", "executor"):
+        mounts = {m["name"] for m in spec[side]["volumeMounts"]}
+        assert mounts <= vols
