@@ -628,3 +628,45 @@ def test_freshness_report_gates_stale_sources(spark, sf_dir):
     empty = ev.filter(F.lit(False))
     r = freshness_report(empty, "ts", late, 2.0).collect()[0]
     assert r.n_rows == 0 and not r.passed
+
+
+def test_lsh_always_proposes_exact_duplicates(spark):
+    """Soundness floor: identical texts have identical signatures, so
+    they MUST surface as candidates in every band — recall can drop for
+    near-dupes, never for exact ones."""
+    from spark_etl_agent_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [(1, body * 3), (2, body * 3),
+         (3, "completely different words about spark shuffles " * 4),
+         (4, "yet another unrelated document concerning parquet files " * 4)],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_jaccard_verify_bounds_on_real_corpus(spark, sf_dir):
+    """Jaccard ∈ [0,1] and n_common ≤ min(n_a, n_b) on every verified
+    candidate pair of the real documents fixture."""
+    from spark_etl_agent_spark.llm.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    verified = jaccard_verify(
+        docs, lsh_candidate_pairs(minhash_signatures(docs))
+    ).collect()
+    assert verified  # fixture contains near-duplicates by construction
+    for r in verified:
+        assert 0.0 <= r.jaccard <= 1.0, r
+        assert r.n_common <= min(r.n_a, r.n_b), r
