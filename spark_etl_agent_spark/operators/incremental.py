@@ -54,3 +54,50 @@ def merge_partial_aggs(
         .groupBy(*keys)
         .agg(*[_MERGE[kind](col).alias(col) for col, kind in measures])
     )
+
+
+def rollup_cascade(
+    facts: DataFrame,
+    ts_col: str,
+    keys: List[str],
+    measures: List[Tuple[str, str]],
+    granularities: List[str] = ("hour", "day", "month"),
+) -> dict:
+    """Multi-granularity continuous aggregates: each level is built
+    from the level BELOW it, never from the raw facts — the hypertable
+    rollup pattern (TimescaleDB continuous aggregates, Druid rollup).
+
+    The raw table is scanned exactly once (the finest level); every
+    coarser level re-aggregates the previous level's (bounded,
+    group-count-sized) output with the sum-mergeable rules of
+    :func:`merge_partial_aggs`. At 100 TB the daily rollup over an
+    hourly aggregate touches ``keys × 24`` rows per day instead of the
+    raw events — and an incremental refresh composes: merge the delta
+    into the finest level, then cascade only the affected buckets up.
+
+    ``granularities`` must be ordered fine→coarse (``date_trunc``
+    units). Returns ``{granularity: DataFrame}`` with a ``bucket``
+    timestamp column per level."""
+    for col, kind in measures:
+        if kind not in _MERGE:
+            raise ValueError(
+                f"measure {col!r}: {kind!r} is not sum-mergeable "
+                f"(supported: {sorted(_MERGE)})"
+            )
+    out = {}
+    finest = granularities[0]
+    level = facts.groupBy(
+        *keys, F.date_trunc(finest, F.col(ts_col)).alias("bucket")
+    ).agg(
+        *[
+            (F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(col)).alias(col)
+            for col, kind in measures
+        ]
+    )
+    out[finest] = level
+    for gran in granularities[1:]:
+        level = level.groupBy(
+            *keys, F.date_trunc(gran, F.col("bucket")).alias("bucket")
+        ).agg(*[_MERGE[kind](col).alias(col) for col, kind in measures])
+        out[gran] = level
+    return out

@@ -670,3 +670,39 @@ def test_jaccard_verify_bounds_on_real_corpus(spark, sf_dir):
     for r in verified:
         assert 0.0 <= r.jaccard <= 1.0, r
         assert r.n_common <= min(r.n_a, r.n_b), r
+
+
+def test_rollup_cascade_levels_consistent_and_single_fact_scan(spark, sf_dir):
+    """Each level must equal a direct aggregation of the raw facts at
+    that granularity, and coarser levels' plans must re-aggregate the
+    finer level (one fact scan total per level chain)."""
+    from spark_etl_agent_spark.operators.incremental import rollup_cascade
+
+    ev = load(spark, sf_dir, "events")
+    levels = rollup_cascade(
+        ev, "ts", ["event_type"], [("value", "sum"), ("event_id", "count")],
+        granularities=["hour", "day", "month"],
+    )
+    for gran in ("hour", "day", "month"):
+        direct = (
+            ev.groupBy("event_type", F.date_trunc(gran, F.col("ts")).alias("bucket"))
+            .agg(
+                F.sum("value").alias("value"),
+                F.count(F.lit(1)).alias("event_id"),
+            )
+        )
+        got = {
+            (r.event_type, r.bucket): (round(r.value or 0, 4), r.event_id)
+            for r in levels[gran].collect()
+        }
+        want = {
+            (r.event_type, r.bucket): (round(r.value or 0, 4), r.event_id)
+            for r in direct.collect()
+        }
+        assert got == want and got, gran
+    # the monthly plan aggregates the chain, not three separate scans
+    plan = levels["month"]._sc._jvm.PythonSQLUtils.explainString(
+        levels["month"]._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0].split("== Initial Plan ==")[0]
+    assert tree.count("Scan parquet") == 1, tree
