@@ -706,3 +706,44 @@ def test_rollup_cascade_levels_consistent_and_single_fact_scan(spark, sf_dir):
     )
     tree = plan.split("\n\n")[0].split("== Initial Plan ==")[0]
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_rollup_cascade_incremental_refresh_equals_rebuild(spark, sf_dir):
+    """The incremental story: merge a delta into the finest level with
+    merge_partial_aggs, re-cascade, and land exactly where a full
+    rebuild lands — without the rebuild's raw re-scan."""
+    from spark_etl_agent_spark.operators.incremental import (
+        merge_partial_aggs,
+        rollup_cascade,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg(F.percentile_approx("ts", 0.8)).collect()[0][0]
+    old, delta = ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)
+    measures = [("value", "sum"), ("event_id", "count")]
+
+    # steady state: hourly level built from the old facts only
+    hourly_old = rollup_cascade(old, "ts", ["event_type"], measures,
+                                granularities=["hour"])["hour"]
+    # refresh: aggregate ONLY the delta to hourly partials, merge
+    hourly_delta = rollup_cascade(delta, "ts", ["event_type"], measures,
+                                  granularities=["hour"])["hour"]
+    hourly = merge_partial_aggs(
+        hourly_old, hourly_delta, ["event_type", "bucket"], measures
+    )
+    # cascade the merged hourly level up to daily
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("value").alias("value"), F.sum("event_id").alias("event_id"))
+
+    rebuilt = rollup_cascade(ev, "ts", ["event_type"], measures,
+                             granularities=["hour", "day"])["day"]
+    got = {
+        (r.event_type, r.bucket): (round(r.value or 0, 4), r.event_id)
+        for r in daily.collect()
+    }
+    want = {
+        (r.event_type, r.bucket): (round(r.value or 0, 4), r.event_id)
+        for r in rebuilt.collect()
+    }
+    assert got == want and got
