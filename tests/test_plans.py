@@ -343,3 +343,11 @@ def test_aqe_skew_join_splits_skewed_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_outlier_fences_quantiles_are_rank_based(spark, sf_dir):
+    """The fences query must carry NO in-memory percentile aggregate —
+    quantiles come from the range-partitioned rank path."""
+    plan = plan_of(SPECS["value_outlier_fences"].spark(spark, sf_dir))
+    assert "percentile" not in plan
+    assert "rangepartitioning" in plan
