@@ -747,3 +747,38 @@ def test_rollup_cascade_incremental_refresh_equals_rebuild(spark, sf_dir):
         for r in rebuilt.collect()
     }
     assert got == want and got
+
+
+def test_frequent_items_exact_counts_and_full_recall(spark, sf_dir):
+    """Every value above the share threshold must be found with its
+    exact count (MG candidates + exact recount), matching the plain
+    groupBy answer."""
+    from spark_etl_agent_spark.operators.sketches import frequent_items
+
+    li = load(spark, sf_dir, "lineitem")
+    got = {
+        r.l_returnflag: (r.n_rows, r.share_ppm)
+        for r in frequent_items(li, "l_returnflag", min_share=0.10).collect()
+    }
+    tot = li.count()
+    want = {
+        r.l_returnflag: (r.n, (r.n * 1_000_000) // tot)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.n > tot * 0.10
+    }
+    assert got == want and got
+
+
+def test_frequent_items_skewed_synthetic(spark):
+    """One dominant key among high-cardinality noise must surface with
+    an exact count at any partitioning."""
+    from spark_etl_agent_spark.operators.sketches import frequent_items
+
+    df = spark.range(100_000).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN 'HOT' ELSE concat('k', id) END AS k"
+    ).repartition(16)
+    rows = frequent_items(df, "k", min_share=0.05).collect()
+    assert {r.k for r in rows} == {"HOT"}
+    assert rows[0].n_rows == 20_000
