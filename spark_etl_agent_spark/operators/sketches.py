@@ -194,12 +194,13 @@ def frequent_items(
        (``capacity = capacity_factor / min_share`` counters) via
        Arrow-batched ``mapInPandas``: memory per task is the counter
        capacity, NOT the key cardinality, and each partition emits at
-       most ``capacity`` candidate rows. The MG guarantee: any value
-       with frequency > 1/capacity of a partition survives that
-       partition's summary, so a global heavy hitter survives in at
-       least the partitions where it is locally heavy — with
-       ``capacity_factor ≥ 2`` over uniform-ish sharding no true heavy
-       hitter is lost (the classic distributed-MG union bound).
+       most ``capacity`` candidate rows. Recall is guaranteed by
+       pigeonhole with NO sharding assumption: MG keeps any value
+       whose count in partition p exceeds ``n_p / capacity``; if a
+       value were dropped by EVERY partition its global count would be
+       ≤ ΣN_p/capacity = N/capacity < N·min_share — below threshold.
+       So every true heavy hitter survives somewhere, and one
+       surviving partition is enough to become a candidate.
     2. **Exact recount** — one semi-join of the fact column against the
        (tiny) distinct candidate set + a groupBy on candidates only.
        False-positive candidates are filtered by the final threshold;
