@@ -13,16 +13,16 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 
-echo "== stage 1/3: full suite @ sf0.001 =="
+echo "== stage 1/4: full suite @ sf0.001 =="
 python -m pytest tests/ -q
 
 if [[ "${1:-}" == "quick" ]]; then exit 0; fi
 
-echo "== stage 2/3: oracle parity @ sf0.01 (driver mirror) =="
+echo "== stage 2/4: oracle parity @ sf0.01 (driver mirror) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
   python -m pytest tests/test_oracle_parity.py tests/test_schema_contract.py -q
 
-echo "== stage 3/3: bench smoke @ sf0.01 =="
+echo "== stage 3/4: bench smoke @ sf0.01 =="
 out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py)
 echo "$out" | python -c '
 import json, sys
@@ -31,4 +31,7 @@ nq, tot, sf = len(d["queries"]), d["value"], d["sf"]
 assert nq > 0, "bench emitted no per-query timings"
 print(f"bench ok: {nq} queries, total {tot}s @ sf={sf}")
 '
+echo "== stage 4/4: scale-headroom smoke (10x data, sub-linear gate) =="
+python scripts/scale_smoke.py
+
 echo "== preship: ALL GREEN =="
