@@ -228,3 +228,54 @@ def unigram_doc_logprob(df: DataFrame, text_col: str = "text",
             F.sum("lp_micro").cast("double") / F.count(F.lit(1)).cast("double")
         ).cast("bigint").alias("avg_logprob_micro"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Boilerplate/repetition quality signal (the Gopher-rules shape):
+    per document, the share of tokens covered by its single most
+    repeated word n-gram — near 0 for natural prose, high for
+    templated/boilerplate text and degenerate loops.
+
+    Shape: per-doc n-grams via one ``transform`` over the token array
+    (no corpus-wide vocabulary), ``explode`` → count per (doc, gram) →
+    max per doc; shuffles on (doc, gram) then doc — both uniform,
+    map-side combined. The corpus is scanned once."""
+    words = words_of(F.col(text_col))
+    n = F.size(words)
+    grams = F.when(
+        n >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), n - (ngram - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + off) for off in range(ngram)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    exploded = df.select(
+        F.col(id_col), n.alias("_n_words"), F.explode_outer(grams).alias("gram")
+    )
+    per_gram = exploded.groupBy(id_col, "_n_words", "gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return per_gram.groupBy(id_col, "_n_words").agg(
+        F.max(F.when(F.col("gram").isNotNull(), F.col("_cnt")).otherwise(0)).alias(
+            "top_ngram_count"
+        )
+    ).select(
+        id_col,
+        F.col("_n_words").alias("n_words"),
+        "top_ngram_count",
+        F.when(
+            F.col("_n_words") >= ngram,
+            (F.col("top_ngram_count") * F.lit(ngram)).cast("double")
+            / F.col("_n_words"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )

@@ -64,3 +64,30 @@ def test_hashed_features_stateless_and_consistent(spark, sf_dir):
     for doc_id, feats in a.items():
         assert sum(feats.values()) == toks[doc_id]
         assert all(0 <= k < 1024 for k in feats)
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from spark_etl_agent_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "click here to win " * 25),                      # degenerate
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "wanders far away to sleep under an old oak tree today"),
+            (3, "too short"),                                    # < ngram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].repetition_ratio > 0.5
+    assert rows[2].repetition_ratio < 0.2
+    assert rows[3].repetition_ratio == 0.0 and rows[3].top_ngram_count == 0
+
+
+def test_repetition_stats_runs_on_corpus(spark, sf_dir):
+    from spark_etl_agent_spark.llm.text import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    rows = repetition_stats(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(0.0 <= r.repetition_ratio <= 1.0 + 1e-9 for r in rows)
