@@ -39,9 +39,15 @@ def quality_gate(
     min_words: int = 30,
     vowel_lo: float = 0.2,
     vowel_hi: float = 0.6,
+    max_repetition: Optional[float] = None,
 ) -> DataFrame:
     """The corpus_quality_filter gates as a reusable stage (same
-    heuristics as queries/subqueries.py::corpus_quality_filter)."""
+    heuristics as queries/subqueries.py::corpus_quality_filter).
+
+    ``max_repetition`` (opt-in) additionally drops documents whose
+    top-ngram coverage ratio (``llm.text.repetition_stats`` — the
+    Gopher-style boilerplate signal) exceeds the bound; costs one extra
+    pair of uniform-key shuffles over the gated docs only."""
     text = F.col("text")
     words = words_of(text)
     n_words = F.size(words).cast("long")
@@ -50,12 +56,20 @@ def quality_gate(
     ).cast("long")
     vowel_ratio = n_vowels.cast("double") / F.length(text).cast("long")
     en_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS))).cast("long")
-    return docs.filter(
+    gated = docs.filter(
         (n_words >= min_words)
         & (vowel_ratio >= vowel_lo)
         & (vowel_ratio <= vowel_hi)
         & (en_hits >= 1)
     )
+    if max_repetition is not None:
+        from ..llm.text import repetition_stats
+
+        ok = repetition_stats(gated).filter(
+            F.col("repetition_ratio") <= max_repetition
+        ).select("doc_id")
+        gated = gated.join(ok, "doc_id", "left_semi")
+    return gated
 
 
 class CorpusDedupService:

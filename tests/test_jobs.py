@@ -564,3 +564,23 @@ def test_corpus_dedup_contract_gate_rejects_broken_keys(spark, tmp_path):
     svc = CorpusDedupService(cat)
     with pytest.raises(RuntimeError, match="source contract violated"):
         svc.run_corpus_dedup_etl()
+
+
+def test_quality_gate_repetition_opt_in(spark):
+    from spark_etl_agent_spark.jobs.corpus import quality_gate
+
+    good = ("the cat sat near the door and then a dog walked in to see "
+            "what all of the noise was about in the little house today "
+            "while a bird watched on")
+    spammy = "win a prize now click here to " * 12
+    docs = spark.createDataFrame(
+        [(1, good), (2, spammy)], "doc_id long, text string"
+    )
+    base = {r.doc_id for r in quality_gate(docs, min_words=20).collect()}
+    gated = {
+        r.doc_id
+        for r in quality_gate(docs, min_words=20, max_repetition=0.3).collect()
+    }
+    assert 1 in base and 1 in gated
+    if 2 in base:            # spam passes the basic gates...
+        assert 2 not in gated  # ...but not the repetition bound

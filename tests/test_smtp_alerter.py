@@ -92,3 +92,28 @@ def test_smtp_alerter_failure_returns_false_not_raise():
     dead.close()
     alerter = SmtpAlerter("127.0.0.1", port, "a@example.invalid", ["b@example.invalid"])
     assert alerter.send_completion_notification("job", "SUCCESS", 5, 1.0) is False
+
+
+def test_jcap_variance_breach_sends_real_smtp_mail(spark, tmp_path):
+    """Integration: a variance breach inside the jcap service delivers
+    an actual SMTP message through the wire (reference
+    services/jcap_pa_etl_service.py:357-398 + email_service.py)."""
+    from spark_etl_agent_spark.jobs.jcap import JcapPaEtlService
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    srv = MiniSmtpServer()
+    alerter = SmtpAlerter(
+        "127.0.0.1", srv.port, "etl@example.invalid", ["oncall@example.invalid"]
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    svc = JcapPaEtlService(
+        cat, stage_path=str(tmp_path / "stage"), alerter=alerter
+    )
+    # 1000 -> 1200 rows = 20% variance >= default 5% threshold
+    out = svc._validate_and_alert(previous_count=1000, current_count=1200)
+    srv.thread.join(timeout=5)
+    assert out["threshold_exceeded"] and out["email_sent"] is True
+    assert len(srv.messages) == 1
+    _, _, data = srv.messages[0]
+    assert "Data Variance Alert: JCAP PA ETL" in data
+    assert "20.00%" in data
