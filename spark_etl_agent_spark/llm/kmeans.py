@@ -33,8 +33,16 @@ from pyspark.sql import functions as F
 from .similarity import cosine, dot, scaled
 
 
+# Above this codebook size the literal-expression plan gets unwieldy;
+# fall back to the broadcast-join form (still no full shuffle of the
+# vectors — but it fans rows out ×k before the per-vector argmax).
+MAX_LITERAL_CELLS = 128
+
+
 def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (tie → lower cell)."""
+    """Assign every vector to its max-cosine centroid (tie → lower
+    cell) — broadcast-join fallback for large codebooks. Fan-out is ×k
+    rows into a per-vector window; prefer :func:`_assign_literal`."""
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cell_sim").desc(), F.col("cell")
     )
@@ -47,6 +55,31 @@ def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select("vec_id", "svec", "norm_sq", "cell")
+    )
+
+
+def _assign_literal(base: DataFrame, cent_rows) -> DataFrame:
+    """Zero-shuffle assignment: the codebook is driver-sized by
+    definition, so embed each centroid as a literal array and pick the
+    argmax with ``array_max`` over k (sim, -cell) structs — ONE
+    codegen'd projection per round, no ×k row fan-out, no per-vector
+    window shuffle. Identical math and tie-break (max sim, then lower
+    cell via the negated id) to the join form."""
+    structs = []
+    for r in cent_rows:
+        cvec = F.array(*[F.lit(float(x)) for x in r.cvec])
+        sim = cosine(
+            dot(F.col("svec"), cvec), F.col("norm_sq"), F.lit(float(r.cnorm))
+        )
+        structs.append(
+            F.struct(sim.alias("s"), F.lit(-int(r.cell)).alias("negc"))
+        )
+    best = F.array_max(F.array(*structs))
+    return base.select(
+        "vec_id",
+        "svec",
+        "norm_sq",
+        (-best["negc"]).cast("long").alias("cell"),
     )
 
 
@@ -92,7 +125,14 @@ def train_cells(
     )
     assigned = None
     for _ in range(iters):
-        assigned = _assign(base, centroids).localCheckpoint()
+        if k <= MAX_LITERAL_CELLS:
+            # the codebook is bounded (k rows) — collecting it is the
+            # same driver posture as broadcasting it, and buys the
+            # zero-shuffle literal assignment
+            assigned = _assign_literal(base, centroids.collect())
+        else:
+            assigned = _assign(base, centroids)
+        assigned = assigned.localCheckpoint()
         centroids = _recompute(assigned)
     return assigned.select("vec_id", "cell")
 

@@ -782,3 +782,34 @@ def test_frequent_items_skewed_synthetic(spark):
     rows = frequent_items(df, "k", min_share=0.05).collect()
     assert {r.k for r in rows} == {"HOT"}
     assert rows[0].n_rows == 20_000
+
+
+def test_kmeans_literal_assign_equals_join_assign(spark, sf_dir):
+    """The zero-shuffle literal assignment must agree with the
+    broadcast-join form exactly (same math, same tie-break)."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.llm.kmeans import _assign, _assign_literal
+    from spark_etl_agent_spark.llm.similarity import dot, scaled
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id"), scaled(F.col("embedding")).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("svec").alias("cvec"),
+            F.col("norm_sq").alias("cnorm"),
+        )
+    )
+    joined = {
+        r.vec_id: r.cell for r in _assign(base, centroids).collect()
+    }
+    literal = {
+        r.vec_id: r.cell
+        for r in _assign_literal(base, centroids.collect()).collect()
+    }
+    assert joined == literal and len(joined) > 0
