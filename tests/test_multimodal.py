@@ -116,3 +116,25 @@ def test_model_backed_paths_are_marked_stubs(payloads):
         extract_features(payloads, real_extract=True).collect()
     with pytest.raises(Exception, match="NotImplementedError|STUB|real"):
         resize_stub(payloads, real_resize=True).collect()
+
+
+def test_multimodal_full_chain_composes_lazily(spark, sf_dir):
+    """The whole pipeline — attach real PNG payloads → CRC-verified
+    decode → feature extraction → frame sampling — composes as ONE lazy
+    DataFrame program (each stage consumes the previous stage's frame)
+    and the row accounting holds end-to-end."""
+    docs = load(spark, sf_dir, "documents").limit(40)
+    with_png = attach_png_payload(docs)
+    decoded = decode_png_metadata(with_png)
+    feats = extract_features(with_png)
+    frames = sample_frames(with_png, every_n_bytes=256)
+
+    n_docs = docs.count()
+    dec_rows = decoded.collect()
+    assert len(dec_rows) == n_docs and all(r.pixels_ok for r in dec_rows)
+    fr = feats.collect()
+    assert len(fr) == n_docs
+    assert all(len(r.features) == FEATURE_DIM for r in fr)
+    per_doc_frames = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc_frames) == n_docs
+    assert all(r["count"] >= 1 for r in per_doc_frames)
