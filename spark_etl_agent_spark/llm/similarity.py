@@ -295,6 +295,11 @@ def gemm_topk(
     Query vectors are collected to the driver (bounded: the query set is
     small by contract — same posture as the broadcast join in
     ``brute_force_topk``) and ship to workers inside the closure.
+    Worker memory per batch is ``maxRecordsPerBatch × dim × 8`` bytes
+    (the float64 candidate matrix): at the 10k-row Arrow default that is
+    ~5 MB for dim 64 but ~330 MB for dim 4096 — lower
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for high-dim
+    embedding tables.
     Float64 summation differs from the scaled-integer path in the last
     bits, so this variant is pinned against ``brute_force_topk`` for
     identical neighbor SETS (``tests/test_operators.py``) rather than
