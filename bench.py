@@ -91,22 +91,57 @@ def main() -> None:
     for name in sorted(specs):
         t0 = time.perf_counter()
         run_query_to_completion(specs[name].spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = round(time.perf_counter() - t0, 3)
         # per-query isolation: a pipeline's persisted intermediates
         # (shingle tables, CC edge lists) must not occupy executor
         # memory while later queries run
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 4)
-    line = json.dumps(
-        {
-            "metric": "inventory_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf_val,
-        }
-    )
+    total = round(sum(timings.values()), 3)
+
+    # Full per-query detail goes to a committed artifact; the stdout
+    # line must stay parseable through the driver's 2000-char stdout
+    # tail (rounds 1-3 recorded "parsed": null because the full
+    # 109-entry dict is ~3.2 KB and arrived front-truncated). The line
+    # carries the slowest queries that fit a conservative budget plus
+    # the totals; BENCH_SUMMARY_sf{sf}.json carries everything.
+    here = os.path.dirname(os.path.abspath(__file__))
+    summary = {
+        "metric": "inventory_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "shuffle_partitions": shuffle,
+        "cpus": cores,
+        "queries": timings,
+    }
+    with open(os.path.join(here, f"BENCH_SUMMARY_sf{sf}.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+
+    def emit(top_n: int) -> str:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
+        )
+        return json.dumps(
+            {
+                "metric": "inventory_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_omitted": len(timings) - len(slowest),
+                "full_detail": f"BENCH_SUMMARY_sf{sf}.json",
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    top_n = len(timings)
+    line = emit(top_n)
+    while len(line) > 1700 and top_n > 1:
+        top_n -= 5
+        line = emit(top_n)
     manager.stop()
     sys.stdout.flush()
     os.dup2(real_stdout, 1)

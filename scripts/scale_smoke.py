@@ -55,6 +55,60 @@ def blow_up(spark, out_dir: str) -> None:
     )
 
 
+# per-replica bijections of the most frequent letters: WITHIN a replica
+# every shingle/minhash relation is preserved exactly (bijective char
+# map), while ACROSS replicas most shingles differ — so the near-dup
+# pair count grows ~linearly with BLOWUP instead of quadratically
+# (identical replicas would put every copy in one LSH bucket and the
+# candidate join would measure data pathology, not plan scaling).
+_DOC_ROTS = [
+    "etaoins", "taoinse", "aoinset", "oinseta", "insetao",
+    "nsetaoi", "setaoin", "teaonis", "aetnios", "otaines",
+]
+
+
+def blow_up_llm(spark, out_dir: str) -> None:
+    """documents + embeddings replicas for the LLM-stack shapes.
+
+    Embeddings: replica r flips the sign of leading components where bit
+    i of r is set — norms and within-replica dot products are EXACTLY
+    preserved (both sides flip together), but cross-replica sign-bucket
+    keys diverge, so LSH buckets grow linearly in members and the
+    within-bucket quadratic compare stays a per-replica quantity."""
+    from functools import reduce
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    doc_parts = []
+    emb_parts = []
+    for r in range(BLOWUP):
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * max_doc))
+            .withColumn("text", F.translate("text", "etaoins", _DOC_ROTS[r % len(_DOC_ROTS)]))
+        )
+        flip = [bool((r >> i) & 1) for i in range(8)]
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * max_vec))
+            .withColumn(
+                "embedding",
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(-1.0 if (i < 8 and flip[i]) else 1.0) for i in range(64)]),
+                    lambda x, s: (x * s).cast("float"),
+                ),
+            )
+        )
+    reduce(lambda a, b: a.unionAll(b), doc_parts).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    reduce(lambda a, b: a.unionAll(b), emb_parts).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
 def shapes(spark, d: str):
     li = spark.read.parquet(f"{d}/lineitem.parquet")
     od = spark.read.parquet(f"{d}/orders.parquet")
@@ -80,13 +134,43 @@ def shapes(spark, d: str):
     }
 
 
-def run(spark, d: str) -> dict:
+def llm_shapes(spark, d: str):
+    """Headline LLM-stack shapes, built from the same registry code the
+    driver checks (not re-implementations)."""
+    from spark_etl_agent_spark.queries import registry
+
+    specs = registry()
+    return {
+        "minhash_neardup": specs["minhash_near_duplicates"].spark(spark, d),
+        "ann_ivf_topk": specs["ann_ivf_topk"].spark(spark, d),
+    }
+
+
+def components_with_rounds(spark, d: str):
+    """neardup_components with the per-round convergence trace exposed;
+    returns (DataFrame, round_stats list) — the list fills on execution."""
+    from spark_etl_agent_spark.llm import similarity as sim
+    from spark_etl_agent_spark.operators.graph import connected_components
+
+    pairs = sim.ann_bucketed_pairs(
+        spark.read.parquet(f"{d}/embeddings.parquet"), min_cosine=0.25
+    ).select("id_a", "id_b")
+    stats: list = []
+    labels = connected_components(pairs, round_stats=stats)
+    return labels, stats
+
+
+def run_dict(dfs: dict) -> dict:
     out = {}
-    for name, df in shapes(spark, d).items():
+    for name, df in dfs.items():
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         out[name] = time.perf_counter() - t0
     return out
+
+
+def run(spark, d: str) -> dict:
+    return run_dict(shapes(spark, d))
 
 
 def main():
@@ -101,9 +185,12 @@ def main():
     ).save()
 
     blow_up(spark, WORK)
+    blow_up_llm(spark, WORK)
     base = run(spark, SF_DIR)
     base = run(spark, SF_DIR)  # warm second run is the honest baseline
+    base.update(run_dict(llm_shapes(spark, SF_DIR)))
     big = run(spark, WORK)
+    big.update(run_dict(llm_shapes(spark, WORK)))
 
     print(f"{'shape':18s} {'sf0.1':>8s} {str(BLOWUP)+'x':>8s} {'ratio':>7s}")
     worst = 0.0
@@ -115,9 +202,35 @@ def main():
         f"worst ratio {worst:.1f}x on {BLOWUP}x data "
         f"({'SUB' if worst <= BLOWUP else 'SUPER'}-linear)"
     )
+
+    # components: the scale observable is rounds-to-converge (must grow
+    # ~log with data, not linearly — each round is a bounded shuffle)
+    _, rounds_base = components_with_rounds(spark, SF_DIR)
+    _, rounds_big = components_with_rounds(spark, WORK)
+    print(
+        f"neardup_components rounds: sf0.1={len(rounds_base)} "
+        f"{BLOWUP}x={len(rounds_big)}"
+    )
+    rounds_ok = len(rounds_big) <= len(rounds_base) + 3
+
+    # IVF: pruning must be real on this data — the probed cell count
+    # (nprobe=2) strictly below the total cell count means the
+    # candidate join skipped most of the index at both scales
+    n_cells = (
+        spark.read.parquet(f"{WORK}/embeddings.parquet")
+        .select("label").distinct().count()
+    )
+    print(f"ann_ivf_topk: {n_cells} cells, 2 probed per query")
+    ivf_ok = n_cells > 2
+
     shutil.rmtree(WORK, ignore_errors=True)
     m.stop()
-    sys.exit(0 if worst <= BLOWUP * 1.5 else 1)
+    ok = worst <= BLOWUP * 1.5 and rounds_ok and ivf_ok
+    if not rounds_ok:
+        print("FAIL: components convergence rounds grew super-log")
+    if not ivf_ok:
+        print("FAIL: IVF probe count does not prune cells")
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

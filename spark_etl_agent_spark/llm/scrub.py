@@ -63,16 +63,24 @@ def scrub_documents(
     df: DataFrame, text_col: str = "text", keep_original: bool = False
 ) -> DataFrame:
     """Scrub the corpus and count what was redacted per document (the
-    audit trail reviewers ask for). One projection; the per-rule counts
-    come from length differences of single-rule passes over the same
-    scan — still one pass over the data, no joins."""
-    scrubbed = scrub_pii(F.col(text_col))
-    counts = [
-        F.coalesce(
-            F.size(F.split(F.col(text_col), pattern)) - 1, F.lit(0)
-        ).alias(f"n_{name}")
-        for name, pattern, _ in PII_RULES
-    ]
+    audit trail reviewers ask for). One projection, no UDF, no joins.
+
+    Each rule's count is evaluated against the text AS THE RULE SEES
+    IT — i.e. after every preceding rule's replacement has been
+    applied — so overlapping patterns (a digit run matched by both the
+    card and phone shapes) are counted exactly once, by the rule that
+    actually rewrote them: the audit trail always agrees with the
+    scrubbed output."""
+    chained = F.col(text_col)
+    counts = []
+    for name, pattern, repl in PII_RULES:
+        counts.append(
+            F.coalesce(
+                F.size(F.split(chained, pattern)) - 1, F.lit(0)
+            ).alias(f"n_{name}")
+        )
+        chained = F.regexp_replace(chained, pattern, repl)
+    scrubbed = chained
     others = [c for c in df.columns if c != text_col]
     if keep_original:
         return df.select(

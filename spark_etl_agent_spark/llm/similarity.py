@@ -277,6 +277,7 @@ def gemm_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_driver_queries: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy GEMM — the vectorized
     execution of the same logical plan as :func:`brute_force_topk`.
@@ -292,9 +293,15 @@ def gemm_topk(
     global-refine reduction, exact because a global top-k row is
     necessarily a top-k row of its own batch.
 
-    Query vectors are collected to the driver (bounded: the query set is
-    small by contract — same posture as the broadcast join in
-    ``brute_force_topk``) and ship to workers inside the closure.
+    Query vectors are collected to the driver ONLY while the query set
+    is genuinely small; the bound is enforced, not assumed. A single
+    scalar ``count()`` sizes the query set first, and above
+    ``max_driver_queries`` the operator delegates to
+    :func:`brute_force_topk` — the same exact logical result computed as
+    a fully distributed broadcast join with ZERO data rows on the driver
+    (and, for query sets too large even to broadcast, AQE converts that
+    join to a shuffle join on its own). Below the bound the collected
+    matrix ships to workers inside the closure.
     Worker memory per batch is ``maxRecordsPerBatch × dim × 8`` bytes
     (the float64 candidate matrix): at the 10k-row Arrow default that is
     ~5 MB for dim 64 but ~330 MB for dim 4096 — lower
@@ -306,11 +313,13 @@ def gemm_topk(
     hashed as an oracle query."""
     import numpy as np
 
-    qrows = (
-        df.filter(F.col(id_col) < query_ids_below)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    qset = df.filter(F.col(id_col) < query_ids_below).select(id_col, vec_col)
+    if qset.count() > max_driver_queries:
+        # Too many queries for a driver round-trip: same exact answer
+        # via the distributed join path (scaled-int dot → identical
+        # neighbor sets; see module docstring on determinism).
+        return brute_force_topk(df, query_ids_below, k, vec_col, id_col)
+    qrows = qset.collect()
     out_schema = "query_id long, neighbor_id long, cosine_sim double"
     if not qrows:
         empty = df.sparkSession.createDataFrame([], out_schema)

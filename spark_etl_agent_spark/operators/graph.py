@@ -31,6 +31,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    round_stats: list = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id reachable from it: (node, component). Deterministic
@@ -44,6 +45,10 @@ def connected_components(
     (it splits one true component into several), so it must never be
     returned. With pointer jumping a chain of length 2^max_iters still
     converges, so the cap only fires on genuinely pathological inputs.
+
+    ``round_stats``, if given a list, receives one changed-label count
+    per executed round — the observable the scale smoke gates on
+    (rounds must grow ~logarithmically with the data, not linearly).
     """
     from pyspark import StorageLevel
 
@@ -96,6 +101,8 @@ def connected_components(
                 .localCheckpoint()
             )
             changed = new_labels.filter(F.col("_changed")).count()
+            if round_stats is not None:
+                round_stats.append(changed)
             labels = new_labels.drop("_changed")
             if changed == 0:
                 return labels

@@ -115,6 +115,10 @@ def expectation_report(
     violation_ppm, allowed_ppm, passed). The caller gates the load on
     ``passed`` (``bool_and`` over the frame, or anti-filter to quarantine
     the violating rows)."""
+    if not rules and not unique_keys:
+        raise ValueError(
+            "expectation_report needs at least one rule or unique_keys"
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, r in enumerate(rules):
         aggs.append(
@@ -126,21 +130,32 @@ def expectation_report(
         aggs.append(F.countDistinct(*[F.col(k) for k in unique_keys]).alias("__nd"))
     one = df.agg(*aggs)
 
-    stack_parts = []
+    # Typed unpivot (explode over structs), NOT a string-interpolated
+    # stack() selectExpr: rule names are data, never SQL text, so
+    # quotes/backslashes/any character in a name cannot break parsing.
+    entries = []
     names = []
     for i, r in enumerate(rules):
-        nm = r.name.replace("'", "")
-        names.append((nm, r.max_violation_ratio))
-        stack_parts.append(f"'{nm}', `__v_{i}`")
+        names.append((r.name, r.max_violation_ratio))
+        entries.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(f"__v_{i}").alias("n_violations"),
+            )
+        )
     if unique_keys:
         nm = "unique(" + ",".join(unique_keys) + ")"
         names.append((nm, 0.0))
-        stack_parts.append(f"'{nm}', `__n` - `__nd`")
-    n_rules = len(stack_parts)
-    rows = one.selectExpr(
-        "__n",
-        f"stack({n_rules}, {', '.join(stack_parts)}) AS (rule, n_violations)",
-    )
+        entries.append(
+            F.struct(
+                F.lit(nm).alias("rule"),
+                (F.col("__n") - F.col("__nd")).alias("n_violations"),
+            )
+        )
+    rows = one.select(
+        "__n", F.explode(F.array(*entries)).alias("__e")
+    ).select("__n", F.col("__e.rule").alias("rule"),
+             F.col("__e.n_violations").alias("n_violations"))
     allowed = F.create_map(
         *[x for nm, ratio in names for x in (F.lit(nm), F.lit(ratio))]
     )

@@ -95,7 +95,9 @@ def grouped_quantile_cont(
     requested quantile (``0.25 → q_25``). NULL values are dropped
     first — SQL ``quantile_cont`` / ``percentile`` semantics; a group
     with only NULLs produces no row (matching the aggregate's NULL by
-    absence of interpolable data)."""
+    absence of interpolable data). NULL group KEYS are kept as a real
+    group (all internal joins are null-safe), matching
+    ``groupBy().agg(percentile(...))``."""
     npart = npart or df.sparkSession.sparkContext.defaultParallelism
     gcols = [F.col(g) for g in groups]
     ranged = df.filter(F.col(value).isNotNull()).repartitionByRange(
@@ -119,9 +121,24 @@ def grouped_quantile_cont(
         F.sum("_psz").over(w_all).alias(_N),
     )
     w_local = Window.partitionBy(_PID, *groups).orderBy(F.col(value))
+    # Null-safe join on the group keys: a plain name-list equi-join
+    # would silently drop NULL-keyed groups, which Spark's own
+    # percentile()-over-groupBy keeps as a real group.
+    off_re = offsets.select(
+        *[F.col(g).alias(f"_og_{g}") for g in groups],
+        F.col(_PID).alias("_opid"),
+        _OFF,
+        _N,
+    )
+    off_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(g).eqNullSafe(F.col(f"_og_{g}")) for g in groups]
+        + [F.col(_PID) == F.col("_opid")],
+    )
     ranked = (
         ranged.withColumn(_LRN, F.row_number().over(w_local))
-        .join(F.broadcast(offsets), groups + [_PID])
+        .join(F.broadcast(off_re), off_cond)
+        .drop("_opid", *[f"_og_{g}" for g in groups])
         .withColumn("_rank", F.col(_OFF) + F.col(_LRN))
     )
 
@@ -142,7 +159,7 @@ def grouped_quantile_cont(
             (F.col("_h") - F.floor("_h")).alias("_frac"),
         )
     )
-    cond = [F.col(g) == F.col(f"_pg_{g}") for g in groups]
+    cond = [F.col(g).eqNullSafe(F.col(f"_pg_{g}")) for g in groups]
     cond.append(
         (F.col("_rank") == F.col("_rlo")) | (F.col("_rank") == F.col("_rhi"))
     )

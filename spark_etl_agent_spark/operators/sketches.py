@@ -26,6 +26,8 @@ def column_profile(df: DataFrame, keys: List[str], value: str) -> DataFrame:
     table; the rank-based form is identical and constant-memory."""
     from .ranks import grouped_quantile_cont
 
+    from functools import reduce as _reduce
+
     v = F.col(value)
     base = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
@@ -33,10 +35,22 @@ def column_profile(df: DataFrame, keys: List[str], value: str) -> DataFrame:
         F.max(v).alias("v_max"),
         F.sum(v.cast("decimal(12,4)")).cast("decimal(18,4)").cast("double").alias("v_sum"),
     )
-    med = grouped_quantile_cont(df.select(*keys, value), keys, value, [0.5])
-    return base.join(
-        med.select(*keys, F.col("q_50").alias("v_median")), keys
-    ).select(*keys, "n", "v_min", "v_max", "v_sum", "v_median")
+    # LEFT join with null-safe key equality: a group whose value column
+    # is entirely NULL has no quantile row (the rank pass drops NULL
+    # values), and a NULL group KEY would never equi-match — both must
+    # stay in the profile with v_median NULL, exactly as the SQL
+    # oracle's percentile aggregate behaves.
+    med = grouped_quantile_cont(df.select(*keys, value), keys, value, [0.5]).select(
+        *[F.col(g).alias(f"_mg_{g}") for g in keys],
+        F.col("q_50").alias("v_median"),
+    )
+    cond = _reduce(
+        lambda a, b: a & b,
+        [base[g].eqNullSafe(F.col(f"_mg_{g}")) for g in keys],
+    )
+    return base.join(med, cond, "left").select(
+        *keys, "n", "v_min", "v_max", "v_sum", "v_median"
+    )
 
 
 def agg_topk_per_group(
@@ -218,7 +232,11 @@ def frequent_items(
         counters: dict = {}
         for pdf in batches:
             for v in pdf[col]:
-                if v is None:
+                # pd.isna, not `is None`: pandas delivers SQL NULLs in
+                # float columns as NaN, and NaN != NaN would mint a
+                # fresh counter key per row — flooding the bounded set
+                # and evicting real candidates (recall break).
+                if pd.isna(v):
                     continue
                 if v in counters:
                     counters[v] += 1

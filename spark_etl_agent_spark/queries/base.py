@@ -177,11 +177,83 @@ def _collect_modules():
     )
 
 
+# The driver's per-round correctness harness oracles only the FIRST 50
+# registry entries (insertion order).  Rounds 1-3 covered 67 of the
+# declared queries; the 42 listed first below had never had an independent
+# driver CORRECTNESS row, so round 4 front-loads them into the window.
+# The trailing 8 are already-driver-passed canaries from distinct query
+# families (relational / jcap / windows / sets / streaming-batch / text /
+# dedup / lifecycle) kept inside the window as regression tripwires.
+# Every name is validated against the merged inventory at registry() time
+# so a rename or removal fails loudly instead of silently shrinking
+# coverage.
+DRIVER_WINDOW = (
+    # -- never driver-checked through round 3 (42) --
+    "multimodal_wav_decode",
+    "streaming_static_enrichment",
+    "streaming_watermark_dedup",
+    "streaming_sliding_agg",
+    "streaming_session_agg",
+    "snapshot_diff_orders",
+    "agg_topk_quantities",
+    "orders_table_profile",
+    "asof_join_clicks",
+    "band_join_parts",
+    "salted_agg_lineitem",
+    "quantity_profile",
+    "grouping_sets_revenue",
+    "unpivot_quarterly",
+    "string_similarity_pairs",
+    "filtered_aggregates",
+    "array_functions_gallery",
+    "stratified_sample_docs",
+    "weighted_sample_docs",
+    "deterministic_sample_docs",
+    "train_val_test_counts",
+    "trailing_interval_revenue",
+    "window_value_functions",
+    "returned_item_revenue",
+    "shipmode_priority_counts",
+    "large_volume_orders",
+    "idle_rich_customers",
+    "corpus_quality_filter",
+    "customer_order_distribution",
+    "nation_trade_volume",
+    "market_share",
+    "small_quantity_revenue",
+    "disjunctive_bracket_revenue",
+    "min_cost_supplier",
+    "exists_returned_orders",
+    "revenue_share_parts",
+    "top_supplier_quarter",
+    "lone_returner_suppliers",
+    "nation_year_profit",
+    "promo_revenue_share",
+    "parts_supplier_counts",
+    "dominant_part_suppliers",
+    # -- already-passed regression canaries (8) --
+    "pricing_summary",
+    "jcap_pa_extract",
+    "window_topk_per_group",
+    "set_operations",
+    "sessionization",
+    "tfidf_top_terms",
+    "exact_dedup",
+    "scd2_priority_history",
+)
+
+
 def registry() -> Dict[str, QuerySpec]:
-    out: Dict[str, QuerySpec] = {}
+    merged: Dict[str, QuerySpec] = {}
     for mod in _collect_modules():
         for name, spec in getattr(mod, "QUERIES", {}).items():
-            if name in out:
+            if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
-            out[name] = spec
+            merged[name] = spec
+    missing = [n for n in DRIVER_WINDOW if n not in merged]
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW names not in inventory: {missing}")
+    out: Dict[str, QuerySpec] = {n: merged[n] for n in DRIVER_WINDOW}
+    for name, spec in merged.items():
+        out.setdefault(name, spec)
     return out

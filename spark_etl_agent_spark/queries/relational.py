@@ -588,12 +588,58 @@ FROM orders GROUP BY o_orderstatus
 
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HLL) — algorithm-specific, so rows-only check."""
+    """Approximate distinct (HLL) with a cross-engine-checkable contract.
+
+    HLL sketch internals are engine-specific, so the raw estimate can't
+    hash-match an oracle. Instead each engine emits (a) the exact
+    distinct counts and (b) a boolean asserting its OWN HLL estimate
+    lands within ±10% of exact. Spark runs at rsd=0.02, so a 10% miss
+    is a 5-sigma event — and HLL is deterministic for fixed data, so
+    the booleans are stable, meaningful (they gate the approx
+    machinery's accuracy claim) and hash-comparable."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+
+    # Per-column pre-dedup instead of two countDistinct in one agg: the
+    # multi-distinct form compiles to an Expand that multiplies the
+    # fact-table scan rows by the distinct-column count before the
+    # shuffle; dedup-then-count is map-side partially aggregated and
+    # shuffles only distinct keys. HLL sketches are duplicate-
+    # insensitive (bucket-max updates), so running them over the
+    # deduped frame yields the identical estimate.
+    def col_stats(col: str, exact_name: str, flag_name: str):
+        d = li.select(col).distinct()
+        a = d.agg(
+            F.count(F.lit(1)).alias(exact_name),
+            F.approx_count_distinct(col, 0.02).alias("_a"),
+        )
+        return a.select(
+            exact_name,
+            (F.abs(F.col("_a") - F.col(exact_name)) * 10
+             <= F.col(exact_name)).alias(flag_name),
+        )
+
+    p = col_stats("l_partkey", "exact_parts", "parts_hll_within_10pct")
+    s = col_stats("l_suppkey", "exact_suppliers", "suppliers_hll_within_10pct")
+    return p.crossJoin(s).select(
+        "exact_parts",
+        "exact_suppliers",
+        "parts_hll_within_10pct",
+        "suppliers_hll_within_10pct",
     )
+
+
+APPROX_DISTINCT_PARTS_SQL = """
+WITH a AS (
+  SELECT COUNT(DISTINCT l_partkey) AS ep, COUNT(DISTINCT l_suppkey) AS es,
+         approx_count_distinct(l_partkey) AS ap,
+         approx_count_distinct(l_suppkey) AS asup
+  FROM lineitem
+)
+SELECT ep AS exact_parts, es AS exact_suppliers,
+  ABS(ap - ep) * 10 <= ep AS parts_hll_within_10pct,
+  ABS(asup - es) * 10 <= es AS suppliers_hll_within_10pct
+FROM a
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -858,8 +904,9 @@ QUERIES = {
         COUNT_DISTINCT_CUSTOMERS_SQL, "exact COUNT(DISTINCT)", ("agg",),
     ),
     "approx_distinct_parts": QuerySpec(
-        "approx_distinct_parts", approx_distinct_parts, None,
-        "approx_count_distinct (HLL; algorithm-specific → rows-only check)",
+        "approx_distinct_parts", approx_distinct_parts,
+        APPROX_DISTINCT_PARTS_SQL,
+        "approx_count_distinct (HLL) gated ±10% vs exact, both engines",
         ("agg", "approx"),
     ),
     "pivot_linestatus": QuerySpec(

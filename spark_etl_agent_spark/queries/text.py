@@ -171,20 +171,80 @@ FROM scored GROUP BY doc_id
 
 def bpe_train_merges(spark, sf_dir):
     """Iterative BPE training (6 merge rounds) over the corpus — the
-    ordered merge table a tokenizer ships. Rows-only checked: the loop
-    is not SQL-expressible (each round depends on the previous round's
-    collected winner); the algorithm is pinned against a pure-Python
-    reference in ``test_bpe_train_matches_pure_python_reference``."""
+    ordered merge table a tokenizer ships. Oracled by an UNROLLED
+    6-round DuckDB program (``_bpe_oracle_sql``): each round's winner
+    feeds the next round's re-segmentation, exactly like the Spark
+    loop, so the driver's independent check covers the full iterative
+    algorithm (additionally pinned against a pure-Python reference in
+    ``test_bpe_train_matches_pure_python_reference``)."""
     from ..llm.bpe import bpe_train
 
     table, _ = bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
     return table
 
 
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB oracle for ``bpe_train_merges``: the merge loop unrolled
+    into chained CTEs.
+
+    Vocabulary words are encoded as ``' a  b  c '`` — every symbol
+    separated by TWO spaces, with ONE space at each end. Merging pair
+    (a, b) is then a plain ``replace(w, ' a  b ', ' ab ')``: SQL
+    ``replace`` rewrites non-overlapping occurrences left-to-right,
+    which is exactly the greedy order of reference BPE (and of the
+    Spark side's anchored ``regexp_replace``), and the single-space
+    replacement string restores the invariant at the seam. Ties break
+    on the pair string in both engines (binary UTF-8 collation in
+    both). A round whose best pair occurs < 2 times yields an empty
+    winner CTE, which empties every later round — the same early-stop
+    the Spark loop takes."""
+    parts = [
+        "WITH v0 AS (",
+        "  SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),",
+        "                i -> word[i:i]), '  ') || ' ' AS w,",
+        "         CAST(count(*) AS BIGINT) AS f",
+        f"  FROM (SELECT unnest({_WORDS}) AS word FROM documents)",
+        "  WHERE length(word) >= 2 GROUP BY word",
+        ")",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts += [
+            f", e{r} AS (",
+            f"  SELECT s, f, unnest(range(1, len(s))) AS i",
+            f"  FROM (SELECT string_split(trim(w), '  ') AS s, f FROM v{p})",
+            ")",
+            f", w{r} AS (",
+            f"  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(f) AS BIGINT) AS n",
+            f"  FROM e{r} GROUP BY 1, 2 HAVING SUM(f) >= 2",
+            "  ORDER BY n DESC, (s[i] || ' ' || s[i + 1]) ASC LIMIT 1",
+            ")",
+        ]
+        if r < n_merges:
+            parts += [
+                f", v{r} AS (",
+                f"  SELECT replace(w, ' ' || a || '  ' || b || ' ',",
+                f"                 ' ' || a || b || ' ') AS w, f",
+                f"  FROM v{p}, w{r}",
+                ")",
+            ]
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a AS \"left\", b AS \"right\","
+        f" a || b AS merged, n AS n_occurrences FROM w{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    parts.append("\nUNION ALL\n".join(selects))
+    parts.append("ORDER BY merge_rank")
+    return "\n".join(parts)
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_oracle_sql(6)
+
+
 QUERIES = {
     "bpe_train_merges": QuerySpec(
-        "bpe_train_merges", bpe_train_merges, None,
-        "Iterative distributed BPE training (merge table); pytest-pinned",
+        "bpe_train_merges", bpe_train_merges, BPE_TRAIN_MERGES_SQL,
+        "Iterative distributed BPE training (merge table); unrolled-CTE oracle",
         ("text", "llm", "iterative"),
     ),
     "unigram_doc_logprob": QuerySpec(

@@ -813,3 +813,114 @@ def test_kmeans_literal_assign_equals_join_assign(spark, sf_dir):
         for r in _assign_literal(base, centroids.collect()).collect()
     }
     assert joined == literal and len(joined) > 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE regressions: NULL handling at group boundaries
+# ---------------------------------------------------------------------------
+
+def test_grouped_quantile_cont_null_group_key(spark):
+    """A NULL group key is a real group (null-safe internal joins),
+    matching groupBy().agg(percentile(...))."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.ranks import grouped_quantile_cont
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), (None, 5), (None, 15), (None, 25)],
+        "g string, v int",
+    )
+    got = {
+        r.g: r.q_50
+        for r in grouped_quantile_cont(df, ["g"], "v", [0.5]).collect()
+    }
+    ref = {
+        r.g: r.q50
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("q50"))
+        .collect()
+    }
+    assert got == ref and None in got  # {'a': 15.0, None: 15.0}
+
+
+def test_column_profile_keeps_all_null_and_null_key_groups(spark):
+    """Groups whose value column is entirely NULL, and NULL-keyed
+    groups, stay in the profile with v_median NULL — the behavior of
+    the SQL oracle's aggregate form (left + null-safe join)."""
+    from spark_etl_agent_spark.operators.sketches import column_profile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", None), ("b", None), (None, 7)],
+        "g string, v int",
+    )
+    rows = {r.g: r for r in column_profile(df, ["g"], "v").collect()}
+    assert set(rows) == {"a", "b", None}
+    assert rows["a"].v_median == 2.0 and rows["a"].n == 2
+    assert rows["b"].v_median is None and rows["b"].n == 2
+    assert rows["b"].v_sum is None
+    assert rows[None].v_median == 7.0 and rows[None].n == 1
+
+
+def test_frequent_items_numeric_nulls_do_not_flood_counters(spark):
+    """SQL NULLs arrive in pandas float columns as NaN; NaN != NaN, so
+    without pd.isna filtering every NULL row would mint a fresh counter
+    key and evict true candidates. Heavy hitter must survive a
+    NULL-majority column."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.sketches import frequent_items
+
+    vals = [(1.5,)] * 300 + [(None,)] * 5000 + [
+        (float(i),) for i in range(400)
+    ]
+    df = spark.createDataFrame(vals, "x double").repartition(8)
+    rows = {r.x: r.n_rows for r in frequent_items(df, "x", min_share=0.05).collect()}
+    assert rows.get(1.5) == 300
+
+
+def test_expectation_report_guards_and_hostile_rule_names(spark):
+    import pytest as _pytest
+
+    from spark_etl_agent_spark.operators.quality import (
+        Expectation, expectation_report, not_null,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "k int")
+    with _pytest.raises(ValueError):
+        expectation_report(df, [])
+
+    hostile = "k 'quoted' \\ backslash, comma"
+    rep = expectation_report(
+        df, [Expectation(hostile, not_null("k"), 0.0)]
+    ).collect()
+    assert rep[0].rule == hostile and rep[0].n_violations == 1
+
+
+def test_gemm_topk_large_query_set_never_collects(spark, sf_dir):
+    """Above max_driver_queries the operator must produce the exact
+    brute-force answer through the distributed join path with ZERO
+    driver-side data collection — collect() is patched to raise for the
+    duration of plan construction."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from spark_etl_agent_spark.llm.similarity import brute_force_topk, gemm_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    real_count = DataFrame.count
+
+    with mock.patch.object(
+        DataFrame, "collect",
+        side_effect=AssertionError("driver collect on the large-query path"),
+    ), mock.patch.object(DataFrame, "count", real_count):
+        plan = gemm_topk(emb, query_ids_below=8, k=5, max_driver_queries=2)
+
+    got = {
+        (r.query_id, r.rnk): r.neighbor_id for r in plan.collect()
+    }
+    exact = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in brute_force_topk(emb, query_ids_below=8, k=5).collect()
+    }
+    assert got == exact and len(got) > 0

@@ -91,3 +91,17 @@ def test_repetition_stats_runs_on_corpus(spark, sf_dir):
     rows = repetition_stats(docs).collect()
     assert len(rows) == docs.count()
     assert all(0.0 <= r.repetition_ratio <= 1.0 + 1e-9 for r in rows)
+
+
+def test_scrub_counts_agree_with_sequential_redaction(spark):
+    """Overlapping rules: the card digits would also partially match the
+    phone shape, but counts are evaluated on the text as each rule sees
+    it (after preceding replacements), so the audit trail matches the
+    actual rewrites: card=1, phone=0."""
+    df = spark.createDataFrame(
+        [(1, "pay 4111 1111 1111 1111 now")], "doc_id long, text string"
+    )
+    r = scrub_documents(df).collect()[0]
+    assert r.n_credit_card == 1
+    assert r.n_phone == 0
+    assert "<CARD>" in r.text and "<PHONE>" not in r.text

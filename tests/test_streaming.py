@@ -289,3 +289,101 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
 
     run_once()
     assert sum(out) == n1 + n2
+
+
+def test_watermark_advances_and_evicts_state_across_micro_batches(
+    spark, tmp_path
+):
+    """Rate-limited multi-micro-batch run (maxFilesPerTrigger=1): the
+    watermark must ADVANCE batch-over-batch, finalize (emit, append
+    mode) each closed window exactly once, DROP late rows that arrive
+    behind the watermark, and EVICT finalized windows from the state
+    store — the behavior class AvailableNow-single-batch runs never
+    exercise."""
+    import os
+    import shutil
+    from datetime import datetime
+
+    def ts(h, m=0):
+        return datetime(2025, 6, 1, h, m)
+
+    # five arrival files -> five+ micro-batches. Spark filters late
+    # events with the PREVIOUS batch's watermark (watermarkForLateEvents)
+    # and evicts state with the current one (watermarkForEviction), so
+    # the late rows are placed TWO batches after the data that advances
+    # the watermark past them:
+    #   f0: 3 rows in window [10:00,11:00)
+    #   f1: 2 rows at 13:00   (eviction wm -> 9:30)
+    #   f2: 1 row  at 16:00   (eviction wm 12:05 -> 10h window emitted)
+    #   f3: 2 LATE rows at 10:15 / 11:15 (late wm 12:05 -> DROPPED;
+    #       distinct windows because the drop metric counts
+    #       post-partial-aggregation rows) + 1 @ 20:00
+    #   f4: 1 row  at 23:00   (closes the 16h window)
+    batches = [
+        [(1, ts(10, 0)), (2, ts(10, 15)), (3, ts(10, 30))],
+        [(4, ts(13, 0)), (5, ts(13, 5))],
+        [(6, ts(16, 0))],
+        [(7, ts(10, 15)), (8, ts(11, 15)), (9, ts(20, 0))],
+        [(10, ts(23, 0))],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dst = src / f"f{i}.parquet"
+        shutil.copy(next(stage.glob("*.parquet")), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    emitted: list = []
+    n_batches: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: (
+                n_batches.append(bid),
+                emitted.extend((r.ws, r.n) for r in bdf.collect()),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    assert len(n_batches) >= 5  # genuinely multi-micro-batch
+    out = dict(emitted)
+    assert len(emitted) == len(out)  # append mode: each window once
+    # late rows (events 7,8) must NOT be in the finalized 10h window
+    # nor resurrect the never-populated 11h window
+    assert out[ts(10)] == 3
+    assert ts(11) not in out
+    assert out[ts(13)] == 2
+    # the 16h window closed once the 20:00 row advanced the watermark
+    assert out[ts(16)] == 1
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for so in p["stateOperators"]
+    )
+    assert dropped == 2  # exactly the two late rows
+    # eviction: finalized windows left the store — only the still-open
+    # 20h window may remain
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state <= 1
