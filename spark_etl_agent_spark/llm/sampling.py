@@ -82,3 +82,94 @@ def stratified_sample(
             (F.col(stratum_col) == stratum) & (b < int(rate * _HASH_SPACE))
         )
     return df.filter(cond)
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    weights: Dict[str, float],
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Domain-reweighting plan (the DoReMi/Pile-style mixture step):
+    given target mixture proportions and a repetition cap, compute the
+    LARGEST total corpus achievable — the binding domain is the one that
+    would have to repeat more than ``max_epochs`` times to meet its
+    share; every other domain is scaled down proportionally.
+
+    Returns one row per target domain:
+    ``(domain, n_avail, target_w, n_target, epochs)`` with
+    ``n_target = floor(target_w * scale)`` where
+    ``scale = min_d(n_avail_d * max_epochs / w_d)``.
+
+    Deterministic across engines: per-domain double division then a MIN
+    (no order-dependent summation); the scalar joins back via a
+    broadcast — counts are one map-side-partial aggregation over the
+    corpus, everything after is metadata-sized.
+    """
+    target_w = F.lit(None).cast("double")
+    for d, w in weights.items():
+        target_w = F.when(F.col(domain_col) == d, F.lit(float(w))).otherwise(
+            target_w
+        )
+    tagged = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn("target_w", target_w)
+        .filter(F.col("target_w").isNotNull())
+    )
+    scale = tagged.agg(
+        F.min(
+            F.col("n_avail").cast("double")
+            * F.lit(float(max_epochs))
+            / F.col("target_w")
+        ).alias("__scale")
+    )
+    return tagged.crossJoin(F.broadcast(scale)).select(
+        F.col(domain_col),
+        "n_avail",
+        "target_w",
+        F.floor(F.col("target_w") * F.col("__scale"))
+        .cast("bigint")
+        .alias("n_target"),
+        (
+            F.floor(F.col("target_w") * F.col("__scale")).cast("double")
+            / F.col("n_avail")
+        ).alias("epochs"),
+    )
+
+
+def resample_epochs(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    epochs: Dict[str, float],
+    salt: str = "mix1",
+) -> DataFrame:
+    """Materialize a fractional-epoch resampling: each row of domain d
+    is emitted ``floor(epochs_d)`` times plus one more with probability
+    ``frac(epochs_d)`` — so the expected multiplicity is exactly
+    ``epochs_d`` (``epochs_d < 1`` is a plain downsample). Acceptance of
+    the fractional copy hashes (key, copy index), so membership is a
+    pure row function — re-runs, repartitionings, and the DuckDB oracle
+    reproduce the corpus bit-for-bit.
+
+    Output = input columns + ``copy`` (1-based). The explode is a
+    zero-shuffle projection; output size is the only cost, exactly as a
+    repeated-epochs training corpus must be.
+    """
+    eps = F.lit(None).cast("double")
+    for d, e in epochs.items():
+        eps = F.when(F.col(domain_col) == d, F.lit(float(e))).otherwise(eps)
+    with_eps = df.withColumn("__eps", eps).filter(F.col("__eps").isNotNull())
+    exploded = with_eps.withColumn(
+        "copy", F.explode(F.sequence(F.lit(1), F.ceil("__eps").cast("int")))
+    )
+    frac = F.col("__eps") - F.floor("__eps")
+    keep = (F.col("copy") <= F.floor("__eps")) | (
+        hash_bucket(
+            F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col("copy")),
+            salt,
+        )
+        < F.floor(frac * _HASH_SPACE).cast("long")
+    )
+    return exploded.filter(keep).drop("__eps")

@@ -139,6 +139,7 @@ def _collect_modules():
         jcap,
         lifecycle,
         multimodal,
+        pretrain,
         relational,
         sampling,
         similarity,
@@ -174,6 +175,7 @@ def _collect_modules():
         tpch_multi,
         tpch_ext,
         tpch_final,
+        pretrain,
     )
 
 

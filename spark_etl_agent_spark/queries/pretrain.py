@@ -1,0 +1,241 @@
+"""Pretraining-corpus preparation inventory: benchmark decontamination,
+sequence packing (concat-and-chunk), and domain-mixture planning /
+fractional-epoch resampling (``llm.decontam``, ``llm.packing``,
+``llm.sampling``).
+
+These are the corpus-assembly steps downstream of dedup/quality in a
+training-data pipeline (SURVEY.md §7 LLM extension surface; no reference
+analogue — the reference delegates all analytics to Redshift SQL,
+services/jcap_pa_etl_service.py:176-227). Every query here is
+oracle-checked against DuckDB with exact integer arithmetic or
+single-division doubles, so results are bitwise engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llm.decontam import ngram_contamination
+from ..llm.packing import pack_chunks, packing_summary
+from ..llm.sampling import mixture_plan, resample_epochs
+from ..llm.text import words_of
+from .base import QuerySpec, load
+
+_WORDS = r"string_split_regex(lower(text), '\s+')"
+
+# ---------------------------------------------------------------------------
+# decontaminate_corpus
+
+
+def decontaminate_corpus(spark, sf_dir):
+    """Flag training docs sharing any word 3-gram with the held-out
+    eval slice (doc_id % 97 == 0 stands in for a benchmark set). The
+    benchmark n-gram set broadcasts; the corpus never shuffles for the
+    membership probe — only for the per-doc aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(train, bench, n=3)
+
+
+DECONTAMINATE_CORPUS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ngram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       count(*) AS n_total_m,
+       count(b.ngram) AS n_matched_m,
+       CAST(count(b.ngram) AS DOUBLE) / count(*) AS contamination_ratio
+FROM grams g LEFT JOIN bench b USING (ngram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# pack_documents / packing_audit
+
+_BUDGET = 256
+
+
+def _packed(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words_of(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_chunks(docs, order_col="doc_id", tokens_col="n_tokens",
+                       budget=_BUDGET)
+
+
+def pack_documents(spark, sf_dir):
+    """Concat-and-chunk span assignment: every document's half-open
+    token-stream span and chunk range at a 256-token sequence length —
+    computed with range-partitioned offsets, never a one-partition
+    global window."""
+    return _packed(spark, sf_dir).select(
+        "doc_id", "n_tokens", "start_off", "end_off",
+        "chunk_first", "chunk_last", "n_chunks",
+    )
+
+
+_PACK_CUM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS end_off
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, n_tokens, end_off, end_off - n_tokens AS start_off,
+    (end_off - n_tokens) // {_BUDGET} AS chunk_first,
+    greatest((end_off - n_tokens) // {_BUDGET},
+             (end_off - 1) // {_BUDGET}) AS chunk_last
+  FROM cum
+)
+"""
+
+PACK_DOCUMENTS_SQL = (
+    _PACK_CUM_SQL
+    + """
+SELECT doc_id, n_tokens, start_off, end_off, chunk_first, chunk_last,
+       chunk_last - chunk_first + 1 AS n_chunks
+FROM spans
+"""
+)
+
+
+def packing_audit(spark, sf_dir):
+    """Corpus-level packing report: total tokens/chunks, boundary
+    straddlers, tail-chunk fill."""
+    return packing_summary(_packed(spark, sf_dir), budget=_BUDGET)
+
+
+PACKING_AUDIT_SQL = (
+    _PACK_CUM_SQL
+    + f"""
+SELECT count(*) AS n_docs,
+       max(end_off) AS total_tokens,
+       (max(end_off) + {_BUDGET} - 1) // {_BUDGET} AS n_chunks_total,
+       CAST(sum(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddling,
+       CASE WHEN max(end_off) % {_BUDGET} = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(max(end_off) % {_BUDGET} AS DOUBLE) / {_BUDGET}.0
+       END AS tail_fill_ratio
+FROM spans
+"""
+)
+
+# ---------------------------------------------------------------------------
+# mixture_plan_langs
+
+_MIX_W = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+_MAX_EPOCHS = 4.0
+
+
+def mixture_plan_langs(spark, sf_dir):
+    """Language-mixture plan: largest corpus hitting the target language
+    proportions without repeating any language more than 4 epochs."""
+    docs = load(spark, sf_dir, "documents")
+    return mixture_plan(docs, "lang", _MIX_W, max_epochs=_MAX_EPOCHS)
+
+
+_W_CASE = "CASE lang " + " ".join(
+    f"WHEN '{d}' THEN CAST({w} AS DOUBLE)" for d, w in _MIX_W.items()
+) + " END"
+
+MIXTURE_PLAN_LANGS_SQL = f"""
+WITH tagged AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_avail, {_W_CASE} AS target_w
+  FROM documents GROUP BY lang
+),
+scalar AS (
+  SELECT min(CAST(n_avail AS DOUBLE) * {_MAX_EPOCHS} / target_w) AS scale
+  FROM tagged WHERE target_w IS NOT NULL
+)
+SELECT lang, n_avail, target_w,
+       CAST(floor(target_w * scale) AS BIGINT) AS n_target,
+       CAST(floor(target_w * scale) AS DOUBLE) / n_avail AS epochs
+FROM tagged, scalar
+WHERE target_w IS NOT NULL
+"""
+
+# ---------------------------------------------------------------------------
+# mixture_resample_counts
+
+_EPOCHS = {"en": 1.0, "de": 2.5, "es": 0.6, "fr": 1.75, "zh": 3.25}
+
+
+def mixture_resample_counts(spark, sf_dir):
+    """Fractional-epoch materialization audit: emit floor(e) copies per
+    doc plus a hash-gated extra (P = frac(e)); per-language emitted/
+    unique counts. Membership hashes (doc_id, copy) so the resampled
+    corpus is bit-reproducible at any partitioning — verified row-for-
+    row by the oracle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = resample_epochs(docs, key_col="doc_id", domain_col="lang",
+                          epochs=_EPOCHS)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_E_CASE = "CASE lang " + " ".join(
+    f"WHEN '{d}' THEN CAST({e} AS DOUBLE)" for d, e in _EPOCHS.items()
+) + " END"
+
+MIXTURE_RESAMPLE_COUNTS_SQL = f"""
+WITH e AS (
+  SELECT doc_id, lang, {_E_CASE} AS eps FROM documents
+),
+exploded AS (
+  SELECT doc_id, lang, eps, copy
+  FROM e, LATERAL unnest(generate_series(1, CAST(ceil(eps) AS INT))) AS u(copy)
+  WHERE eps IS NOT NULL
+)
+SELECT lang, count(*) AS n_emitted, count(DISTINCT doc_id) AS n_docs
+FROM exploded
+WHERE copy <= floor(eps)
+   OR CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(copy AS VARCHAR)), 1, 8) AS BIGINT)
+      < CAST(floor((eps - floor(eps)) * 4294967296) AS BIGINT)
+GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "decontaminate_corpus": QuerySpec(
+        "decontaminate_corpus", decontaminate_corpus,
+        DECONTAMINATE_CORPUS_SQL,
+        "Benchmark n-gram decontamination (broadcast eval-set probe)",
+        ("llm", "decontam", "join"),
+    ),
+    "pack_documents": QuerySpec(
+        "pack_documents", pack_documents, PACK_DOCUMENTS_SQL,
+        "Concat-and-chunk sequence packing spans (distributed offsets)",
+        ("llm", "packing", "window"),
+    ),
+    "packing_audit": QuerySpec(
+        "packing_audit", packing_audit, PACKING_AUDIT_SQL,
+        "Corpus packing summary (chunks, straddlers, tail fill)",
+        ("llm", "packing", "agg"),
+    ),
+    "mixture_plan_langs": QuerySpec(
+        "mixture_plan_langs", mixture_plan_langs, MIXTURE_PLAN_LANGS_SQL,
+        "Domain-mixture plan under an epoch cap",
+        ("llm", "sampling", "agg"),
+    ),
+    "mixture_resample_counts": QuerySpec(
+        "mixture_resample_counts", mixture_resample_counts,
+        MIXTURE_RESAMPLE_COUNTS_SQL,
+        "Fractional-epoch resampling audit (hash-gated extra copy)",
+        ("llm", "sampling", "agg"),
+    ),
+}

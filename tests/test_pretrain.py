@@ -1,0 +1,217 @@
+"""Unit tests for the pretraining-corpus operators: decontamination,
+sequence packing, mixture planning / fractional-epoch resampling.
+
+Oracle parity of the registered queries is covered by
+``test_oracle_parity.py``; this file pins the operator-level invariants
+the oracle cannot see — partition-count independence, plan shape
+(broadcast probe, no single-partition window stage), planted-case
+semantics, and epoch-cap arithmetic.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_etl_agent_spark.llm.decontam import doc_ngrams, ngram_contamination
+from spark_etl_agent_spark.llm.packing import pack_chunks, packing_summary
+from spark_etl_agent_spark.llm.sampling import mixture_plan, resample_epochs
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def test_planted_contamination_is_flagged(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota kappa"),     # clean
+            (3, "x y"),                            # < n words: no n-grams
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "pre alpha beta gamma post")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(train, bench).collect()}
+    assert out[1]["n_matched_m"] == 1 and out[1]["n_total_m"] == 2
+    assert out[1]["contamination_ratio"] == pytest.approx(0.5)
+    assert out[2]["n_matched_m"] == 0
+    assert 3 not in out  # no n-grams -> no row, by contract
+
+
+def test_doc_ngrams_distinct_within_doc(spark):
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    grams = {r["ngram"] for r in doc_ngrams(df, n=2).collect()}
+    assert grams == {"a b", "b a"}
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    from spark_etl_agent_spark.queries.pretrain import decontaminate_corpus
+
+    plan = decontaminate_corpus(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# packing
+
+
+def _toy_docs(spark):
+    # token counts chosen so docs straddle 10-token chunks:
+    # cum: 4, 12, 12+9=21, 30, 35
+    data = [(1, 4), (2, 8), (3, 9), (4, 9), (5, 5)]
+    return spark.createDataFrame(data, ["doc_id", "n_tokens"])
+
+
+def test_pack_chunks_exact_spans(spark):
+    out = _rows(
+        pack_chunks(_toy_docs(spark), "doc_id", "n_tokens", budget=10).select(
+            "doc_id", "start_off", "end_off", "chunk_first", "chunk_last"
+        ),
+        "doc_id",
+    )
+    assert out == [
+        (1, 0, 4, 0, 0),
+        (2, 4, 12, 0, 1),   # straddles chunk 0/1 boundary
+        (3, 12, 21, 1, 2),
+        (4, 21, 30, 2, 2),  # ends exactly on a boundary: stays in chunk 2
+        (5, 30, 35, 3, 3),
+    ]
+
+
+def test_pack_chunks_partition_count_independent(spark):
+    docs = _toy_docs(spark)
+    base = _rows(
+        pack_chunks(docs, "doc_id", "n_tokens", budget=10, npart=1), "doc_id"
+    )
+    for npart in (2, 3, 7):
+        assert (
+            _rows(
+                pack_chunks(docs, "doc_id", "n_tokens", budget=10, npart=npart),
+                "doc_id",
+            )
+            == base
+        )
+
+
+def test_pack_chunks_spans_are_contiguous(spark, sf_dir):
+    from spark_etl_agent_spark.queries.pretrain import pack_documents
+
+    packed = pack_documents(spark, sf_dir)
+    # every start_off equals the previous doc's end_off (one virtual
+    # stream, no gaps/overlaps), checked distributedly via a lag window
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    gaps = (
+        packed.withColumn("prev_end", F.lag("end_off", 1, 0).over(w))
+        .filter(F.col("start_off") != F.col("prev_end"))
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_pack_zero_token_doc_gets_empty_span(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], ["doc_id", "n_tokens"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_chunks(docs, "doc_id", "n_tokens", budget=4).collect()
+    }
+    assert out[2]["start_off"] == out[2]["end_off"] == 10
+    assert out[2]["chunk_first"] == out[2]["chunk_last"] == 2
+    assert out[2]["n_chunks"] == 1
+
+
+def test_packing_summary_counts(spark):
+    packed = pack_chunks(_toy_docs(spark), "doc_id", "n_tokens", budget=10)
+    row = packing_summary(packed, budget=10).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["total_tokens"] == 35
+    assert row["n_chunks_total"] == 4
+    assert row["n_straddling"] == 2  # docs 2 and 3
+    assert row["tail_fill_ratio"] == pytest.approx(0.5)
+
+
+def test_pack_has_no_single_partition_global_window(spark, sf_dir):
+    """The scale gate: the executed plan must not contain a window over
+    an empty partition spec on the DATA path (the offsets table —
+    metadata, <= npart rows — is the only allowed global window)."""
+    from spark_etl_agent_spark.queries.pretrain import pack_documents
+
+    plan = pack_documents(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # data-side window must be partitioned by the pack partition id
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "__pack_pid" in ln
+    ]
+    assert data_windows, plan
+    # the global (unpartitioned) windows in the plan may only order the
+    # metadata offsets table, whose input is the tiny _ptok aggregate
+    for ln in plan.splitlines():
+        if re.search(r"Window \[sum\(n_tokens", ln):
+            assert "__pack_pid" in ln, ln
+
+
+# ---------------------------------------------------------------------------
+# mixture planning / resampling
+
+
+def _lang_docs(spark):
+    rows = [(i, "en") for i in range(100)] + [(i + 100, "de") for i in range(20)]
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+def test_mixture_plan_binding_domain_hits_epoch_cap(spark):
+    # targets: en 50%, de 50%; de has 20 docs so at 4 epochs the corpus
+    # caps at 160 total -> en target 80 (0.8 epochs), de target 80 (4.0)
+    plan = {
+        r["lang"]: r
+        for r in mixture_plan(
+            _lang_docs(spark), "lang", {"en": 0.5, "de": 0.5}, max_epochs=4.0
+        ).collect()
+    }
+    assert plan["de"]["n_target"] == 80 and plan["de"]["epochs"] == pytest.approx(4.0)
+    assert plan["en"]["n_target"] == 80 and plan["en"]["epochs"] == pytest.approx(0.8)
+
+
+def test_mixture_plan_respects_epoch_cap_everywhere(spark, sf_dir):
+    from spark_etl_agent_spark.queries.pretrain import mixture_plan_langs
+
+    for r in mixture_plan_langs(spark, sf_dir).collect():
+        assert r["epochs"] <= 4.0 + 1e-9
+        assert r["n_target"] >= 0
+
+
+def test_resample_epochs_multiplicities(spark):
+    docs = _lang_docs(spark)
+    out = resample_epochs(
+        docs, key_col="doc_id", domain_col="lang",
+        epochs={"en": 2.0, "de": 0.5},
+    )
+    per_doc = {
+        (r["lang"], r["doc_id"]): r["n"]
+        for r in out.groupBy("lang", "doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # integer epochs: exactly 2 copies of every en doc
+    en_counts = [v for (lang, _), v in per_doc.items() if lang == "en"]
+    assert en_counts and all(v == 2 for v in en_counts)
+    # fractional 0.5: each de doc appears 0 or 1 times; total near 10
+    de_total = sum(v for (lang, _), v in per_doc.items() if lang == "de")
+    assert 4 <= de_total <= 16
+
+
+def test_resample_epochs_is_partitioning_independent(spark):
+    docs = _lang_docs(spark)
+    kw = dict(key_col="doc_id", domain_col="lang",
+              epochs={"en": 1.25, "de": 2.75})
+    a = _rows(resample_epochs(docs, **kw), "doc_id", "copy")
+    b = _rows(resample_epochs(docs.repartition(13), **kw), "doc_id", "copy")
+    assert a == b
