@@ -332,3 +332,126 @@ def simhash_bits(
         for b in range(n_bits)
     ]
     return votes.select(F.col(id_col), F.concat(*bitchars).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# incremental (index-probe) near-dup detection
+
+
+def _banded(signatures: DataFrame, id_col: str, n_hashes: int,
+            band_size: int) -> DataFrame:
+    """(id, band_idx, band_key) rows; shingle-less docs dropped before
+    banding (see lsh_candidate_pairs for the md5('')-clique hazard)."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.filter(F.col("mh0").isNotNull()).select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
+    )
+
+
+def lsh_probe_pairs(
+    index_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Asymmetric LSH probe: candidate (batch, index) pairs — the
+    incremental-ingest shape. The corpus index is NOT self-joined;
+    the (small) new batch's banded keys broadcast and the index streams
+    through a broadcast hash join, so probing N new docs against a
+    100 TB index costs one index scan regardless of index size.
+
+    Returns distinct ``(id_batch, id_index)`` candidates."""
+    idx = _banded(index_sigs, id_col, n_hashes, band_size)
+    new = _banded(batch_sigs, id_col, n_hashes, band_size)
+    return (
+        idx.alias("i")
+        .join(
+            F.broadcast(new.alias("n")),
+            (F.col("i.band_idx") == F.col("n.band_idx"))
+            & (F.col("i.band_key") == F.col("n.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_batch"),
+            F.col(f"i.{id_col}").alias("id_index"),
+        )
+        .distinct()
+    )
+
+
+def incremental_neardup_verdicts(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """Per-new-document ingest verdict against an existing corpus:
+    ``(id, n_matches, best_match_id, best_jaccard, is_novel)`` where a
+    match is an index document with exact shingle-Jaccard ≥
+    ``min_jaccard`` among the LSH candidates; the best match breaks
+    Jaccard ties on the smaller index id (total order → deterministic
+    across engines and partitionings).
+
+    Documents too short to shingle (< k words) have nothing to probe
+    and are reported novel with ``n_matches = 0`` — the conservative
+    ingest decision (they can still be caught by exact dedup).
+
+    Scale: signatures are two uniform-key aggregations; the probe join
+    broadcasts only the batch bands; Jaccard verification touches only
+    candidate pairs. Nothing in the plan grows with index × batch.
+    """
+    pairs = lsh_probe_pairs(
+        minhash_signatures(index_docs, text_col, id_col),
+        minhash_signatures(batch_docs, text_col, id_col),
+        id_col,
+    ).select(
+        F.col("id_batch").alias("id_a"), F.col("id_index").alias("id_b")
+    )
+    # ids of the two tables are disjoint by contract, so one shingle
+    # table serves both verify sides
+    both = batch_docs.select(id_col, text_col).unionByName(
+        index_docs.select(id_col, text_col)
+    )
+    verified = jaccard_verify(both, pairs, text_col, id_col)
+    matches = verified.filter(F.col("jaccard") >= min_jaccard)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("jaccard").desc(), F.col("id_b").asc()
+    )
+    best = (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .groupBy("id_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min(F.when(F.col("__rn") == 1, F.col("id_b"))).alias(
+                "best_match_id"
+            ),
+            F.min(F.when(F.col("__rn") == 1, F.col("jaccard"))).alias(
+                "best_jaccard"
+            ),
+        )
+    )
+    return (
+        batch_docs.select(F.col(id_col))
+        .join(best.withColumnRenamed("id_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            "best_match_id",
+            "best_jaccard",
+            (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("is_novel"),
+        )
+    )

@@ -192,6 +192,83 @@ FROM votes GROUP BY doc_id
 """
 
 
+def incremental_neardup_probe(spark, sf_dir):
+    """Incremental-ingest dedup: every 10th document plays the 'new
+    batch', the rest the existing corpus index. Batch bands broadcast
+    and probe the index — no index self-join; per new doc, the verdict
+    (match count at Jaccard ≥ 0.6, best match, novelty)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    return D.incremental_neardup_verdicts(
+        index_docs=docs.filter(F.col("doc_id") % 10 != 0),
+        batch_docs=docs.filter(F.col("doc_id") % 10 == 0),
+        min_jaccard=0.6,
+    )
+
+
+_PROBE_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
+    "WHERE mh0 IS NOT NULL"
+    for b in range(D.N_MINHASHES // D.BAND_SIZE)
+)
+
+INCREMENTAL_NEARDUP_PROBE_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    {_MH}
+  FROM sh
+),
+banded AS (
+  {_PROBE_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS id_a, i.doc_id AS id_b
+  FROM banded n JOIN banded i
+    ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+),
+shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+verified AS (
+  SELECT p.id_a, p.id_b,
+    CAST(coalesce(c.n_common, 0) AS DOUBLE)
+      / (na.n_shingles + nb.n_shingles - coalesce(c.n_common, 0)) AS jaccard
+  FROM pairs p
+  LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+  JOIN sizes na ON na.doc_id = p.id_a
+  JOIN sizes nb ON nb.doc_id = p.id_b
+),
+matches AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY jaccard DESC, id_b ASC) AS rn
+  FROM verified WHERE jaccard >= 0.6
+),
+best AS (
+  SELECT id_a, count(*) AS n_matches,
+    min(CASE WHEN rn = 1 THEN id_b END) AS best_match_id,
+    min(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard
+  FROM matches GROUP BY id_a
+)
+SELECT d.doc_id,
+  coalesce(b.n_matches, 0) AS n_matches,
+  b.best_match_id,
+  b.best_jaccard,
+  coalesce(b.n_matches, 0) = 0 AS is_novel
+FROM documents d LEFT JOIN best b ON b.id_a = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
 QUERIES = {
     "exact_dedup": QuerySpec(
         "exact_dedup", exact_dedup, EXACT_DEDUP_SQL,
@@ -220,5 +297,11 @@ QUERIES = {
     "simhash_fingerprints": QuerySpec(
         "simhash_fingerprints", simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL,
         "64-bit SimHash via per-bit majority vote", ("dedup", "llm"),
+    ),
+    "incremental_neardup_probe": QuerySpec(
+        "incremental_neardup_probe", incremental_neardup_probe,
+        INCREMENTAL_NEARDUP_PROBE_SQL,
+        "Ingest-time LSH probe of a new batch against the corpus index",
+        ("dedup", "llm", "join"),
     ),
 }

@@ -19,7 +19,7 @@ from ..llm.decontam import ngram_contamination
 from ..llm.packing import pack_chunks, packing_summary
 from ..llm.sampling import mixture_plan, resample_epochs
 from ..llm.text import words_of
-from .base import QuerySpec, load
+from .base import QuerySpec, fan_out, load
 
 _WORDS = r"string_split_regex(lower(text), '\s+')"
 
@@ -31,8 +31,12 @@ def decontaminate_corpus(spark, sf_dir):
     """Flag training docs sharing any word 3-gram with the held-out
     eval slice (doc_id % 97 == 0 stands in for a benchmark set). The
     benchmark n-gram set broadcasts; the corpus never shuffles for the
-    membership probe — only for the per-doc aggregation."""
-    docs = load(spark, sf_dir, "documents")
+    membership probe — only for the per-doc aggregation. ``fan_out``
+    widens the single-file fixture scan before the compute-heavy n-gram
+    explode (a no-op on a many-split 100 TB scan; without it the whole
+    explode serializes into one task — measured 8.4 s → 1.4 s at
+    sf0.1)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return ngram_contamination(train, bench, n=3)

@@ -215,3 +215,61 @@ def test_resample_epochs_is_partitioning_independent(spark):
     a = _rows(resample_epochs(docs, **kw), "doc_id", "copy")
     b = _rows(resample_epochs(docs.repartition(13), **kw), "doc_id", "copy")
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup probe (ingest-time dedup against a corpus index)
+
+
+def test_incremental_probe_planted_neardup(spark):
+    from spark_etl_agent_spark.llm.dedup import incremental_neardup_verdicts
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    index = spark.createDataFrame(
+        [(1, base), (2, "completely different words about other things entirely")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base + " lambda"),   # near-dup of doc 1
+            (101, "nothing like anything in the index corpus at all here"),
+            (102, "x y"),              # too short to shingle -> novel
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_neardup_verdicts(index, batch, min_jaccard=0.5).collect()
+    }
+    assert len(out) == 3  # every batch doc gets a verdict row
+    assert out[100]["is_novel"] is False and out[100]["best_match_id"] == 1
+    assert out[100]["best_jaccard"] > 0.5
+    assert out[101]["is_novel"] is True and out[101]["best_match_id"] is None
+    assert out[102]["is_novel"] is True and out[102]["n_matches"] == 0
+
+
+def test_incremental_probe_broadcasts_batch_not_index(spark, sf_dir):
+    """The scale gate for ingest: the BATCH bands broadcast; the index
+    is never self-joined and never broadcast."""
+    from spark_etl_agent_spark.queries.dedup import incremental_neardup_probe
+
+    plan = (
+        incremental_neardup_probe(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_probe_best_match_tie_breaks_on_min_id(spark):
+    from spark_etl_agent_spark.llm.dedup import incremental_neardup_verdicts
+
+    dup = "one two three four five six seven eight nine ten"
+    index = spark.createDataFrame(
+        [(5, dup), (3, dup)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame([(100, dup)], ["doc_id", "text"])
+    row = incremental_neardup_verdicts(index, batch, min_jaccard=0.9).collect()[0]
+    assert row["n_matches"] == 2
+    assert row["best_match_id"] == 3  # jaccard tie -> smaller index id
+    assert row["best_jaccard"] == 1.0
