@@ -116,3 +116,50 @@ def bpe_train(
         "merge_rank int, left string, right string, merged string, n_occurrences long",
     )
     return table, merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: List[Tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge list to every document and report per-doc
+    tokenization stats: ``(id, n_words, n_chars, n_bpe_tokens,
+    compression_ratio)``.
+
+    The encode is ONE codegen'd projection — per word, char-split into
+    symbols then the merges replayed in rank order with the same
+    anchored whole-token ``regexp_replace`` the trainer uses (greedy
+    left-to-right non-overlapping, the reference BPE order). Zero
+    shuffle: at 100 TB this is scan-bound, embarrassingly parallel —
+    exactly how a tokenizer pass over a corpus must behave. The merge
+    list is a bounded artifact (vocab-sized), embedded as literals the
+    same way the k-means codebook assignment is."""
+    words = F.filter(words_of(F.col(text_col)), lambda w: F.length(w) >= 1)
+    sym = F.transform(
+        words, lambda w: F.array_join(F.split(w, "(?!^)(?=.)"), " ")
+    )
+    # factory binds each round's pattern (PySpark introspects lambda
+    # arity, so default-arg binding would read as a 3-arg lambda)
+    def _apply_merge(p: str, m: str):
+        return lambda s: F.regexp_replace(s, p, m)
+
+    for left, right, _n in merges:
+        pat = f"(^|(?<= )){re.escape(left)} {re.escape(right)}((?= )|$)"
+        sym = F.transform(sym, _apply_merge(pat, left + right))
+    tok_counts = F.transform(sym, lambda s: F.size(F.split(s, " ")))
+    n_words = F.size(words).cast("long")
+    n_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_bpe = F.aggregate(
+        tok_counts, F.lit(0).cast("long"), lambda acc, c: acc + c
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_m"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_chars.cast("double") / n_bpe).alias("chars_per_token"),
+    )

@@ -213,8 +213,45 @@ GROUP BY lang
 """
 
 # ---------------------------------------------------------------------------
+# corpus_shuffle_order
+
+
+def corpus_shuffle_order(spark, sf_dir):
+    """Deterministic global training-order shuffle: position = exact
+    global rank of md5('shuf1' || doc_id). Reproducible (a pure row
+    function of the key — re-runs and engines agree bit-for-bit) and
+    computed with range-partitioned rank offsets, never a
+    one-partition global sort (``operators.ranks.global_rank``)."""
+    from ..operators.ranks import global_rank
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf1"), F.col("doc_id").cast("string"))).alias(
+            "__h"
+        ),
+    )
+    return global_rank(docs, [F.col("__h")], rank_col="shuffle_pos").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+CORPUS_SHUFFLE_ORDER_SQL = """
+SELECT doc_id,
+  row_number() OVER (
+    ORDER BY md5('shuf1' || CAST(doc_id AS VARCHAR))
+  ) AS shuffle_pos
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
+    "corpus_shuffle_order": QuerySpec(
+        "corpus_shuffle_order", corpus_shuffle_order,
+        CORPUS_SHUFFLE_ORDER_SQL,
+        "Reproducible global corpus shuffle via distributed hash rank",
+        ("llm", "sampling", "window"),
+    ),
     "decontaminate_corpus": QuerySpec(
         "decontaminate_corpus", decontaminate_corpus,
         DECONTAMINATE_CORPUS_SQL,

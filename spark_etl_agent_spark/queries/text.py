@@ -6,7 +6,7 @@ shuffle, no Python, scan-bandwidth-bound at 100 TB."""
 from __future__ import annotations
 
 from ..llm import text as T
-from .base import QuerySpec, load
+from .base import QuerySpec, fan_out, load
 
 _WORDS = r"string_split_regex(lower(text), '\s+')"
 
@@ -241,7 +241,95 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
 BPE_TRAIN_MERGES_SQL = _bpe_oracle_sql(6)
 
 
+def bpe_encode_corpus(spark, sf_dir):
+    """Train 6 merges, then tokenize the WHOLE corpus with them and
+    report per-doc stats (words, chars, BPE tokens, chars/token) —
+    the train→apply round trip a tokenizer pipeline ships. The encode
+    itself is one zero-shuffle codegen'd projection
+    (``llm.bpe.bpe_encode_stats``)."""
+    from ..llm.bpe import bpe_encode_stats, bpe_train
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    _, merges = bpe_train(docs, n_merges=6)
+    return bpe_encode_stats(docs, merges)
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 6) -> str:
+    """Oracle for ``bpe_encode_corpus``: the training CTEs of
+    ``_bpe_oracle_sql`` (winners w1..wN) followed by a per-document
+    encode chain replaying each winner with the same two-space
+    ``replace`` trick, LEFT-joined so an early-stopped (empty) round
+    is a no-op instead of emptying the corpus."""
+    parts = [
+        "WITH v0 AS (",
+        "  SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),",
+        "                i -> word[i:i]), '  ') || ' ' AS w,",
+        "         CAST(count(*) AS BIGINT) AS f",
+        f"  FROM (SELECT unnest({_WORDS}) AS word FROM documents)",
+        "  WHERE length(word) >= 2 GROUP BY word",
+        ")",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts += [
+            f", e{r} AS (",
+            f"  SELECT s, f, unnest(range(1, len(s))) AS i",
+            f"  FROM (SELECT string_split(trim(w), '  ') AS s, f FROM v{p})",
+            ")",
+            f", w{r} AS (",
+            f"  SELECT s[i] AS a, s[i + 1] AS b",
+            f"  FROM e{r} GROUP BY 1, 2 HAVING SUM(f) >= 2",
+            "  ORDER BY SUM(f) DESC, (s[i] || ' ' || s[i + 1]) ASC LIMIT 1",
+            ")",
+            f", v{r} AS (",
+            f"  SELECT CASE WHEN a IS NULL THEN w ELSE",
+            f"    replace(w, ' ' || a || '  ' || b || ' ',",
+            f"            ' ' || a || b || ' ') END AS w, f",
+            f"  FROM v{p} LEFT JOIN w{r} ON TRUE",
+            ")",
+        ]
+    parts += [
+        ", enc0 AS (",
+        "  SELECT doc_id,",
+        "    ' ' || array_to_string(list_transform(range(1, length(word) + 1),",
+        "                  i -> word[i:i]), '  ') || ' ' AS w,",
+        "    CAST(length(word) AS BIGINT) AS wlen",
+        f"  FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)",
+        "  WHERE length(word) >= 1",
+        ")",
+    ]
+    for r in range(1, n_merges + 1):
+        parts += [
+            f", enc{r} AS (",
+            f"  SELECT doc_id, CASE WHEN a IS NULL THEN w ELSE",
+            f"    replace(w, ' ' || a || '  ' || b || ' ',",
+            f"            ' ' || a || b || ' ') END AS w, wlen",
+            f"  FROM enc{r - 1} LEFT JOIN w{r} ON TRUE",
+            ")",
+        ]
+    parts += [
+        "SELECT doc_id,",
+        "  count(*) AS n_words,",
+        "  CAST(sum(wlen) AS BIGINT) AS n_chars_m,",
+        "  CAST(sum(len(string_split(trim(w), '  '))) AS BIGINT)",
+        "    AS n_bpe_tokens,",
+        "  CAST(sum(wlen) AS DOUBLE)",
+        "    / CAST(sum(len(string_split(trim(w), '  '))) AS DOUBLE)",
+        "    AS chars_per_token",
+        f"FROM enc{n_merges} GROUP BY doc_id",
+    ]
+    return "\n".join(parts)
+
+
+BPE_ENCODE_CORPUS_SQL = _bpe_encode_oracle_sql(6)
+
+
 QUERIES = {
+    "bpe_encode_corpus": QuerySpec(
+        "bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_CORPUS_SQL,
+        "Train BPE merges then tokenize the corpus (per-doc stats)",
+        ("text", "llm", "iterative"),
+    ),
     "bpe_train_merges": QuerySpec(
         "bpe_train_merges", bpe_train_merges, BPE_TRAIN_MERGES_SQL,
         "Iterative distributed BPE training (merge table); unrolled-CTE oracle",

@@ -273,3 +273,57 @@ def test_incremental_probe_best_match_tie_breaks_on_min_id(spark):
     assert row["n_matches"] == 2
     assert row["best_match_id"] == 3  # jaccard tie -> smaller index id
     assert row["best_jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (train -> apply round trip) and corpus shuffle
+
+
+def test_bpe_encode_known_merges(spark):
+    from spark_etl_agent_spark.llm.bpe import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "cd")], ["doc_id", "text"]
+    )
+    # merges: a+b -> ab, then ab+ab -> abab
+    merges = [("a", "b", 0), ("ab", "ab", 0)]
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, merges).collect()}
+    # 'abab' -> a b a b -> ab ab -> abab (1 token); 'ab' -> ab (1 token)
+    assert out[1]["n_words"] == 2
+    assert out[1]["n_chars_m"] == 6
+    assert out[1]["n_bpe_tokens"] == 2
+    assert out[1]["chars_per_token"] == pytest.approx(3.0)
+    # 'cd' untouched by merges -> 2 single-char tokens
+    assert out[2]["n_bpe_tokens"] == 2
+    assert out[2]["chars_per_token"] == pytest.approx(1.0)
+
+
+def test_bpe_encode_greedy_left_to_right(spark):
+    from spark_etl_agent_spark.llm.bpe import bpe_encode_stats
+
+    # 'aaa' with merge (a,a): greedy non-overlapping -> [aa, a] (2 tokens)
+    docs = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+    row = bpe_encode_stats(docs, [("a", "a", 0)]).collect()[0]
+    assert row["n_bpe_tokens"] == 2
+
+
+def test_bpe_encode_is_zero_shuffle(spark, sf_dir):
+    from spark_etl_agent_spark.llm.bpe import bpe_encode_stats
+    from spark_etl_agent_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        bpe_encode_stats(docs, [("a", "b", 0)])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection over the scan
+
+
+def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
+    from spark_etl_agent_spark.queries.pretrain import corpus_shuffle_order
+
+    rows = corpus_shuffle_order(spark, sf_dir).collect()
+    pos = sorted(r["shuffle_pos"] for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == len(rows)
