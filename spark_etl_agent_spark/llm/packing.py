@@ -51,6 +51,8 @@ def pack_chunks(
     ``tokens_col`` is the document's token count (≥ 0; a zero-token
     document gets an empty span and the chunk containing its offset).
     """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
     npart = npart or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(npart, F.col(order_col)).withColumn(
         _PID, F.spark_partition_id()

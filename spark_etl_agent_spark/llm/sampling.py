@@ -106,6 +106,10 @@ def mixture_plan(
     broadcast — counts are one map-side-partial aggregation over the
     corpus, everything after is metadata-sized.
     """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("every target weight must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
     target_w = F.lit(None).cast("double")
     for d, w in weights.items():
         target_w = F.when(F.col(domain_col) == d, F.lit(float(w))).otherwise(
@@ -157,10 +161,15 @@ def resample_epochs(
     zero-shuffle projection; output size is the only cost, exactly as a
     repeated-epochs training corpus must be.
     """
+    if any(e < 0 for e in epochs.values()):
+        raise ValueError("epochs must be >= 0")
     eps = F.lit(None).cast("double")
     for d, e in epochs.items():
         eps = F.when(F.col(domain_col) == d, F.lit(float(e))).otherwise(eps)
-    with_eps = df.withColumn("__eps", eps).filter(F.col("__eps").isNotNull())
+    # strictly-positive filter matters: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]), so a 0-epoch domain would otherwise emit a copy-0
+    # row that passes the floor() keep-test
+    with_eps = df.withColumn("__eps", eps).filter(F.col("__eps") > 0)
     exploded = with_eps.withColumn(
         "copy", F.explode(F.sequence(F.lit(1), F.ceil("__eps").cast("int")))
     )

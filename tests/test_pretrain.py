@@ -327,3 +327,25 @@ def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
     assert pos == list(range(1, len(rows) + 1))
     ids = {r["doc_id"] for r in rows}
     assert len(ids) == len(rows)
+
+
+def test_resample_epochs_zero_epoch_domain_emits_nothing(spark):
+    docs = _lang_docs(spark)
+    out = resample_epochs(
+        docs, key_col="doc_id", domain_col="lang",
+        epochs={"en": 0.0, "de": 1.0},
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"de"}  # sequence(1,0) counts DOWN in Spark — guarded
+
+
+def test_mixture_inputs_validated(spark):
+    docs = _lang_docs(spark)
+    with pytest.raises(ValueError):
+        mixture_plan(docs, "lang", {"en": 0.0})
+    with pytest.raises(ValueError):
+        mixture_plan(docs, "lang", {"en": 1.0}, max_epochs=0)
+    with pytest.raises(ValueError):
+        resample_epochs(docs, "doc_id", "lang", {"en": -1.0})
+    with pytest.raises(ValueError):
+        pack_chunks(docs, "doc_id", "doc_id", budget=0)
