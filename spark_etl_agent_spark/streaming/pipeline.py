@@ -22,7 +22,7 @@ from __future__ import annotations
 import uuid
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import Catalog
@@ -256,3 +256,71 @@ def _await_or_raise(q, timeout_s: int) -> None:
             f"streaming query {q.name or q.id} did not finish within "
             f"{timeout_s}s; stopped to avoid returning partial results"
         )
+
+
+def streaming_dedup_ingest_sink(
+    index_provider: Callable[[], DataFrame],
+    novel_writer: Callable[[DataFrame, int], None],
+    audit: Optional[list] = None,
+    min_jaccard: float = 0.6,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body for CONTINUOUS corpus ingest with dedup:
+    each arriving micro-batch of documents is (1) exact-deduped within
+    the batch (keep min id per content hash), then (2) LSH-probed
+    against the existing corpus index (``llm.dedup.
+    incremental_neardup_verdicts`` — batch bands broadcast, the index
+    is never self-joined), and only the NOVEL documents are handed to
+    ``novel_writer``.
+
+    ``index_provider`` is called per batch so the index can grow with
+    accepted documents (an ingest loop passes a reader over the sink
+    table). ``audit`` (optional list) collects per-batch
+    ``(batch_id, n_in, n_exact_dups, n_near_dups, n_novel)`` envelopes
+    — the counts a production ingest job alerts on.
+
+    Scale: everything inside is the batch-vs-index probe shape — cost
+    per micro-batch is one index scan + batch-sized work, independent
+    of history size beyond the scan.
+    """
+    from ..llm.dedup import incremental_neardup_verdicts
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # stream source read once
+        n_in = batch_df.count()
+        if n_in == 0:
+            if audit is not None:
+                audit.append((batch_id, 0, 0, 0, 0))
+            return
+        # within-batch exact dedup (streams can replay the same doc)
+        w_hash = F.md5(F.col("text"))
+        keeper = (
+            batch_df.withColumn("__h", w_hash)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__h").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__rn")
+        )
+        n_exact = keeper.count()
+        index_df = index_provider()
+        if index_df is None or not index_df.columns:
+            novel = keeper
+        else:
+            verdicts = incremental_neardup_verdicts(
+                index_df, keeper, min_jaccard=min_jaccard
+            ).select("doc_id", "is_novel")
+            novel = keeper.join(verdicts, "doc_id").filter(
+                F.col("is_novel")
+            ).drop("is_novel")
+        novel = novel.localCheckpoint()  # verdict computed once
+        n_novel = novel.count()
+        novel_writer(novel, batch_id)
+        if audit is not None:
+            audit.append(
+                (batch_id, n_in, n_in - n_exact, n_exact - n_novel, n_novel)
+            )
+
+    return ingest_batch

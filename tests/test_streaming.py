@@ -387,3 +387,74 @@ def test_watermark_advances_and_evicts_state_across_micro_batches(
     # 20h window may remain
     final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_state <= 1
+
+
+def test_streaming_dedup_ingest_accepts_only_novel(spark, tmp_path):
+    """Continuous corpus ingest: per micro-batch, within-batch exact
+    dedup then LSH probe against the GROWING accepted-corpus index;
+    only novel docs land in the sink. Three rate-limited micro-batches
+    exercise: empty index bootstrap, cross-batch exact dup, cross-batch
+    near-dup, within-batch exact dup."""
+    import os
+    import shutil
+
+    from spark_etl_agent_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_dedup_ingest_sink,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different subject matter covering spark shuffles and joins"
+    third = "yet another unrelated document about parquet footers and statistics"
+    batches = [
+        [(1, base), (2, other)],                       # both novel (empty index)
+        [(3, base),                                    # exact dup of 1 -> drop
+         (4, other + " tomorrow"),                     # near-dup of 2 -> drop
+         (5, third)],                                  # novel
+        [(6, "fresh content with entirely new words"),
+         (7, "fresh content with entirely new words"),  # within-batch dup of 6
+         (8, third + " appendix")],                    # near-dup of 5 -> drop
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dst = src / f"f{i}.parquet"
+        shutil.copy(next(stage.glob("*.parquet")), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    sink = tmp_path / "accepted"
+
+    def index_provider():
+        if not sink.exists() or not any(sink.glob("*.parquet")):
+            return None
+        return spark.read.parquet(str(sink))
+
+    def novel_writer(df, batch_id):
+        df.coalesce(1).write.mode("append").parquet(str(sink))
+
+    audit: list = []
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(
+        stream,
+        output_mode="append",
+        foreach_batch=streaming_dedup_ingest_sink(
+            index_provider, novel_writer, audit=audit, min_jaccard=0.6
+        ),
+    )
+
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert accepted == [1, 2, 5, 6]
+    # audit envelopes: (batch_id, n_in, n_exact_dups, n_near_dups, n_novel)
+    by_counts = [(a[1], a[2], a[3], a[4]) for a in sorted(audit)]
+    assert by_counts == [(2, 0, 0, 2), (3, 0, 2, 1), (3, 1, 1, 1)]
