@@ -143,6 +143,11 @@ def llm_shapes(spark, d: str):
     return {
         "minhash_neardup": specs["minhash_near_duplicates"].spark(spark, d),
         "ann_ivf_topk": specs["ann_ivf_topk"].spark(spark, d),
+        # round-4 corpus-prep shapes: broadcast decontamination probe,
+        # range-partitioned packing offsets, ingest-time LSH index probe
+        "decontaminate": specs["decontaminate_corpus"].spark(spark, d),
+        "pack_documents": specs["pack_documents"].spark(spark, d),
+        "incr_probe": specs["incremental_neardup_probe"].spark(spark, d),
     }
 
 
@@ -177,7 +182,15 @@ def main():
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK, exist_ok=True)
     # shuffle sized for the BIG side (~BLOWUP x 11MB lineitem / 64MB)
-    m = SparkManager(app_name="scale-smoke", shuffle_partitions=max(8, BLOWUP * 2))
+    # 10x data + persisted shingle tables + broadcast probe relations
+    # share ONE local-mode JVM; the 1g driver default is the only
+    # memory knob and it OOMs the broadcast build at BLOWUP=10
+    m = SparkManager(
+        app_name="scale-smoke",
+        shuffle_partitions=max(8, BLOWUP * 2),
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SPARK_SMOKE_DRIVER_MEM", "8g")},
+    )
     spark = m.spark
     ship_package(spark)
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..llm import dedup as D
 from ..llm.text import EN_STOPWORDS, words_of
 from ..operators.graph import connected_components
+from ..operators.observe import metrics_of, with_metrics
 from ..operators.quality import Expectation, expectation_report, not_null
 from ..sources.catalog import Catalog
 
@@ -91,7 +92,10 @@ class CorpusDedupService:
             load_date = datetime.now().strftime("%Y-%m-%d")
 
         docs = self.catalog.read_table(self.source_table)
-        n_input = docs.count()
+        # input count observed, not counted: the metric piggybacks on
+        # the contract-gate pass below instead of paying a dedicated
+        # full scan of the source (operators.observe)
+        docs, in_obs = with_metrics(docs, n_input=F.count(F.lit(1)))
 
         # contract gate BEFORE any cleaning: a batch whose keys are
         # broken must fail loudly, not flow into dedup where a NULL or
@@ -111,6 +115,7 @@ class CorpusDedupService:
                 f"source contract violated: {failed_rules} "
                 f"(table {self.source_table})"
             )
+        n_input = int(metrics_of(in_obs)["n_input"])
 
         gated = quality_gate(docs).cache()
         uniq = None

@@ -924,3 +924,36 @@ def test_gemm_topk_large_query_set_never_collects(spark, sf_dir):
         for r in brute_force_topk(emb, query_ids_below=8, k=5).collect()
     }
     assert got == exact and len(got) > 0
+
+
+def test_with_metrics_single_pass_observation(spark):
+    """operators.observe: audit numbers piggyback on an action the
+    pipeline already runs — no dedicated count scan."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.observe import metrics_of, with_metrics
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    observed, obs = with_metrics(
+        df,
+        n_rows=F.count(F.lit(1)),
+        v_sum=F.sum("v"),
+        n_null=F.count(F.when(F.col("v").isNull(), 1)),
+    )
+    # downstream transformation + ONE action; metrics ride along
+    observed.filter(F.col("v") >= 0).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = metrics_of(obs)
+    assert m["n_rows"] == 100
+    assert m["v_sum"] == 9900
+    assert m["n_null"] == 0
+
+
+def test_with_metrics_requires_metrics(spark):
+    import pytest as _pytest
+
+    from spark_etl_agent_spark.operators.observe import with_metrics
+
+    with _pytest.raises(ValueError):
+        with_metrics(spark.range(1))
