@@ -102,6 +102,40 @@ GROUP BY source
 """
 
 
+
+def per_domain_holdout(spark, sf_dir):
+    """Per-domain held-out set: the k=10 docs with the smallest key
+    hash in each language — a deterministic 'reservoir' whose
+    membership is a pure row function (stable as the corpus grows
+    APPEND-ONLY per domain only when re-derived; the point is
+    re-derivability, not incremental stability). One window partitioned
+    by the domain — parallel across domains, no global sort."""
+    from pyspark.sql import Window
+
+    from ..llm.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id"), "hold1"), "doc_id"
+    )
+    return (
+        docs.withColumn("holdout_rank", F.row_number().over(w))
+        .filter(F.col("holdout_rank") <= 10)
+    )
+
+
+PER_DOMAIN_HOLDOUT_SQL = f"""
+SELECT doc_id, lang, holdout_rank FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {_BUCKET.format(salt='hold1')}, doc_id
+    ) AS holdout_rank
+  FROM documents
+) WHERE holdout_rank <= 10
+"""
+
+
 QUERIES = {
     "stratified_sample_docs": QuerySpec(
         "stratified_sample_docs", stratified_sample_docs,
@@ -118,6 +152,11 @@ QUERIES = {
         DETERMINISTIC_SAMPLE_DOCS_SQL,
         "Reproducible hash-membership sampling (row-exact oracle)",
         ("sampling", "llm"),
+    ),
+    "per_domain_holdout": QuerySpec(
+        "per_domain_holdout", per_domain_holdout, PER_DOMAIN_HOLDOUT_SQL,
+        "Deterministic per-domain held-out selection (hash reservoir)",
+        ("sampling", "llm", "window"),
     ),
     "train_val_test_counts": QuerySpec(
         "train_val_test_counts", train_val_test_counts,

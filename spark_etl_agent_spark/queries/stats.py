@@ -217,6 +217,56 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+
+def join_skew_report(spark, sf_dir):
+    """Pre-join skew diagnostic: the 10 heaviest l_suppkey values with
+    their share of all lineitem rows, plus p_max/mean concentration —
+    the report you run BEFORE deciding between a plain join, AQE skew
+    split, or operators.skew.salted_join. One map-side-partial groupBy
+    plus a broadcast scalar; the top-10 ORDER BY runs over the (tiny)
+    per-key aggregate, never the fact rows."""
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total")).alias(
+                "row_share"
+            ),
+            (
+                F.col("n_rows").cast("double")
+                / (F.col("__total").cast("double") / F.col("__nkeys"))
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), "l_suppkey")
+        .limit(10)
+    )
+
+
+JOIN_SKEW_REPORT_SQL = """
+WITH per_key AS (
+  SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+),
+totals AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+         count(*) AS nkeys
+  FROM per_key
+)
+SELECT l_suppkey, n_rows,
+  CAST(n_rows AS DOUBLE) / total AS row_share,
+  CAST(n_rows AS DOUBLE) / (CAST(total AS DOUBLE) / nkeys) AS skew_factor
+FROM per_key, totals
+ORDER BY n_rows DESC, l_suppkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "value_outlier_fences": QuerySpec(
         "value_outlier_fences", value_outlier_fences,
@@ -228,6 +278,11 @@ QUERIES = {
         "stat_moments_gallery", stat_moments_gallery, STAT_MOMENTS_GALLERY_SQL,
         "Deterministic variance/stddev/corr from decimal sufficient stats",
         ("agg", "stats"),
+    ),
+    "join_skew_report": QuerySpec(
+        "join_skew_report", join_skew_report, JOIN_SKEW_REPORT_SQL,
+        "Join-key skew diagnostic: heaviest keys, share, skew factor",
+        ("agg", "stats", "skew"),
     ),
     "incremental_revenue_agg": QuerySpec(
         "incremental_revenue_agg", incremental_revenue_agg,
