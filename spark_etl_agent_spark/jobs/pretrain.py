@@ -1,0 +1,179 @@
+"""Job 5: ``corpus_prep_etl`` — the corpus ASSEMBLY workflow that
+follows cleaning/dedup (``corpus_dedup_etl``): turn a clean document
+table into a training-ready packed manifest.
+
+Stages (every one an operator with its own oracled query in the
+inventory; this job is their orchestrated composition, envelope model
+per the reference's job services — ``services/jcap_pa_etl_service.py:
+40-107``):
+
+1. decontaminate — drop docs sharing word n-grams with the benchmark
+   table beyond a ratio threshold (``llm.decontam``; eval grams
+   broadcast);
+2. mixture      — per-domain epoch plan under a repetition cap
+   (``llm.sampling.mixture_plan``) then fractional-epoch
+   materialization (``resample_epochs``; hash-gated, reproducible);
+3. shuffle      — deterministic global training order = rank of
+   md5(doc_id ':' copy) (``operators.ranks.global_rank`` — range
+   partitioned, no one-partition sort);
+4. pack         — concat-and-chunk span assignment at the configured
+   sequence length (``llm.packing.pack_chunks``);
+5. write        — the packed manifest (doc, copy, order, span, chunks)
+   to the catalog; audit numbers ride the write via
+   ``operators.observe`` (no dedicated count scans).
+
+Scale posture: one broadcast probe + one doc-key shuffle (stage 1),
+zero-shuffle explode (stage 2), two range-partition passes (stages
+3-4), one write — the corpus is never collected, sorted on one
+partition, or re-scanned for audits.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+from pyspark.sql import functions as F
+
+from ..llm.decontam import ngram_contamination
+from ..llm.packing import pack_chunks
+from ..llm.sampling import mixture_plan, resample_epochs
+from ..llm.text import words_of
+from ..operators.observe import metrics_of, with_metrics
+from ..operators.ranks import global_rank
+from ..sources.catalog import Catalog
+
+
+class CorpusPrepService:
+    def __init__(
+        self,
+        catalog: Catalog,
+        source_table: str = "corpus.documents_clean",
+        benchmark_table: str = "corpus.benchmarks",
+        dest_table: str = "corpus.packed_manifest",
+        domain_col: str = "lang",
+        target_weights: Optional[Dict[str, float]] = None,
+        max_epochs: float = 4.0,
+        max_contamination: float = 0.05,
+        seq_len: int = 256,
+        shuffle_salt: str = "prep1",
+    ) -> None:
+        self.catalog = catalog
+        self.source_table = source_table
+        self.benchmark_table = benchmark_table
+        self.dest_table = dest_table
+        self.domain_col = domain_col
+        self.target_weights = target_weights or {
+            "en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125,
+        }
+        self.max_epochs = max_epochs
+        self.max_contamination = max_contamination
+        self.seq_len = seq_len
+        self.shuffle_salt = shuffle_salt
+
+    def run_corpus_prep_etl(
+        self, load_date: Optional[str] = None
+    ) -> Dict[str, Any]:
+        start_time = datetime.now()
+        if not load_date:
+            load_date = datetime.now().strftime("%Y-%m-%d")
+
+        docs = self.catalog.read_table(self.source_table)
+        docs, in_obs = with_metrics(docs, n_input=F.count(F.lit(1)))
+
+        # 1. decontamination: keep docs below the overlap threshold.
+        # Docs too short to produce n-grams have no contamination row —
+        # kept (nothing to match is the conservative KEEP direction
+        # here, opposite of dedup's novelty default, because dropping
+        # unprovably-contaminated data loses corpus for no evidence.)
+        bench = self.catalog.read_table(self.benchmark_table)
+        contaminated = (
+            ngram_contamination(docs, bench)
+            .filter(F.col("contamination_ratio") > self.max_contamination)
+            .select("doc_id")
+        )
+        kept = docs.join(contaminated, "doc_id", "left_anti")
+        kept, kept_obs = with_metrics(kept, n_kept=F.count(F.lit(1)))
+
+        # 2. mixture: plan (bounded per-domain rows) then materialize
+        plan_rows = mixture_plan(
+            kept, self.domain_col, self.target_weights, self.max_epochs
+        ).collect()  # one row per target domain — a scalar envelope
+        epochs = {r[self.domain_col]: r["epochs"] for r in plan_rows}
+        if not epochs:
+            raise RuntimeError(
+                f"no target domain of {list(self.target_weights)} present "
+                f"in {self.source_table}.{self.domain_col}"
+            )
+        emitted = resample_epochs(
+            kept, key_col="doc_id", domain_col=self.domain_col, epochs=epochs
+        )
+
+        # 3. deterministic training order over (doc_id, copy)
+        key_hash = F.md5(
+            F.concat(
+                F.lit(self.shuffle_salt),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("copy").cast("string"),
+            )
+        )
+        ordered = global_rank(
+            emitted.withColumn("__h", key_hash),
+            [F.col("__h"), F.col("doc_id"), F.col("copy")],
+            rank_col="shuffle_pos",
+        ).select(*emitted.columns, "shuffle_pos")
+
+        # 4. pack at seq_len over the shuffled order
+        packed = pack_chunks(
+            ordered.withColumn(
+                "n_tokens", F.size(words_of(F.col("text"))).cast("long")
+            ),
+            order_col="shuffle_pos",
+            tokens_col="n_tokens",
+            budget=self.seq_len,
+        ).select(
+            "doc_id", "copy", self.domain_col, "shuffle_pos", "n_tokens",
+            "start_off", "end_off", "chunk_first", "chunk_last", "n_chunks",
+        ).withColumn("load_date", F.lit(load_date))
+
+        # 5. write; audits ride the write action
+        packed, out_obs = with_metrics(
+            packed,
+            n_emitted=F.count(F.lit(1)),
+            total_tokens=F.max("end_off"),
+        )
+        self.catalog.write_table(packed, self.dest_table, mode="overwrite")
+
+        out = metrics_of(out_obs)
+        n_emitted = int(out["n_emitted"])
+        total_tokens = int(out["total_tokens"]) if n_emitted else 0
+        if n_emitted == 0:
+            raise RuntimeError("corpus prep produced an empty manifest")
+        n_input = int(metrics_of(in_obs)["n_input"])
+        n_kept = int(metrics_of(kept_obs)["n_kept"])
+
+        end_time = datetime.now()
+        return {
+            "status": "Success",
+            "rows_processed": n_emitted,
+            "n_input": n_input,
+            "n_contaminated_dropped": n_input - n_kept,
+            "mixture_plan": {
+                r[self.domain_col]: {
+                    "n_avail": r["n_avail"],
+                    "n_target": r["n_target"],
+                    "epochs": r["epochs"],
+                }
+                for r in plan_rows
+            },
+            "total_tokens": total_tokens,
+            "n_chunks": (total_tokens + self.seq_len - 1) // self.seq_len,
+            "seq_len": self.seq_len,
+            "start_time": start_time,
+            "end_time": end_time,
+            "duration_seconds": (end_time - start_time).total_seconds(),
+            "source_table": self.source_table,
+            "destination_table": self.dest_table,
+            "load_date": load_date,
+        }

@@ -14,6 +14,7 @@ from .alerts import Alerter
 from .corpus import CorpusDedupService
 from .etl import EtlService
 from .jcap import JcapPaEtlService
+from .pretrain import CorpusPrepService
 from .sync import IncrementalSyncService
 
 # Static job-type metadata (reference services/job_service.py:23-38) —
@@ -34,6 +35,15 @@ JOB_TYPE_INFO: Dict[str, Dict[str, Any]] = {
         "description": (
             "Corpus dedup ETL - quality gate, exact + MinHash near-dup "
             "dedup, cluster survivors"
+        ),
+        "parameters": ["load_date"],
+        "environment": "Corpus",
+    },
+    "corpus_prep_etl": {
+        "method": "run_corpus_prep_etl",
+        "description": (
+            "Corpus prep ETL - decontaminate vs benchmarks, mixture "
+            "resample, deterministic shuffle, sequence packing"
         ),
         "parameters": ["load_date"],
         "environment": "Corpus",
@@ -82,12 +92,14 @@ class JobService:
             catalog, stage_path=stage_path, alerter=alerter
         )
         self.corpus_dedup_service = CorpusDedupService(catalog)
+        self.corpus_prep_service = CorpusPrepService(catalog)
         self.incremental_sync_service = IncrementalSyncService(catalog)
         # registry shape mirrors services/job_service.py:23-38; the
         # static half lives in module-level JOB_TYPE_INFO
         services = {
             "control_m_poc_etl": self.etl_service,
             "corpus_dedup_etl": self.corpus_dedup_service,
+            "corpus_prep_etl": self.corpus_prep_service,
             "incremental_sync_etl": self.incremental_sync_service,
             "jcap_pa_etl": self.jcap_pa_etl_service,
         }

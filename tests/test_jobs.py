@@ -584,3 +584,59 @@ def test_quality_gate_repetition_opt_in(spark):
     assert 1 in base and 1 in gated
     if 2 in base:            # spam passes the basic gates...
         assert 2 not in gated  # ...but not the repetition bound
+
+
+def test_corpus_prep_etl_end_to_end(spark, sf_dir, job_service, warehouse):
+    """The corpus-assembly job: decontaminate → mixture resample →
+    deterministic shuffle → sequence packing → manifest write, audits
+    observed (no dedicated count scans). Envelope invariants: the
+    manifest is a gap-free token stream in shuffle order, chunk math is
+    consistent with total_tokens, and the mixture plan respects the
+    epoch cap."""
+    import pyspark.sql.functions as F2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    warehouse.write_table(docs, "corpus.documents_clean", mode="overwrite")
+    # benchmark table: a small eval slice (distinct ids so decontam
+    # drops the overlapping training docs)
+    warehouse.write_table(
+        docs.filter(F2.col("doc_id") % 97 == 0), "corpus.benchmarks",
+        mode="overwrite",
+    )
+
+    result = job_service.execute_job(
+        {"id": "p1", "name": "prep", "type": "corpus_prep_etl",
+         "load_date": "2026-08-14"}
+    )
+    assert result["status"] == "Success", result.get("error")
+    assert result["environment"] == "Corpus"
+    n_in = result["n_input"]
+    assert n_in == docs.count()
+    # the benchmark docs themselves are verbatim in the corpus ->
+    # ratio 1.0 -> dropped
+    assert result["n_contaminated_dropped"] >= docs.filter(
+        F2.col("doc_id") % 97 == 0
+    ).count()
+    for d, row in result["mixture_plan"].items():
+        assert row["epochs"] <= 4.0 + 1e-9
+
+    manifest = warehouse.read_table("corpus.packed_manifest")
+    n = manifest.count()
+    assert n == result["rows_processed"] > 0
+    # shuffle_pos is a permutation 1..n and spans are gap-free in that order
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shuffle_pos")
+    bad = (
+        manifest.withColumn("prev_end", F2.lag("end_off", 1, 0).over(w))
+        .filter(
+            (F2.col("start_off") != F2.col("prev_end"))
+            | (F2.col("end_off") != F2.col("start_off") + F2.col("n_tokens"))
+        )
+        .count()
+    )
+    assert bad == 0
+    total = manifest.agg(F2.max("end_off")).collect()[0][0]
+    assert total == result["total_tokens"]
+    assert result["n_chunks"] == (total + 255) // 256
+    assert manifest.agg(F2.max("chunk_last")).collect()[0][0] == result["n_chunks"] - 1
