@@ -324,3 +324,88 @@ def streaming_dedup_ingest_sink(
             )
 
     return ingest_batch
+
+
+def streaming_packing_sink(
+    state_path: str,
+    manifest_writer: Callable[[DataFrame, int], None],
+    budget: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    audit: Optional[list] = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body for CONTINUOUS sequence packing: each
+    micro-batch's documents get token-stream spans that CONTINUE from
+    the previous batch's end offset, so the union of all manifests is
+    one gap-free concat-and-chunk stream — the streaming twin of
+    ``llm.packing.pack_chunks`` (which packs a bounded batch).
+
+    The carried state is a single scalar (the stream's end offset),
+    persisted as an atomically-renamed JSON file in ``state_path``
+    together with the last applied batch id: a foreachBatch replay of
+    the SAME batch (the at-least-once failure mode) is detected and
+    skipped, making the sink effectively-once. Within a batch the
+    packing itself is the distributed range-partition shape; across
+    batches only the scalar crosses — no growing state.
+    """
+    import json
+    import os
+
+    from ..llm.packing import pack_chunks
+
+    state_file = os.path.join(state_path, "packing_state.json")
+
+    def _read_state():
+        if not os.path.exists(state_file):
+            return {"batch_id": -1, "end_off": 0}
+        with open(state_file) as f:
+            return json.load(f)
+
+    def _write_state(st) -> None:
+        os.makedirs(state_path, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, state_file)
+
+    def pack_batch(batch_df: DataFrame, batch_id: int) -> None:
+        st = _read_state()
+        if batch_id <= st["batch_id"]:
+            return  # replayed batch: manifest already written
+        base = int(st["end_off"])
+        batch_df = batch_df.localCheckpoint()
+        n = batch_df.count()
+        if n == 0:
+            _write_state({"batch_id": batch_id, "end_off": base})
+            if audit is not None:
+                audit.append((batch_id, 0, base))
+            return
+        packed = pack_chunks(
+            batch_df, order_col=order_col, tokens_col=tokens_col,
+            budget=budget,
+        )
+        # shift into the stream's global offset space, then re-derive
+        # the chunk range from the shifted offsets (exact integer DIV)
+        shifted = (
+            packed.withColumn("start_off", F.col("start_off") + F.lit(base))
+            .withColumn("end_off", F.col("end_off") + F.lit(base))
+            .withColumn("chunk_first", F.expr(f"start_off DIV {budget}"))
+            .withColumn(
+                "chunk_last",
+                F.greatest(
+                    F.col("chunk_first"), F.expr(f"(end_off - 1) DIV {budget}")
+                ),
+            )
+            .withColumn(
+                "n_chunks",
+                F.col("chunk_last") - F.col("chunk_first") + F.lit(1),
+            )
+            .localCheckpoint()  # manifest computed once; max() below reuses
+        )
+        new_end = shifted.agg(F.max("end_off")).collect()[0][0]
+        manifest_writer(shifted, batch_id)
+        _write_state({"batch_id": batch_id, "end_off": int(new_end)})
+        if audit is not None:
+            audit.append((batch_id, n, int(new_end)))
+
+    return pack_batch

@@ -458,3 +458,72 @@ def test_streaming_dedup_ingest_accepts_only_novel(spark, tmp_path):
     # audit envelopes: (batch_id, n_in, n_exact_dups, n_near_dups, n_novel)
     by_counts = [(a[1], a[2], a[3], a[4]) for a in sorted(audit)]
     assert by_counts == [(2, 0, 0, 2), (3, 0, 2, 1), (3, 1, 1, 1)]
+
+
+def test_streaming_packing_spans_continue_across_batches(spark, tmp_path):
+    """Continuous packing: three rate-limited micro-batches produce ONE
+    gap-free global token stream — spans continue across batch
+    boundaries, chunk ids are global, and a replayed batch id is
+    skipped (effectively-once)."""
+    import os
+    import shutil
+
+    from spark_etl_agent_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_packing_sink,
+    )
+
+    batches = [
+        [(1, 4), (2, 8)],      # cum 12
+        [(3, 9), (4, 9)],      # cum 30
+        [(5, 5)],              # cum 35
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, n_tokens long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dst = src / f"f{i}.parquet"
+        shutil.copy(next(stage.glob("*.parquet")), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    manifest_dir = tmp_path / "manifest"
+    state_dir = tmp_path / "state"
+
+    def writer(df, batch_id):
+        df.coalesce(1).write.mode("append").parquet(str(manifest_dir))
+
+    audit: list = []
+    sink = streaming_packing_sink(
+        str(state_dir), writer, budget=10, audit=audit
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(stream, output_mode="append", foreach_batch=sink)
+
+    rows = {
+        r["doc_id"]: r for r in spark.read.parquet(str(manifest_dir)).collect()
+    }
+    # identical spans to the batch pack of the full corpus
+    # (test_pack_chunks_exact_spans): the stream IS one stream
+    expect = {
+        1: (0, 4, 0, 0), 2: (4, 12, 0, 1), 3: (12, 21, 1, 2),
+        4: (21, 30, 2, 2), 5: (30, 35, 3, 3),
+    }
+    got = {
+        d: (r["start_off"], r["end_off"], r["chunk_first"], r["chunk_last"])
+        for d, r in rows.items()
+    }
+    assert got == expect
+    assert [a[2] for a in sorted(audit)] == [12, 30, 35]  # running end offsets
+
+    # replaying the LAST batch id is a no-op (at-least-once replay)
+    replay = spark.createDataFrame([(9, 100)], "doc_id long, n_tokens long")
+    sink(replay, max(a[0] for a in audit))
+    assert spark.read.parquet(str(manifest_dir)).count() == 5
