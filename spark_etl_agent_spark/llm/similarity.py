@@ -397,3 +397,57 @@ def label_centroids(
             "n_vecs",
         )
     )
+
+
+def label_medoids(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-label representative vector ("medoid-to-centroid"): the
+    member with the highest cosine similarity to its label's centroid,
+    ties broken by the smaller id. The corpus-curation op behind
+    "pick one exemplar per cluster".
+
+    The centroid reference is the per-dim ``floor(sum/ n)`` of the
+    scaled components — integer-valued, so member·centroid products
+    stay within exact-double range and the ranking is deterministic
+    across engines/partitionings (same quantization idiom as the IVF
+    trainer). Plan: one bounded (label, dim) shuffle for centroids, a
+    broadcast join of the (tiny) centroid table back to the vectors,
+    and a per-label window — nothing scales with vectors² at 100 TB.
+    """
+    with_vecs = df.select(
+        F.col(id_col), "label", scaled(F.col(vec_col)).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+    cent_long = (
+        with_vecs.select("label", F.posexplode("svec").alias("pos", "sval"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(
+                F.sum("sval") / F.count(F.lit(1)).cast("double")
+            ).cast("double").alias("cq")
+        )
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cq"))),
+            lambda s: s["cq"],
+        ).alias("cvec"),
+        F.count(F.lit(1)).alias("__ndim"),
+    ).withColumn("cnorm_sq", dot(F.col("cvec"), F.col("cvec"))).drop("__ndim")
+    scored = with_vecs.join(F.broadcast(cent), "label").select(
+        "label",
+        F.col(id_col),
+        cosine(
+            dot(F.col("svec"), F.col("cvec")),
+            F.col("norm_sq"),
+            F.col("cnorm_sq"),
+        ).alias("centroid_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("label", F.col(id_col).alias("medoid_id"), "centroid_sim")
+    )

@@ -254,7 +254,45 @@ FROM exploded GROUP BY label, dim
 """
 
 
+
+def embedding_label_medoids(spark, sf_dir):
+    return sim.label_medoids(load(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_LABEL_MEDOIDS_SQL = f"""
+WITH svecs AS (
+  SELECT vec_id, label, {_SVEC} AS svec FROM embeddings
+),
+cent_long AS (
+  SELECT label, dim,
+    floor(sum(svec[CAST(dim AS INT)]) / CAST(count(*) AS DOUBLE)) AS cq
+  FROM svecs, range(1, 65) t(dim) GROUP BY label, dim
+),
+cent AS (
+  SELECT label, list(cq ORDER BY dim) AS cvec FROM cent_long GROUP BY label
+),
+scored AS (
+  SELECT v.label, v.vec_id,
+    list_dot_product(v.svec, c.cvec)
+      / (sqrt(list_dot_product(v.svec, v.svec))
+         * sqrt(list_dot_product(c.cvec, c.cvec))) AS centroid_sim
+  FROM svecs v JOIN cent c ON c.label = v.label
+)
+SELECT label, vec_id AS medoid_id, centroid_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY centroid_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "embedding_label_medoids": QuerySpec(
+        "embedding_label_medoids", embedding_label_medoids,
+        EMBEDDING_LABEL_MEDOIDS_SQL,
+        "Per-label exemplar: member closest to the label centroid",
+        ("similarity", "llm", "window"),
+    ),
     "ann_bruteforce_topk": QuerySpec(
         "ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL,
         "Exact cosine top-5 per query vector (broadcast × scan)",
