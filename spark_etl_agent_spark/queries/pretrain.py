@@ -243,9 +243,66 @@ SELECT doc_id,
 FROM documents
 """
 
+
+# ---------------------------------------------------------------------------
+# corpus_cluster_quality
+
+
+def corpus_cluster_quality(spark, sf_dir):
+    """Cross-table curation report: documents joined to their embedding
+    cluster (doc_id = vec_id), per-label volume and text-quality
+    signals — the view that tells you WHICH semantic clusters are
+    boilerplate-heavy before downweighting them in the mixture. The
+    embeddings side is projected to (id, label) before the join; the
+    per-doc density is micro-quantized so per-label averages are exact
+    integer sums divided once."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    per_doc = docs.join(emb, "doc_id").select(
+        "label",
+        F.col("n_chars"),
+        F.floor(
+            F.size(words_of(F.col("text"))).cast("double")
+            / (F.col("n_chars") + F.lit(1)).cast("double")
+            * F.lit(1000000.0)
+        ).cast("bigint").alias("density_micro"),
+    )
+    return per_doc.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.sum("density_micro").cast("double") / F.count(F.lit(1))
+        ).alias("avg_density_micro"),
+    )
+
+
+CORPUS_CLUSTER_QUALITY_SQL = f"""
+WITH per_doc AS (
+  SELECT e.label, d.n_chars,
+    CAST(floor(CAST(len({_WORDS}) AS DOUBLE)
+               / CAST(d.n_chars + 1 AS DOUBLE) * 1000000.0) AS BIGINT)
+      AS density_micro
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+)
+SELECT label,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(density_micro) AS DOUBLE) / count(*) AS avg_density_micro
+FROM per_doc GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "corpus_cluster_quality": QuerySpec(
+        "corpus_cluster_quality", corpus_cluster_quality,
+        CORPUS_CLUSTER_QUALITY_SQL,
+        "Per-embedding-cluster text-quality report (docs x embeddings join)",
+        ("llm", "join", "agg"),
+    ),
     "corpus_shuffle_order": QuerySpec(
         "corpus_shuffle_order", corpus_shuffle_order,
         CORPUS_SHUFFLE_ORDER_SQL,

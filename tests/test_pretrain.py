@@ -349,3 +349,32 @@ def test_mixture_inputs_validated(spark):
         resample_epochs(docs, "doc_id", "lang", {"en": -1.0})
     with pytest.raises(ValueError):
         pack_chunks(docs, "doc_id", "doc_id", budget=0)
+
+
+def test_label_medoids_planted_exemplar(spark):
+    from spark_etl_agent_spark.llm.similarity import label_medoids
+
+    # label 1: v1 points exactly along the centroid direction of the
+    # cluster; v2/v3 are symmetric off-axis -> v1 is the medoid
+    rows = [
+        (1, 1, [1.0, 0.0, 0.0, 0.0]),
+        (2, 1, [0.8, 0.6, 0.0, 0.0]),
+        (3, 1, [0.8, -0.6, 0.0, 0.0]),
+        (10, 2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r["label"]: r for r in label_medoids(df).collect()}
+    assert out[1]["medoid_id"] == 1
+    assert out[2]["medoid_id"] == 10  # singleton cluster: itself
+    assert out[2]["centroid_sim"] > 0.999
+
+
+def test_label_medoids_tie_breaks_on_min_id(spark):
+    from spark_etl_agent_spark.llm.similarity import label_medoids
+
+    rows = [
+        (7, 1, [1.0, 0.0]),
+        (3, 1, [1.0, 0.0]),  # identical vector: tie -> min id wins
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    assert label_medoids(df).collect()[0]["medoid_id"] == 3
