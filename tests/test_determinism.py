@@ -136,6 +136,13 @@ def test_query_results_shuffle_partition_independent(spark, sf_dir):
         "minhash_near_duplicates",
         "tfidf_top_terms",
         "scd2_temporal_join",
+        # round-4 corpus-prep family: packing offsets, resample
+        # membership, probe verdicts and shuffle ranks must all be
+        # invariant to cluster width
+        "pack_documents",
+        "mixture_resample_counts",
+        "incremental_neardup_probe",
+        "corpus_shuffle_order",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {n: _rows(SPECS[n].spark(spark, sf_dir)) for n in sample}
