@@ -365,6 +365,7 @@ def lsh_probe_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
     band_size: int = BAND_SIZE,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Asymmetric LSH probe: candidate (batch, index) pairs — the
     incremental-ingest shape. The corpus index is NOT self-joined;
@@ -372,13 +373,23 @@ def lsh_probe_pairs(
     through a broadcast hash join, so probing N new docs against a
     100 TB index costs one index scan regardless of index size.
 
+    ``broadcast_batch=False`` drops the hint for batches too large for
+    executor memory (a backfill replaying months of ingest): the probe
+    becomes a plain equi-join on the band keys — one bounded shuffle of
+    both banded tables, the same plan family as ``lsh_candidate_pairs``
+    minus the self-join — and AQE may still choose broadcast at runtime
+    if the batch turns out small.
+
     Returns distinct ``(id_batch, id_index)`` candidates."""
     idx = _banded(index_sigs, id_col, n_hashes, band_size)
     new = _banded(batch_sigs, id_col, n_hashes, band_size)
+    probe = new.alias("n")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
     return (
         idx.alias("i")
         .join(
-            F.broadcast(new.alias("n")),
+            probe,
             (F.col("i.band_idx") == F.col("n.band_idx"))
             & (F.col("i.band_key") == F.col("n.band_key")),
         )
@@ -396,6 +407,7 @@ def incremental_neardup_verdicts(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_jaccard: float = 0.6,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Per-new-document ingest verdict against an existing corpus:
     ``(id, n_matches, best_match_id, best_jaccard, is_novel)`` where a
@@ -416,6 +428,7 @@ def incremental_neardup_verdicts(
         minhash_signatures(index_docs, text_col, id_col),
         minhash_signatures(batch_docs, text_col, id_col),
         id_col,
+        broadcast_batch=broadcast_batch,
     ).select(
         F.col("id_batch").alias("id_a"), F.col("id_index").alias("id_b")
     )

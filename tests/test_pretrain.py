@@ -378,3 +378,29 @@ def test_label_medoids_tie_breaks_on_min_id(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     assert label_medoids(df).collect()[0]["medoid_id"] == 3
+
+
+def test_incremental_probe_large_batch_path_equals_broadcast(spark):
+    """broadcast_batch=False (backfill-sized batches): identical
+    verdicts through the shuffle-join plan."""
+    from spark_etl_agent_spark.llm.dedup import incremental_neardup_verdicts
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    index = spark.createDataFrame(
+        [(1, base), (2, "totally different words here about nothing shared")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, base + " lambda"), (101, "novel content unseen anywhere else")],
+        ["doc_id", "text"],
+    )
+    kw = dict(min_jaccard=0.5)
+    a = sorted(
+        tuple(r) for r in incremental_neardup_verdicts(
+            index, batch, broadcast_batch=True, **kw).collect()
+    )
+    b = sorted(
+        tuple(r) for r in incremental_neardup_verdicts(
+            index, batch, broadcast_batch=False, **kw).collect()
+    )
+    assert a == b and len(a) == 2
