@@ -468,3 +468,79 @@ def incremental_neardup_verdicts(
             (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("is_novel"),
         )
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one of
+    ``n_chunks`` equal-width fingerprint chunks, then exact Hamming
+    distance filters to ``<= max_hamming``.
+
+    The chunk blocking is LOSSLESS for ``max_hamming < n_chunks`` (the
+    pigeonhole argument: <= 3 differing bits cannot touch all 4
+    chunks), so this is exact SimHash dedup, not approximate. Scale
+    shape mirrors LSH banding: one bounded-width chunk-key self-join —
+    only colliding candidates reach the per-pair 64-position compare.
+    A chunk value shared by many documents (e.g. a boilerplate-heavy
+    corpus where many fingerprints agree on a region) widens its
+    bucket quadratically — the same hot-bucket property LSH bands
+    have; mitigate upstream by deduping exact copies first (identical
+    docs pair on every chunk).
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            "chunk blocking is only lossless for max_hamming < n_chunks"
+        )
+    width = n_bits // n_chunks
+    bits = simhash_bits(df, text_col, id_col, n_bits)
+    chunks = bits.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", c * width + 1, width)
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_bits)),
+            lambda i: F.when(
+                F.substring(F.col("sh_a"), i, 1)
+                == F.substring(F.col("sh_b"), i, 1),
+                0,
+            ).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -168,8 +168,7 @@ def simhash_fingerprints(spark, sf_dir):
     return D.simhash_bits(fan_out(load(spark, sf_dir, "documents")))
 
 
-SIMHASH_FINGERPRINTS_SQL = f"""
-WITH toks AS (
+_SIMHASH_CTE = f"""toks AS (
   SELECT doc_id, md5(unnest({_WORDS})) AS h FROM documents
 ),
 chunks AS (
@@ -184,11 +183,59 @@ votes AS (
           >> CAST(31 - bit_pos % 32 AS INT)) % 2) * 2 - 1) AS vote
   FROM chunks, range(0, 64) t(bit_pos)
   GROUP BY doc_id, bit_pos
+),
+sims AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos)
+      AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+SIMHASH_FINGERPRINTS_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sims
+"""
+
+
+def simhash_near_duplicates(spark, sf_dir):
+    """SimHash dedup completed into PAIRS: chunk-bucket candidates
+    (lossless pigeonhole blocking for hamming <= 3 over 4 chunks) +
+    exact Hamming verify — the Charikar-style near-dup detector that
+    complements MinHash-Jaccard (order-insensitive set overlap) with
+    weighted-token cosine-ish similarity."""
+    return D.simhash_near_pairs(fan_out(load(spark, sf_dir, "documents")))
+
+
+_SH_CHUNKS = ", ".join(
+    f"substr(simhash, {c * 16 + 1}, 16) AS ch{c}" for c in range(4)
 )
-SELECT doc_id,
-  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos)
-    AS simhash
-FROM votes GROUP BY doc_id
+_SH_CHUNK_UNION = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {c} AS chunk_idx, ch{c} AS chunk FROM chunked"
+    for c in range(4)
+)
+
+SIMHASH_NEAR_DUPLICATES_SQL = f"""
+WITH {_SIMHASH_CTE},
+chunked AS (
+  SELECT doc_id, simhash, {_SH_CHUNKS} FROM sims
+),
+long AS (
+  {_SH_CHUNK_UNION}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.simhash AS sh_a, b.simhash AS sh_b
+  FROM long a JOIN long b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  CAST(list_sum(list_transform(range(1, 65),
+    i -> CASE WHEN sh_a[CAST(i AS INT):CAST(i AS INT)]
+              = sh_b[CAST(i AS INT):CAST(i AS INT)] THEN 0 ELSE 1 END))
+    AS BIGINT) AS hamming
+FROM cand
+WHERE hamming <= 3
 """
 
 
@@ -297,6 +344,12 @@ QUERIES = {
     "simhash_fingerprints": QuerySpec(
         "simhash_fingerprints", simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL,
         "64-bit SimHash via per-bit majority vote", ("dedup", "llm"),
+    ),
+    "simhash_near_duplicates": QuerySpec(
+        "simhash_near_duplicates", simhash_near_duplicates,
+        SIMHASH_NEAR_DUPLICATES_SQL,
+        "SimHash pairs: lossless chunk blocking + exact Hamming verify",
+        ("dedup", "llm", "join"),
     ),
     "incremental_neardup_probe": QuerySpec(
         "incremental_neardup_probe", incremental_neardup_probe,

@@ -404,3 +404,28 @@ def test_incremental_probe_large_batch_path_equals_broadcast(spark):
             index, batch, broadcast_batch=False, **kw).collect()
     )
     assert a == b and len(a) == 2
+
+
+def test_simhash_near_pairs_planted_and_lossless_contract(spark):
+    from spark_etl_agent_spark.llm.dedup import simhash_near_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    reordered = " ".join(reversed(base.split()))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, reordered),  # same token multiset -> identical simhash
+            (3, "entirely different content about unrelated topics today"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs).collect()}
+    # SimHash is order-insensitive: a shuffled doc is hamming-0
+    assert pairs.get((1, 2)) == 0
+    assert all(3 not in p for p in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=4, n_chunks=4)
