@@ -351,3 +351,34 @@ def test_outlier_fences_quantiles_are_rank_based(spark, sf_dir):
     plan = plan_of(SPECS["value_outlier_fences"].spark(spark, sf_dir))
     assert "percentile" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_simhash_pairs_no_cartesian_and_reuses_fingerprints(spark, sf_dir):
+    """The chunk self-join must be an equi-join (never cartesian) and
+    both sides must read the PERSISTED fingerprint table instead of
+    recomputing the token-vote pipeline twice."""
+    from spark_etl_agent_spark.queries.dedup import simhash_near_duplicates
+
+    df = simhash_near_duplicates(spark, sf_dir)
+    plan = plan_of(df)
+    try:
+        assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+        assert "InMemoryTableScan" in plan  # persisted bits feed the join
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_probe_band_join_is_equi_join(spark, sf_dir):
+    from spark_etl_agent_spark.queries.dedup import incremental_neardup_probe
+
+    plan = plan_of(incremental_neardup_probe(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_medoids_broadcast_centroid_table(spark, sf_dir):
+    from spark_etl_agent_spark.queries.similarity import embedding_label_medoids
+
+    plan = plan_of(embedding_label_medoids(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
