@@ -294,9 +294,79 @@ FROM per_doc GROUP BY label
 """
 
 
+
+# ---------------------------------------------------------------------------
+# chunk_documents (RAG-style overlapping windows)
+
+_CHUNK_W = 32   # words per chunk
+_CHUNK_S = 24   # stride (8-word overlap)
+
+
+def chunk_documents(spark, sf_dir):
+    """Split every document into overlapping word windows (W=32,
+    stride=24) — the retrieval-corpus preparation step (distinct from
+    ``pack_documents``, which CONCATENATES docs; chunking SPLITS them).
+    Pure array expressions: per-row transform + explode, zero shuffle,
+    scan-bound at any scale. Chunk content is fingerprinted (md5) so
+    the result stays narrow while still verifying the exact text of
+    every chunk against the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    words = words_of(F.col("text"))
+    n = F.size(words)
+    # pure Column arithmetic (an F.expr would re-tokenize text and
+    # invite SQL-string escaping bugs); values are small ints, so the
+    # floor(double/int) is exact
+    k_max = F.when(
+        n > _CHUNK_W,
+        F.floor((n - _CHUNK_W + _CHUNK_S - 1) / _CHUNK_S).cast("int"),
+    ).otherwise(F.lit(0))
+    chunks = F.transform(
+        F.sequence(F.lit(0), k_max),
+        lambda k: F.slice(words, k * _CHUNK_S + 1, _CHUNK_W),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "cw")
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * _CHUNK_S + 1).alias("start_word"),
+        F.size("cw").cast("bigint").alias("n_chunk_words"),
+        F.md5(F.concat_ws(" ", F.col("cw"))).alias("chunk_md5"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, t, k AS chunk_idx
+  FROM toks, LATERAL unnest(generate_series(0,
+    CASE WHEN len(t) > {_CHUNK_W}
+         THEN (len(t) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+         ELSE 0 END)) AS u(k)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  chunk_idx * {_CHUNK_S} + 1 AS start_word,
+  CAST(len(t[CAST(chunk_idx * {_CHUNK_S} + 1 AS INT)
+            : CAST(chunk_idx * {_CHUNK_S} + {_CHUNK_W} AS INT)]) AS BIGINT)
+    AS n_chunk_words,
+  md5(array_to_string(t[CAST(chunk_idx * {_CHUNK_S} + 1 AS INT)
+            : CAST(chunk_idx * {_CHUNK_S} + {_CHUNK_W} AS INT)], ' '))
+    AS chunk_md5
+FROM spans
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "chunk_documents": QuerySpec(
+        "chunk_documents", chunk_documents, CHUNK_DOCUMENTS_SQL,
+        "Overlapping word-window chunking (RAG corpus prep, zero shuffle)",
+        ("llm", "text", "projection"),
+    ),
     "corpus_cluster_quality": QuerySpec(
         "corpus_cluster_quality", corpus_cluster_quality,
         CORPUS_CLUSTER_QUALITY_SQL,

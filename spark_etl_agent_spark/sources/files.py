@@ -96,5 +96,23 @@ class FileIO:
     def read_parquet(self, path: str) -> DataFrame:
         return self.read(path, "parquet")
 
+    def read_resilient(
+        self,
+        path: str,
+        fmt: str = "parquet",
+        options: Optional[Dict[str, str]] = None,
+    ) -> DataFrame:
+        """Read tolerating unreadable files: a corrupt or truncated
+        file (a half-written upload, a bitrotted object) is SKIPPED
+        instead of failing the job. At 100 TB a multi-hour batch job
+        must not die on one bad object of millions — the trade is
+        availability over completeness, so pair this with a row-count
+        expectation gate (``operators.quality``) that decides whether
+        the loss is tolerable. Uses the per-datasource
+        ``ignoreCorruptFiles`` option (scoped to this read, NOT the
+        session-wide SQL conf — other reads keep strict semantics)."""
+        opts = {"ignoreCorruptFiles": "true", **(options or {})}
+        return self.read(path, fmt, opts)
+
     def write_parquet(self, df: DataFrame, path: str, mode: str = "overwrite") -> str:
         return self.write(df, path, "parquet", mode)

@@ -640,3 +640,28 @@ def test_corpus_prep_etl_end_to_end(spark, sf_dir, job_service, warehouse):
     assert total == result["total_tokens"]
     assert result["n_chunks"] == (total + 255) // 256
     assert manifest.agg(F2.max("chunk_last")).collect()[0][0] == result["n_chunks"] - 1
+
+
+def test_read_resilient_skips_corrupt_file(spark, tmp_path):
+    """S5 hardening: a truncated/garbage file inside a table directory
+    must not kill the read when the resilient policy is chosen — and
+    MUST kill it under the default strict read."""
+    from spark_etl_agent_spark.sources.files import FileIO
+
+    io = FileIO(spark)
+    path = str(tmp_path / "t")
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
+    # plant a corrupt member alongside the good part file
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    assert io.read_resilient(path).count() == 100  # bad file skipped
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        io.read_parquet(path).count()  # strict default: fail loudly
+    assert "corrupt" in str(exc.value).lower() or isinstance(
+        exc.value, Py4JJavaError
+    ) or "footer" in str(exc.value).lower()
