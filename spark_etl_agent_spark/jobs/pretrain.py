@@ -94,16 +94,28 @@ class CorpusPrepService:
         )
         kept = docs.join(contaminated, "doc_id", "left_anti")
         kept, kept_obs = with_metrics(kept, n_kept=F.count(F.lit(1)))
+        # persisted: the decontamination chain (corpus scan, n-gram
+        # explode, broadcast probe, anti-join) feeds BOTH the mixture
+        # plan collect and the final manifest write — unpersisted it
+        # would run twice, doubling the most expensive stage
+        from pyspark import StorageLevel
+
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
 
         # 2. mixture: plan (bounded per-domain rows) then materialize
         plan_rows = mixture_plan(
             kept, self.domain_col, self.target_weights, self.max_epochs
         ).collect()  # one row per target domain — a scalar envelope
         epochs = {r[self.domain_col]: r["epochs"] for r in plan_rows}
-        if not epochs:
+        missing = sorted(set(self.target_weights) - set(epochs))
+        if missing:
+            # a target domain absent from the (decontaminated) corpus
+            # means the configured mixture is unachievable — failing
+            # beats silently shipping a corpus with that share at zero
             raise RuntimeError(
-                f"no target domain of {list(self.target_weights)} present "
-                f"in {self.source_table}.{self.domain_col}"
+                f"target domain(s) {missing} absent from "
+                f"{self.source_table}.{self.domain_col} after "
+                f"decontamination; achievable domains: {sorted(epochs)}"
             )
         emitted = resample_epochs(
             kept, key_col="doc_id", domain_col=self.domain_col, epochs=epochs
@@ -137,19 +149,29 @@ class CorpusPrepService:
             "start_off", "end_off", "chunk_first", "chunk_last", "n_chunks",
         ).withColumn("load_date", F.lit(load_date))
 
-        # 5. write; audits ride the write action
+        # 5. write to a STAGING table first (jcap backup discipline):
+        # validating AFTER an overwrite of the destination would
+        # destroy the previous good manifest on the failure path
         packed, out_obs = with_metrics(
             packed,
             n_emitted=F.count(F.lit(1)),
             total_tokens=F.max("end_off"),
         )
-        self.catalog.write_table(packed, self.dest_table, mode="overwrite")
+        staging = f"{self.dest_table}__staging"
+        self.catalog.write_table(packed, staging, mode="overwrite")
+        kept.unpersist()
 
         out = metrics_of(out_obs)
         n_emitted = int(out["n_emitted"])
         total_tokens = int(out["total_tokens"]) if n_emitted else 0
         if n_emitted == 0:
-            raise RuntimeError("corpus prep produced an empty manifest")
+            raise RuntimeError(
+                "corpus prep produced an empty manifest; destination "
+                f"{self.dest_table} left untouched (staging: {staging})"
+            )
+        self.catalog.write_table(
+            self.catalog.read_table(staging), self.dest_table, mode="overwrite"
+        )
         n_input = int(metrics_of(in_obs)["n_input"])
         n_kept = int(metrics_of(kept_obs)["n_kept"])
 

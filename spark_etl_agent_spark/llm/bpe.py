@@ -156,10 +156,15 @@ def bpe_encode_stats(
     n_bpe = F.aggregate(
         tok_counts, F.lit(0).cast("long"), lambda acc, c: acc + c
     )
-    return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars_m"),
-        n_bpe.alias("n_bpe_tokens"),
-        (n_chars.cast("double") / n_bpe).alias("chars_per_token"),
+    # docs with zero length>=1 words emit NO row (mirrors the oracle's
+    # unnest-then-group shape and avoids a 0/0 chars_per_token)
+    return (
+        df.select(
+            F.col(id_col),
+            n_words.alias("n_words"),
+            n_chars.alias("n_chars_m"),
+            n_bpe.alias("n_bpe_tokens"),
+            (n_chars.cast("double") / n_bpe).alias("chars_per_token"),
+        )
+        .filter(F.col("n_words") > 0)
     )

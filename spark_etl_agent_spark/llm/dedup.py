@@ -111,20 +111,7 @@ def lsh_candidate_pairs(
     ``''``, so without the filter every short doc would share
     ``md5('')`` in all bands and form one O(n²) candidate clique — a
     blow-up a short-doc-heavy corpus would hit at scale."""
-    n_bands = n_hashes // band_size
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = signatures.filter(F.col("mh0").isNotNull()).select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_key")
-    )
+    banded = _banded(signatures, id_col, n_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

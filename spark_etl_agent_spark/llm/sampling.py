@@ -96,7 +96,10 @@ def mixture_plan(
     would have to repeat more than ``max_epochs`` times to meet its
     share; every other domain is scaled down proportionally.
 
-    Returns one row per target domain:
+    Returns one row per target domain PRESENT in the data (an absent
+    domain yields no row — callers that require every configured
+    domain must check, as ``jobs.pretrain`` does, because a missing
+    row means the configured mixture is unachievable):
     ``(domain, n_avail, target_w, n_target, epochs)`` with
     ``n_target = floor(target_w * scale)`` where
     ``scale = min_d(n_avail_d * max_epochs / w_d)``.

@@ -294,9 +294,9 @@ def gemm_topk(
     necessarily a top-k row of its own batch.
 
     Query vectors are collected to the driver ONLY while the query set
-    is genuinely small; the bound is enforced, not assumed. A single
-    scalar ``count()`` sizes the query set first, and above
-    ``max_driver_queries`` the operator delegates to
+    is genuinely small; the bound is enforced, not assumed — by the
+    collect itself (``limit(N+1)``, one action, driver memory capped
+    at N+1 rows). Above ``max_driver_queries`` the operator delegates to
     :func:`brute_force_topk` — the same exact logical result computed as
     a fully distributed broadcast join with ZERO data rows on the driver
     (and, for query sets too large even to broadcast, AQE converts that
@@ -314,12 +314,15 @@ def gemm_topk(
     import numpy as np
 
     qset = df.filter(F.col(id_col) < query_ids_below).select(id_col, vec_col)
-    if qset.count() > max_driver_queries:
+    # bound enforced by the collect itself (limit N+1): one action and
+    # driver memory capped at N+1 rows — a separate count() would add a
+    # full extra scan just to learn a number the collect reveals anyway
+    qrows = qset.limit(max_driver_queries + 1).collect()
+    if len(qrows) > max_driver_queries:
         # Too many queries for a driver round-trip: same exact answer
         # via the distributed join path (scaled-int dot → identical
         # neighbor sets; see module docstring on determinism).
         return brute_force_topk(df, query_ids_below, k, vec_col, id_col)
-    qrows = qset.collect()
     out_schema = "query_id long, neighbor_id long, cosine_sim double"
     if not qrows:
         empty = df.sparkSession.createDataFrame([], out_schema)
@@ -432,8 +435,7 @@ def label_medoids(
             F.sort_array(F.collect_list(F.struct("pos", "cq"))),
             lambda s: s["cq"],
         ).alias("cvec"),
-        F.count(F.lit(1)).alias("__ndim"),
-    ).withColumn("cnorm_sq", dot(F.col("cvec"), F.col("cvec"))).drop("__ndim")
+    ).withColumn("cnorm_sq", dot(F.col("cvec"), F.col("cvec")))
     scored = with_vecs.join(F.broadcast(cent), "label").select(
         "label",
         F.col(id_col),

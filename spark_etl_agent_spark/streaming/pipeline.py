@@ -275,8 +275,10 @@ def streaming_dedup_ingest_sink(
     ``index_provider`` is called per batch so the index can grow with
     accepted documents (an ingest loop passes a reader over the sink
     table). ``audit`` (optional list) collects per-batch
-    ``(batch_id, n_in, n_exact_dups, n_near_dups, n_novel)`` envelopes
-    — the counts a production ingest job alerts on.
+    ``(batch_id, n_in, n_exact_dups_in_batch, n_dropped_vs_index,
+    n_novel)`` envelopes — the counts a production ingest job alerts
+    on (``n_dropped_vs_index`` counts exact-hash AND near-dup drops
+    against the index).
 
     Scale: everything inside is the batch-vs-index probe shape — cost
     per micro-batch is one index scan + batch-sized work, independent
@@ -309,6 +311,19 @@ def streaming_dedup_ingest_sink(
         if index_df is None or not index_df.columns:
             novel = keeper
         else:
+            # exact-hash probe FIRST: the LSH probe cannot see documents
+            # too short to shingle (< k words — all-NULL signatures), so
+            # without this anti-join a short doc would be re-accepted
+            # verbatim every batch. One aggregated index projection,
+            # same single index scan the LSH probe already pays.
+            index_hashes = index_df.select(
+                F.md5(F.col("text")).alias("__ih")
+            ).distinct()
+            keeper = keeper.join(
+                index_hashes,
+                F.md5(F.col("text")) == F.col("__ih"),
+                "left_anti",
+            )
             verdicts = incremental_neardup_verdicts(
                 index_df, keeper, min_jaccard=min_jaccard
             ).select("doc_id", "is_novel")
@@ -318,6 +333,10 @@ def streaming_dedup_ingest_sink(
         novel = novel.localCheckpoint()  # verdict computed once
         n_novel = novel.count()
         novel_writer(novel, batch_id)
+        # the probe's shingle/fingerprint persists are batch-scoped:
+        # release them so a long-running ingest holds no growing cache
+        # (register long-lived caches outside the ingest session)
+        batch_df.sparkSession.catalog.clearCache()
         if audit is not None:
             audit.append(
                 (batch_id, n_in, n_in - n_exact, n_exact - n_novel, n_novel)
@@ -344,7 +363,13 @@ def streaming_packing_sink(
     persisted as an atomically-renamed JSON file in ``state_path``
     together with the last applied batch id: a foreachBatch replay of
     the SAME batch (the at-least-once failure mode) is detected and
-    skipped, making the sink effectively-once. Within a batch the
+    skipped. That covers replays after the state write; a crash in the
+    window between ``manifest_writer`` succeeding and the state write
+    re-runs the batch with the SAME spans and batch id, so
+    ``manifest_writer`` MUST be idempotent per batch id (write to a
+    per-batch partition with overwrite, as the test does; a blind
+    append would duplicate that batch's rows). With an idempotent
+    writer the sink is effectively-once end-to-end. Within a batch the
     packing itself is the distributed range-partition shape; across
     batches only the scalar crosses — no growing state.
     """

@@ -665,3 +665,28 @@ def test_read_resilient_skips_corrupt_file(spark, tmp_path):
     assert "corrupt" in str(exc.value).lower() or isinstance(
         exc.value, Py4JJavaError
     ) or "footer" in str(exc.value).lower()
+
+
+def test_corpus_prep_raises_on_absent_target_domain(spark, tmp_path):
+    """A configured mixture domain with no corpus rows must fail the
+    job loudly — proceeding would silently ship a corpus whose
+    composition diverges from the configured mixture."""
+    import pyspark.sql.functions as F2
+    import pytest as _pytest
+
+    from spark_etl_agent_spark.jobs.pretrain import CorpusPrepService
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cat.write_table(
+        docs.filter(F2.col("lang") != "zh"), "corpus.documents_clean",
+        mode="overwrite",
+    )
+    cat.write_table(
+        docs.filter(F2.col("doc_id") % 97 == 0), "corpus.benchmarks",
+        mode="overwrite",
+    )
+    svc = CorpusPrepService(cat)
+    with _pytest.raises(RuntimeError, match="zh"):
+        svc.run_corpus_prep_etl("2026-08-14")

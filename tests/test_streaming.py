@@ -493,7 +493,11 @@ def test_streaming_packing_spans_continue_across_batches(spark, tmp_path):
     state_dir = tmp_path / "state"
 
     def writer(df, batch_id):
-        df.coalesce(1).write.mode("append").parquet(str(manifest_dir))
+        # idempotent per batch id (the sink contract): replaying the
+        # same batch overwrites its own partition instead of appending
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(manifest_dir / f"batch={batch_id}")
+        )
 
     audit: list = []
     sink = streaming_packing_sink(
@@ -508,7 +512,8 @@ def test_streaming_packing_spans_continue_across_batches(spark, tmp_path):
     run_available_now(stream, output_mode="append", foreach_batch=sink)
 
     rows = {
-        r["doc_id"]: r for r in spark.read.parquet(str(manifest_dir)).collect()
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(manifest_dir / "batch=*")).collect()
     }
     # identical spans to the batch pack of the full corpus
     # (test_pack_chunks_exact_spans): the stream IS one stream
@@ -526,4 +531,58 @@ def test_streaming_packing_spans_continue_across_batches(spark, tmp_path):
     # replaying the LAST batch id is a no-op (at-least-once replay)
     replay = spark.createDataFrame([(9, 100)], "doc_id long, n_tokens long")
     sink(replay, max(a[0] for a in audit))
-    assert spark.read.parquet(str(manifest_dir)).count() == 5
+    assert spark.read.parquet(str(manifest_dir / "batch=*")).count() == 5
+
+
+def test_streaming_dedup_ingest_rejects_short_doc_exact_dup(spark, tmp_path):
+    """Documents too short to shingle are invisible to the LSH probe;
+    the sink's exact-hash anti-join must still reject their verbatim
+    cross-batch duplicates (the short-doc admission hole)."""
+    import os
+    import shutil
+
+    from spark_etl_agent_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_dedup_ingest_sink,
+    )
+
+    batches = [
+        [(1, "hi there")],          # 2 words: shingle-less, novel
+        [(2, "hi there")],          # exact dup of a short doc -> reject
+        [(3, "hello world")],       # different short doc -> novel
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dst = src / f"f{i}.parquet"
+        shutil.copy(next(stage.glob("*.parquet")), dst)
+        os.utime(dst, (2_000_000 + i * 1000, 2_000_000 + i * 1000))
+
+    sink_dir = tmp_path / "accepted"
+
+    def index_provider():
+        if not sink_dir.exists() or not any(sink_dir.glob("*.parquet")):
+            return None
+        return spark.read.parquet(str(sink_dir))
+
+    def writer(df, batch_id):
+        df.coalesce(1).write.mode("append").parquet(str(sink_dir))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(
+        stream, output_mode="append",
+        foreach_batch=streaming_dedup_ingest_sink(index_provider, writer),
+    )
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(sink_dir)).collect()
+    )
+    assert accepted == [1, 3]
