@@ -43,3 +43,14 @@ def test_session_scale_posture(spark):
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
     assert conf.get("spark.sql.parquet.filterPushdown") == "true"
+
+
+def test_driver_window_is_first_50_registry_entries():
+    """The driver oracles registry[:50] in insertion order; a refactor
+    that breaks the DRIVER_WINDOW-first ordering silently forfeits the
+    round's correctness coverage plan."""
+    from spark_etl_agent_spark.queries import registry
+    from spark_etl_agent_spark.queries.base import DRIVER_WINDOW
+
+    assert list(registry())[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
+    assert len(DRIVER_WINDOW) == 50
