@@ -429,3 +429,67 @@ def test_simhash_near_pairs_planted_and_lossless_contract(spark):
 
     with _pytest.raises(ValueError):
         simhash_near_pairs(docs, max_hamming=4, n_chunks=4)
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=500),
+                    min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=64),
+    npart=st.integers(min_value=1, max_value=5),
+)
+def test_pack_chunks_invariants_hold_for_any_corpus(
+    spark, tokens, budget, npart
+):
+    """For ANY document sizes, budget, and partition count: spans are
+    contiguous and gap-free, offsets reproduce the running sum, chunk
+    ids match the arithmetic definition, and totals agree."""
+    docs = spark.createDataFrame(
+        list(enumerate(tokens)), "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        pack_chunks(docs, "doc_id", "n_tokens", budget, npart=npart).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    run = 0
+    for r in rows:
+        assert r["start_off"] == run
+        assert r["end_off"] == run + r["n_tokens"]
+        run = r["end_off"]
+        assert r["chunk_first"] == r["start_off"] // budget
+        expect_last = max(r["chunk_first"], (r["end_off"] - 1) // budget)
+        assert r["chunk_last"] == expect_last
+        assert r["n_chunks"] == r["chunk_last"] - r["chunk_first"] + 1
+    assert run == sum(tokens)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(eps=st.floats(min_value=0.01, max_value=4.0,
+                     allow_nan=False, allow_infinity=False))
+def test_resample_epochs_multiplicity_bounds_any_rate(spark, eps):
+    """Every row's emitted multiplicity is floor(eps) or ceil(eps), and
+    membership never depends on partitioning."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, "d") for i in range(40)], "doc_id long, lang string"
+    )
+    out = resample_epochs(docs, "doc_id", "lang", {"d": eps})
+    per = {r["doc_id"]: r["n"] for r in
+           out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    lo, hi = math.floor(eps), math.ceil(eps)
+    for i in range(40):
+        assert lo <= per.get(i, 0) <= hi
