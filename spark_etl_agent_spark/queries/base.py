@@ -180,68 +180,74 @@ def _collect_modules():
 
 
 # The driver's per-round correctness harness oracles only the FIRST 50
-# registry entries (insertion order).  Rounds 1-3 covered 67 of the
-# declared queries; the 42 listed first below had never had an independent
-# driver CORRECTNESS row, so round 4 front-loads them into the window.
-# The trailing 8 are already-driver-passed canaries from distinct query
-# families (relational / jcap / windows / sets / streaming-batch / text /
-# dedup / lifecycle) kept inside the window as regression tripwires.
+# registry entries (insertion order).  After round 4 the union of
+# driver-verified queries reached 109/123; the 16 listed first below are
+# the only names that have never had a green driver CORRECTNESS row
+# (the 14 round-4 corpus-pipeline queries, plus approx_distinct_parts
+# and bpe_train_merges whose real oracles landed in round 4 but were
+# never driver-exercised).  Round 5 front-loads those 16, keeps 6
+# cross-family regression canaries, and fills the remaining slots with
+# the STALEST previously-passed names (last driver row round 1, then
+# the oldest round-3 passers alphabetically) so coverage recency stays
+# fresh across the whole inventory.
 # Every name is validated against the merged inventory at registry() time
 # so a rename or removal fails loudly instead of silently shrinking
 # coverage.
 DRIVER_WINDOW = (
-    # -- never driver-checked through round 3 (42) --
-    "multimodal_wav_decode",
-    "streaming_static_enrichment",
-    "streaming_watermark_dedup",
-    "streaming_sliding_agg",
-    "streaming_session_agg",
-    "snapshot_diff_orders",
-    "agg_topk_quantities",
-    "orders_table_profile",
-    "asof_join_clicks",
-    "band_join_parts",
-    "salted_agg_lineitem",
-    "quantity_profile",
-    "grouping_sets_revenue",
-    "unpivot_quarterly",
-    "string_similarity_pairs",
-    "filtered_aggregates",
-    "array_functions_gallery",
-    "stratified_sample_docs",
-    "weighted_sample_docs",
-    "deterministic_sample_docs",
-    "train_val_test_counts",
-    "trailing_interval_revenue",
-    "window_value_functions",
-    "returned_item_revenue",
-    "shipmode_priority_counts",
-    "large_volume_orders",
-    "idle_rich_customers",
-    "corpus_quality_filter",
-    "customer_order_distribution",
-    "nation_trade_volume",
-    "market_share",
-    "small_quantity_revenue",
-    "disjunctive_bracket_revenue",
-    "min_cost_supplier",
-    "exists_returned_orders",
-    "revenue_share_parts",
-    "top_supplier_quarter",
-    "lone_returner_suppliers",
-    "nation_year_profit",
-    "promo_revenue_share",
-    "parts_supplier_counts",
-    "dominant_part_suppliers",
-    # -- already-passed regression canaries (8) --
+    # -- never driver-checked through round 4 (16) --
+    "approx_distinct_parts",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "join_skew_report",
+    "simhash_near_duplicates",
+    "incremental_neardup_probe",
+    "embedding_label_medoids",
+    "per_domain_holdout",
+    "chunk_documents",
+    "corpus_cluster_quality",
+    "corpus_shuffle_order",
+    "decontaminate_corpus",
+    "pack_documents",
+    "packing_audit",
+    "mixture_plan_langs",
+    "mixture_resample_counts",
+    # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
     "window_topk_per_group",
     "set_operations",
     "sessionization",
-    "tfidf_top_terms",
     "exact_dedup",
-    "scd2_priority_history",
+    # -- stalest prior passes: last green driver row was round 1 (16) --
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_sign_bucket_pairs",
+    "doc_fingerprints",
+    "embedding_cosine_neardup",
+    "embedding_label_centroids",
+    "kmeans_cell_profile",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "multimodal_decode",
+    "multimodal_source_stats",
+    "neardup_components",
+    "ngram_jaccard_dedup",
+    "normalized_dedup",
+    "simhash_fingerprints",
+    "streaming_tumbling_agg",
+    # -- next-stalest prior passes: round 3, alphabetical (12) --
+    "above_nation_average",
+    "bpe_pair_counts",
+    "case_when_classifier",
+    "conversion_funnel",
+    "count_distinct_customers",
+    "cube_part_inventory",
+    "customer_order_counts",
+    "date_function_gallery",
+    "distinct_projection",
+    "event_type_daily_pivot",
+    "events_tumbling_agg",
+    "filter_in_upper",
 )
 
 
