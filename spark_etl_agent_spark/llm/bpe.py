@@ -104,9 +104,11 @@ def bpe_train(
             "wfreq",
         )
         # each round adds ONE cheap projection to the lineage, so a
-        # checkpoint every few rounds bounds plan growth without paying
-        # a vocabulary materialization per round
-        if (round_no + 1) % 3 == 0:
+        # sparse checkpoint bounds plan growth for deep trainings
+        # without paying a vocabulary-materialization job per few
+        # rounds (each localCheckpoint is its own Spark job — at small
+        # n_merges that job latency dominated the whole training loop)
+        if (round_no + 1) % 8 == 0:
             vocab = vocab.localCheckpoint()
     table = spark.createDataFrame(
         [
@@ -116,6 +118,38 @@ def bpe_train(
         "merge_rank int, left string, right string, merged string, n_occurrences long",
     )
     return table, merges
+
+
+# Each merge adds one nested higher-order-function layer to the encode
+# expression; past a few dozen layers the Catalyst tree (analysis /
+# codegen) grows beyond what a projection should carry, so larger merge
+# tables route to the Arrow path automatically.
+MAX_EXPR_MERGES = 64
+
+
+def _merge_pass(arr, left: str, right: str):
+    """One full left-to-right non-overlapping pass of a single merge
+    over a symbol array — the exact greedy order of the trainer's
+    anchored ``regexp_replace``, expressed as an array fold with plain
+    string equality (no per-word regex scan). After a merge fires the
+    accumulated tail is the merged token, which can never equal
+    ``left`` again (it is strictly longer), so overlap is impossible —
+    same non-overlap guarantee the regex continuation gives."""
+    merged = left + right
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            # try_element_at: NULL (→ branch not taken) on the empty
+            # accumulator instead of ANSI-mode's index error
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
 
 def bpe_encode_stats(
@@ -128,33 +162,37 @@ def bpe_encode_stats(
     tokenization stats: ``(id, n_words, n_chars, n_bpe_tokens,
     compression_ratio)``.
 
-    The encode is ONE codegen'd projection — per word, char-split into
-    symbols then the merges replayed in rank order with the same
-    anchored whole-token ``regexp_replace`` the trainer uses (greedy
-    left-to-right non-overlapping, the reference BPE order). Zero
-    shuffle: at 100 TB this is scan-bound, embarrassingly parallel —
-    exactly how a tokenizer pass over a corpus must behave. The merge
-    list is a bounded artifact (vocab-sized), embedded as literals the
-    same way the k-means codebook assignment is."""
+    Two engines, one contract (equality pinned in
+    ``tests/test_operators.py``):
+
+    - ``len(merges) <= MAX_EXPR_MERGES``: ONE codegen'd projection —
+      per word, char-split into a symbol array, then each merge
+      replayed in rank order as an array fold (``_merge_pass``). Zero
+      shuffle, zero regex in the hot path: at 100 TB this is
+      scan-bound, embarrassingly parallel.
+    - larger merge tables (a real 30k+ BPE vocab): an Arrow-batched
+      ``mapInPandas`` encode with the merge ranks as a broadcast-sized
+      Python dict and per-batch word memoization — a vocab-deep
+      Catalyst expression tree would blow up analysis/codegen, so the
+      mechanism switches rather than the contract."""
+    if len(merges) > MAX_EXPR_MERGES:
+        return _bpe_encode_stats_arrow(df, merges, text_col, id_col)
     words = F.filter(words_of(F.col(text_col)), lambda w: F.length(w) >= 1)
-    sym = F.transform(
-        words, lambda w: F.array_join(F.split(w, "(?!^)(?=.)"), " ")
-    )
-    # factory binds each round's pattern (PySpark introspects lambda
+    sym = F.transform(words, lambda w: F.split(w, "(?!^)(?=.)"))
+    # factory binds each round's pair (PySpark introspects lambda
     # arity, so default-arg binding would read as a 3-arg lambda)
-    def _apply_merge(p: str, m: str):
-        return lambda s: F.regexp_replace(s, p, m)
+    def _apply_merge(left: str, right: str):
+        return lambda a: _merge_pass(a, left, right)
 
     for left, right, _n in merges:
-        pat = f"(^|(?<= )){re.escape(left)} {re.escape(right)}((?= )|$)"
-        sym = F.transform(sym, _apply_merge(pat, left + right))
-    tok_counts = F.transform(sym, lambda s: F.size(F.split(s, " ")))
+        sym = F.transform(sym, _apply_merge(left, right))
+    tok_counts = F.transform(sym, lambda a: F.size(a))
     n_words = F.size(words).cast("long")
     n_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     n_bpe = F.aggregate(
-        tok_counts, F.lit(0).cast("long"), lambda acc, c: acc + c
+        tok_counts, F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
     )
     # docs with zero length>=1 words emit NO row (mirrors the oracle's
     # unnest-then-group shape and avoids a 0/0 chars_per_token)
@@ -168,3 +206,104 @@ def bpe_encode_stats(
         )
         .filter(F.col("n_words") > 0)
     )
+
+
+def _encode_token_count(word: str, ranks: dict) -> int:
+    """Token count for one word under rank-priority BPE (GPT-2 encode
+    shape: repeatedly merge every occurrence of the lowest-ranked pair
+    present). For a merge list produced by BPE *training* this is
+    equivalent to replaying the merges as sequential full passes —
+    merge k's constituents can only be produced by merges < k — which
+    is the order the expression engine and the DuckDB oracle use;
+    equality is pinned by test at the trained-merges case."""
+    symbols = list(word)
+    while len(symbols) >= 2:
+        best = None
+        best_rank = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (symbols[i], symbols[i + 1])
+        if best is None:
+            break
+        left, right = best
+        out = []
+        i = 0
+        while i < len(symbols):
+            if (
+                i + 1 < len(symbols)
+                and symbols[i] == left
+                and symbols[i + 1] == right
+            ):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return len(symbols)
+
+
+def _bpe_encode_stats_arrow(
+    df: DataFrame,
+    merges: List[Tuple[str, str, int]],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-batched encode for vocab-scale merge tables. The ranks
+    dict is bounded (the shipped tokenizer artifact, ~MBs) and rides
+    task serialization; distinct words repeat heavily in natural text,
+    so a per-batch memo makes the encode ~O(distinct words)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {(l, r): i for i, (l, r, *_rest) in enumerate(merges)}
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("n_words", LongType()),
+            StructField("n_chars_m", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+            StructField("chars_per_token", DoubleType()),
+        ]
+    )
+    ws_re = re.compile(r"\s+")
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in ws_re.split((text or "").lower()) if w]
+                if not ws:
+                    continue
+                n_chars = sum(len(w) for w in ws)
+                n_bpe = 0
+                for w in ws:
+                    c = memo.get(w)
+                    if c is None:
+                        c = _encode_token_count(w, ranks)
+                        memo[w] = c
+                    n_bpe += c
+                rows.append(
+                    (doc_id, len(ws), n_chars, n_bpe, n_chars / n_bpe)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "n_words",
+                    "n_chars_m",
+                    "n_bpe_tokens",
+                    "chars_per_token",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, out_schema)

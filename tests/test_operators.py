@@ -390,6 +390,38 @@ def test_bpe_train_matches_pure_python_reference(spark):
     ]
 
 
+def test_bpe_encode_arrow_path_matches_expression_path(spark):
+    """The two encode engines (fold-expression projection vs the
+    Arrow ``mapInPandas`` rank-priority encode used for vocab-scale
+    merge tables) must agree row-for-row on a trained merge list —
+    the contract that lets ``bpe_encode_stats`` switch mechanism on
+    ``MAX_EXPR_MERGES`` without changing results."""
+    from spark_etl_agent_spark.llm.bpe import (
+        _bpe_encode_stats_arrow,
+        bpe_encode_stats,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new low news",
+        "wider wide widest wider",
+        "x",  # single-char word: one token, no merges apply
+        "   ",  # whitespace-only doc: must emit no row on both paths
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    _, merges = bpe_train(df, n_merges=8)
+    assert len(merges) >= 5
+    expr = sorted(map(tuple, bpe_encode_stats(df, merges).collect()))
+    arrow = sorted(
+        map(tuple, _bpe_encode_stats_arrow(df, merges, "text", "doc_id").collect())
+    )
+    assert expr == arrow
+    assert len(expr) == 4  # the whitespace-only doc dropped
+
+
 def test_zorder_bounds_both_dims_vs_single_key_sort(spark, sf_dir, tmp_path):
     """File-skipping proof from the actual parquet footers: z-ordered
     files bound BOTH dimensions (mean normalized width well under the
