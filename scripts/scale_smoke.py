@@ -236,9 +236,39 @@ def main():
     print(f"ann_ivf_topk: {n_cells} cells, 2 probed per query")
     ivf_ok = n_cells > 2
 
+    # simhash hot-bucket hazard: a boilerplate-heavy corpus where 30%
+    # of documents share one text (hence one fingerprint, colliding on
+    # EVERY chunk) must trip the in-operator guard instead of running a
+    # quadratic bucket self-join
+    from spark_etl_agent_spark.llm.dedup import simhash_near_pairs
+
+    n_docs, boiler = 40_000, 12_000
+    hot = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < boiler,
+            F.lit("identical boilerplate header repeated across the corpus"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("unique document body number "),
+                F.col("id").cast("string"),
+                F.lit(" with distinct trailing words"),
+            )
+        )
+        .alias("text"),
+    )
+    try:
+        simhash_near_pairs(hot)  # default max_bucket guard
+        guard_ok = False
+        print("FAIL: simhash hot-bucket guard did not fire at 30% boilerplate")
+    except ValueError as e:
+        guard_ok = "exact/normalized dedup" in str(e)
+        print(f"simhash hot-bucket guard fired as designed: {e!s:.80}...")
+
     shutil.rmtree(WORK, ignore_errors=True)
     m.stop()
-    ok = worst <= BLOWUP * 1.5 and rounds_ok and ivf_ok
+    ok = worst <= BLOWUP * 1.5 and rounds_ok and ivf_ok and guard_ok
     if not rounds_ok:
         print("FAIL: components convergence rounds grew super-log")
     if not ivf_ok:

@@ -20,6 +20,8 @@ All pure DataFrame programs (no UDFs). Scale design:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -395,6 +397,7 @@ def incremental_neardup_verdicts(
     id_col: str = "doc_id",
     min_jaccard: float = 0.6,
     broadcast_batch: bool = True,
+    check_disjoint_ids: bool = True,
 ) -> DataFrame:
     """Per-new-document ingest verdict against an existing corpus:
     ``(id, n_matches, best_match_id, best_jaccard, is_novel)`` where a
@@ -410,7 +413,36 @@ def incremental_neardup_verdicts(
     Scale: signatures are two uniform-key aggregations; the probe join
     broadcasts only the batch bands; Jaccard verification touches only
     candidate pairs. Nothing in the plan grows with index × batch.
+
+    The verify step unions both tables into ONE shingle table, which is
+    only sound when batch and index ids are disjoint — a replayed id
+    with changed text would silently merge two documents' shingles
+    under one id and corrupt every Jaccard touching it. That contract
+    is therefore enforced (``check_disjoint_ids``): one broadcast
+    id-semi-join against the index, limit-1, raising on the first
+    collision. Disable it only when the caller has already proven
+    disjointness (e.g. right after an exact-id anti-join).
     """
+    if check_disjoint_ids:
+        batch_ids = batch_docs.select(id_col).distinct()
+        if broadcast_batch:
+            batch_ids = F.broadcast(batch_ids)
+        collision = (
+            index_docs.select(id_col)
+            .join(batch_ids, id_col)
+            .limit(1)
+            .collect()  # scalar guard envelope, never data rows
+        )
+        if collision:
+            raise ValueError(
+                "incremental_neardup_verdicts: document id "
+                f"{collision[0][0]!r} appears in BOTH the batch and the "
+                "index; the shingle union would merge two documents "
+                "under one id and corrupt Jaccard verdicts. Drop or "
+                "re-key replayed ids before probing (the streaming "
+                "ingest sink's exact-hash anti-join does not cover "
+                "same-id different-text replays)."
+            )
     pairs = lsh_probe_pairs(
         minhash_signatures(index_docs, text_col, id_col),
         minhash_signatures(batch_docs, text_col, id_col),
@@ -464,6 +496,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_bits: int = 64,
     n_chunks: int = 4,
+    max_bucket: Optional[int] = 10_000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of
     ``n_chunks`` equal-width fingerprint chunks, then exact Hamming
@@ -474,11 +507,22 @@ def simhash_near_pairs(
     chunks), so this is exact SimHash dedup, not approximate. Scale
     shape mirrors LSH banding: one bounded-width chunk-key self-join —
     only colliding candidates reach the per-pair 64-position compare.
-    A chunk value shared by many documents (e.g. a boilerplate-heavy
-    corpus where many fingerprints agree on a region) widens its
-    bucket quadratically — the same hot-bucket property LSH bands
-    have; mitigate upstream by deduping exact copies first (identical
-    docs pair on every chunk).
+
+    **Hot-bucket guard**: a chunk value shared by many documents (a
+    boilerplate-heavy corpus where many fingerprints agree on a
+    region — identical docs collide on *every* chunk) widens its
+    bucket quadratically, the same hazard LSH bands have. Rather than
+    trusting an upstream contract, the operator counts bucket widths
+    before the self-join and raises past ``max_bucket`` with guidance
+    (exact-dedup first, or raise the cap deliberately). The guard
+    action doubles as the fingerprint-cache warm-up: it materializes
+    the persisted ``bits`` table the join sides then reuse, so its
+    marginal cost is one small aggregated count on cached data.
+    ``max_bucket=None`` disables the guard (and the extra action).
+
+    The fingerprint persist lives until the session releases it; a
+    long-lived caller (bench loop, streaming batch) should wrap the
+    call + action in ``core.cache.scoped_caches``.
     """
     if max_hamming >= n_chunks:
         raise ValueError(
@@ -505,6 +549,26 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("chunk_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .orderBy(F.desc("n"))
+            .limit(1)
+            .collect()  # one row max — a scalar guard envelope
+        )
+        if hot:
+            r = hot[0]
+            raise ValueError(
+                f"simhash_near_pairs: fingerprint chunk bucket "
+                f"(chunk_idx={r['chunk_idx']}, chunk={r['chunk']!r}) holds "
+                f"{r['n']} documents (max_bucket={max_bucket}); the chunk "
+                "self-join would grow quadratically in that bucket. "
+                "Run exact/normalized dedup first (identical documents "
+                "collide on every chunk), or pass a higher max_bucket "
+                "deliberately."
+            )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

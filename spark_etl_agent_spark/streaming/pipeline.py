@@ -284,9 +284,14 @@ def streaming_dedup_ingest_sink(
     per micro-batch is one index scan + batch-sized work, independent
     of history size beyond the scan.
     """
+    from ..core.cache import scoped_caches
     from ..llm.dedup import incremental_neardup_verdicts
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with scoped_caches(batch_df.sparkSession):
+            _ingest_batch(batch_df, batch_id)
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()  # stream source read once
         n_in = batch_df.count()
         if n_in == 0:
@@ -324,8 +329,21 @@ def streaming_dedup_ingest_sink(
                 F.md5(F.col("text")) == F.col("__ih"),
                 "left_anti",
             )
+            # id probe SECOND: an at-least-once replay can re-deliver an
+            # already-ingested id with CHANGED text, which the hash
+            # anti-join passes; it is not novel (the id is taken) and it
+            # must not reach the LSH probe, whose shingle union requires
+            # batch/index ids to be disjoint. Same single index scan,
+            # one id-column projection.
+            index_ids = index_df.select("doc_id").distinct()
+            keeper = keeper.join(index_ids, "doc_id", "left_anti")
             verdicts = incremental_neardup_verdicts(
-                index_df, keeper, min_jaccard=min_jaccard
+                index_df,
+                keeper,
+                min_jaccard=min_jaccard,
+                # disjointness proven by the id anti-join just above —
+                # skip the guard's extra index scan
+                check_disjoint_ids=False,
             ).select("doc_id", "is_novel")
             novel = keeper.join(verdicts, "doc_id").filter(
                 F.col("is_novel")
@@ -333,10 +351,11 @@ def streaming_dedup_ingest_sink(
         novel = novel.localCheckpoint()  # verdict computed once
         n_novel = novel.count()
         novel_writer(novel, batch_id)
-        # the probe's shingle/fingerprint persists are batch-scoped:
-        # release them so a long-running ingest holds no growing cache
-        # (register long-lived caches outside the ingest session)
-        batch_df.sparkSession.catalog.clearCache()
+        # the probe's shingle/fingerprint persists (and this batch's
+        # localCheckpoints) are batch-scoped; the scoped_caches wrapper
+        # in ingest_batch releases exactly those — NOT a session-global
+        # clearCache, which would evict caches owned by unrelated
+        # concurrent jobs and misses RDD-level checkpoint storage
         if audit is not None:
             audit.append(
                 (batch_id, n_in, n_in - n_exact, n_exact - n_novel, n_novel)

@@ -390,6 +390,34 @@ def test_bpe_train_matches_pure_python_reference(spark):
     ]
 
 
+def test_scoped_caches_releases_only_block_created_storage(spark):
+    """scoped_caches must release persists AND localCheckpoints created
+    inside the block while leaving pre-existing caches untouched — the
+    contract the streaming ingest sink's per-batch cleanup relies on."""
+    from pyspark import StorageLevel
+
+    from spark_etl_agent_spark.core.cache import (
+        _persistent_rdd_ids,
+        scoped_caches,
+    )
+
+    outer = spark.range(10).persist(StorageLevel.MEMORY_AND_DISK)
+    outer.count()
+    base_ids = _persistent_rdd_ids(spark)
+    try:
+        with scoped_caches(spark):
+            inner = spark.range(20).persist(StorageLevel.MEMORY_AND_DISK)
+            inner.count()
+            ck = spark.range(5).localCheckpoint()
+            ck.count()
+            assert len(_persistent_rdd_ids(spark)) >= len(base_ids) + 2
+        assert _persistent_rdd_ids(spark) == base_ids
+        assert outer.storageLevel.useMemory
+        assert outer.count() == 10
+    finally:
+        outer.unpersist()
+
+
 def test_bpe_encode_arrow_path_matches_expression_path(spark):
     """The two encode engines (fold-expression projection vs the
     Arrow ``mapInPandas`` rank-priority encode used for vocab-scale

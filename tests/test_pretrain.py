@@ -275,6 +275,46 @@ def test_incremental_probe_best_match_tie_breaks_on_min_id(spark):
     assert row["best_jaccard"] == 1.0
 
 
+def test_incremental_probe_raises_on_id_collision(spark):
+    """The shingle union inside the verdict is only sound for disjoint
+    batch/index ids; a replayed id with changed text must fail loudly
+    instead of silently merging two documents' shingles."""
+    from spark_etl_agent_spark.llm.dedup import incremental_neardup_verdicts
+
+    base = "one two three four five six seven eight nine ten"
+    index = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, "entirely different replacement text for document one here")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="BOTH the batch and the index"):
+        incremental_neardup_verdicts(index, batch)
+    # a caller that has proven disjointness (or accepts the merge) can
+    # skip the guard and still get a row per batch doc
+    out = incremental_neardup_verdicts(
+        index, batch, check_disjoint_ids=False
+    )
+    assert out.count() == 1
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """A chunk value shared by too many fingerprints (identical docs
+    collide on EVERY chunk) must raise with guidance before the
+    self-join goes quadratic; an explicit cap override or max_bucket
+    =None restores the unguarded behavior."""
+    from spark_etl_agent_spark.llm.dedup import simhash_near_pairs
+
+    docs = [
+        (i, "identical boilerplate text repeated across the corpus forever")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exact/normalized dedup"):
+        simhash_near_pairs(df, max_bucket=10)
+    pairs = simhash_near_pairs(df, max_bucket=None)
+    assert pairs.count() == 30 * 29 // 2  # all hamming-0 pairs
+
+
 # ---------------------------------------------------------------------------
 # BPE encode (train -> apply round trip) and corpus shuffle
 

@@ -460,6 +460,81 @@ def test_streaming_dedup_ingest_accepts_only_novel(spark, tmp_path):
     assert by_counts == [(2, 0, 0, 2), (3, 0, 2, 1), (3, 1, 1, 1)]
 
 
+def test_ingest_sink_drops_replayed_id_and_spares_foreign_caches(
+    spark, tmp_path
+):
+    """Two contracts of the ingest sink in one stream run: (1) an
+    at-least-once replay that re-delivers an already-ingested id with
+    CHANGED text is dropped (the id is taken — it must not corrupt the
+    LSH probe's shingle union, nor be re-accepted); (2) the sink's
+    per-batch cache cleanup releases only its own persists/checkpoints,
+    not caches owned by unrelated concurrent work in the session."""
+    import os
+    import shutil
+
+    from pyspark import StorageLevel
+
+    from spark_etl_agent_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_dedup_ingest_sink,
+    )
+
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog again today")],
+        # same id, completely different text — passes the exact-hash
+        # anti-join, must still be dropped as an id replay
+        [(1, "entirely new replacement words that resemble nothing prior")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dst = src / f"f{i}.parquet"
+        shutil.copy(next(stage.glob("*.parquet")), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    sink = tmp_path / "accepted"
+
+    def index_provider():
+        if not sink.exists() or not any(sink.glob("*.parquet")):
+            return None
+        return spark.read.parquet(str(sink))
+
+    def novel_writer(df, batch_id):
+        df.coalesce(1).write.mode("append").parquet(str(sink))
+
+    foreign = spark.range(100).persist(StorageLevel.MEMORY_AND_DISK)
+    foreign.count()
+    audit: list = []
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    try:
+        run_available_now(
+            stream,
+            output_mode="append",
+            foreach_batch=streaming_dedup_ingest_sink(
+                index_provider, novel_writer, audit=audit
+            ),
+        )
+        rows = spark.read.parquet(str(sink)).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert "quick brown fox" in rows[0]["text"]  # original kept
+        # replay batch: 1 in, 0 exact dups, 1 dropped vs index, 0 novel
+        by_counts = [(a[1], a[2], a[3], a[4]) for a in sorted(audit)]
+        assert by_counts == [(1, 0, 0, 1), (1, 0, 1, 0)]
+        # the foreign cache survived every per-batch cleanup
+        assert foreign.storageLevel.useMemory
+    finally:
+        foreign.unpersist()
+
+
 def test_streaming_packing_spans_continue_across_batches(spark, tmp_path):
     """Continuous packing: three rate-limited micro-batches produce ONE
     gap-free global token stream — spans continue across batch
