@@ -145,6 +145,7 @@ def _collect_modules():
         similarity,
         stats,
         streaming,
+        streaming_sinks,
         strings,
         subqueries,
         text,
@@ -170,6 +171,7 @@ def _collect_modules():
         advanced,
         strings,
         sampling,
+        streaming_sinks,
         windows_ext,
         subqueries,
         tpch_multi,
@@ -211,6 +213,9 @@ DRIVER_WINDOW = (
     "packing_audit",
     "mixture_plan_langs",
     "mixture_resample_counts",
+    # -- new round-5 sink-surface queries (2) --
+    "streaming_pack_manifest",
+    "streaming_ingest_dedup_audit",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -235,7 +240,7 @@ DRIVER_WINDOW = (
     "normalized_dedup",
     "simhash_fingerprints",
     "streaming_tumbling_agg",
-    # -- next-stalest prior passes: round 3, alphabetical (12) --
+    # -- next-stalest prior passes: round 3, alphabetical (10) --
     "above_nation_average",
     "bpe_pair_counts",
     "case_when_classifier",
@@ -246,8 +251,6 @@ DRIVER_WINDOW = (
     "date_function_gallery",
     "distinct_projection",
     "event_type_daily_pivot",
-    "events_tumbling_agg",
-    "filter_in_upper",
 )
 
 

@@ -1,0 +1,298 @@
+"""Driver-checkable surfaces for the two ``foreachBatch`` corpus sinks
+(``streaming.pipeline.streaming_dedup_ingest_sink`` and
+``streaming_packing_sink``).
+
+Each query stages the ``documents`` table into three single-file
+micro-batches (staggered mtimes + ``maxFilesPerTrigger=1`` → a
+deterministic batch sequence), drives the REAL sink through a genuine
+Structured Streaming query, and returns a batch frame the DuckDB
+oracle can check value-for-value:
+
+- the packing sink's streamed manifest must equal the batch pack of
+  the whole corpus (the cross-batch offset continuation is exactly
+  what the oracle's corpus-wide cumulative sum asserts), and
+- the ingest sink's per-batch audit envelopes are reproduced by an
+  unrolled three-round dedup simulation (round N probes the union of
+  rounds < N's accepted docs — the same LSH banding CTEs the
+  ``incremental_neardup_probe`` oracle uses).
+
+Batch staging writes only to a per-call ``tempfile.mkdtemp`` dir; the
+returned frames read from the sink outputs (manifest parquet) or from
+the scalar audit envelopes — never a driver-side collect of data rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..llm import dedup as D
+from ..llm.text import words_of
+from .base import QuerySpec, load
+from .dedup import _MH, _SHINGLES_CTE
+from .pretrain import _BUDGET, _WORDS, PACK_DOCUMENTS_SQL
+
+
+def _stage_batches(parts, work: str) -> str:
+    """Write each part as ONE parquet file under ``work/src`` with
+    ascending mtimes, so ``maxFilesPerTrigger=1`` replays them as
+    micro-batches 0..N-1 in order."""
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    for i, p in enumerate(parts):
+        stage = os.path.join(work, f"stage{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    return src
+
+
+def streaming_pack_manifest(spark, sf_dir) -> DataFrame:
+    """Continuous sequence packing: three micro-batches of documents
+    (tercile-split on doc_id, so stream order equals corpus order) run
+    through ``streaming_packing_sink``; the union of the per-batch
+    manifests must be ONE gap-free token stream — byte-identical to
+    packing the whole corpus in batch, which is what the oracle
+    computes. Only a scalar end-offset crosses batches."""
+    from ..streaming.pipeline import (
+        run_available_now,
+        streaming_packing_sink,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words_of(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    # order-preserving deterministic tercile split: exact percentiles,
+    # no global single-partition window
+    b1, b2 = docs.agg(
+        F.expr("percentile(doc_id, array(1.0D/3, 2.0D/3))")
+    ).first()[0]
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_pack_")
+    src = _stage_batches(
+        [
+            docs.filter(F.col("doc_id") <= b1),
+            docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+            docs.filter(F.col("doc_id") > b2),
+        ],
+        work,
+    )
+    manifest_dir = os.path.join(work, "manifest")
+
+    def manifest_writer(df: DataFrame, batch_id: int) -> None:
+        # per-batch-id overwrite partition = idempotent under replay
+        df.write.mode("overwrite").parquet(
+            os.path.join(manifest_dir, f"batch={batch_id}")
+        )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        stream,
+        output_mode="append",
+        foreach_batch=streaming_packing_sink(
+            os.path.join(work, "state"), manifest_writer, budget=_BUDGET
+        ),
+    )
+    return spark.read.parquet(manifest_dir).select(
+        "doc_id", "n_tokens", "start_off", "end_off",
+        "chunk_first", "chunk_last", "n_chunks",
+    )
+
+
+# stream order == doc_id order, so the streamed manifest is checked
+# against the SAME corpus-wide pack oracle the batch query uses
+STREAMING_PACK_MANIFEST_SQL = PACK_DOCUMENTS_SQL
+
+
+def streaming_ingest_dedup_audit(spark, sf_dir) -> DataFrame:
+    """Continuous ingest with dedup: a quarter-corpus slice
+    (``doc_id % 4 == 0`` — the sink's correctness is what this query
+    driver-checks; its scale posture is gated separately in
+    ``scripts/scale_smoke.py`` and the probe plan tests) streamed as
+    three micro-batches through ``streaming_dedup_ingest_sink`` with
+    an index that grows with accepted documents; returns the per-batch
+    audit envelopes ``(batch_id, n_in, n_exact_dups,
+    n_dropped_vs_index, n_novel)`` — the counts a production ingest
+    alerts on. The oracle unrolls the three rounds in SQL (round N's
+    probe targets the accepted union of rounds < N)."""
+    from ..streaming.pipeline import (
+        run_available_now,
+        streaming_dedup_ingest_sink,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_ingest_")
+    src = _stage_batches(
+        [
+            docs.filter(F.expr("(doc_id div 4) % 3") == i)
+            for i in range(3)
+        ],
+        work,
+    )
+    sink_dir = os.path.join(work, "accepted")
+
+    def index_provider():
+        if not os.path.isdir(sink_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(sink_dir)
+        ):
+            return None
+        return spark.read.parquet(sink_dir)
+
+    def novel_writer(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(sink_dir)
+
+    audit: list = []
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        stream,
+        output_mode="append",
+        foreach_batch=streaming_dedup_ingest_sink(
+            index_provider, novel_writer, audit=audit, min_jaccard=0.6
+        ),
+    )
+    return spark.createDataFrame(
+        audit,
+        "batch_id long, n_in long, n_exact_dups long, "
+        "n_dropped_vs_index long, n_novel long",
+    )
+
+
+# the streamed slice and its batch assignment (mirrors the Spark side)
+_SLICE = "doc_id % 4 = 0"
+_BATCH_OF = "(doc_id // 4) % 3"
+
+
+def _keeper_cte(b: int) -> str:
+    """Within-batch exact dedup: first doc_id per content hash."""
+    return f"""k{b} AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents WHERE {_SLICE} AND {_BATCH_OF} = {b}
+  ) WHERE rn = 1
+)"""
+
+
+def _round_ctes(b: int, index_sel: str) -> str:
+    """One unrolled ingest round: hash anti-join vs the index, LSH
+    band probe, exact-Jaccard verify at >= 0.6, accepted survivors."""
+    return f"""kh{b} AS (
+  SELECT * FROM k{b}
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM {index_sel})
+),
+p{b} AS (
+  SELECT DISTINCT n.doc_id AS id_a, i.doc_id AS id_b
+  FROM banded n JOIN banded i
+    ON n.band_idx = i.band_idx AND n.band_key = i.band_key
+  WHERE n.doc_id IN (SELECT doc_id FROM kh{b})
+    AND i.doc_id IN (SELECT doc_id FROM {index_sel})
+),
+c{b} AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM p{b} p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+m{b} AS (
+  SELECT DISTINCT c.id_a FROM c{b} c
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE CAST(c.n_common AS DOUBLE)
+        / (na.n_shingles + nb.n_shingles - c.n_common) >= 0.6
+),
+acc{b} AS (
+  SELECT * FROM kh{b} WHERE doc_id NOT IN (SELECT id_a FROM m{b})
+)"""
+
+
+_AUDIT_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
+    "WHERE mh0 IS NOT NULL"
+    for b in range(D.N_MINHASHES // D.BAND_SIZE)
+)
+
+# shingles/signatures restricted to the streamed slice (one FROM
+# documents occurrence in the shared CTE)
+_SLICED_SHINGLES_CTE = _SHINGLES_CTE.replace(
+    "FROM documents", f"FROM documents WHERE {_SLICE}"
+)
+
+STREAMING_INGEST_DEDUP_AUDIT_SQL = f"""
+WITH {_SLICED_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    {_MH}
+  FROM sh
+),
+banded AS (
+  {_AUDIT_BANDS}
+),
+shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),
+{_keeper_cte(0)},
+acc0 AS (SELECT * FROM k0),
+{_keeper_cte(1)},
+{_round_ctes(1, "acc0")},
+acc01 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
+{_keeper_cte(2)},
+{_round_ctes(2, "acc01")}
+SELECT CAST(0 AS BIGINT) AS batch_id,
+  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 0) AS n_in,
+  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 0)
+    - (SELECT count(*) FROM k0) AS n_exact_dups,
+  CAST(0 AS BIGINT) AS n_dropped_vs_index,
+  (SELECT count(*) FROM acc0) AS n_novel
+UNION ALL
+SELECT CAST(1 AS BIGINT),
+  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 1),
+  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 1)
+    - (SELECT count(*) FROM k1),
+  (SELECT count(*) FROM k1) - (SELECT count(*) FROM acc1),
+  (SELECT count(*) FROM acc1)
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 2),
+  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 2)
+    - (SELECT count(*) FROM k2),
+  (SELECT count(*) FROM k2) - (SELECT count(*) FROM acc2),
+  (SELECT count(*) FROM acc2)
+"""
+
+
+QUERIES = {
+    "streaming_pack_manifest": QuerySpec(
+        "streaming_pack_manifest", streaming_pack_manifest,
+        STREAMING_PACK_MANIFEST_SQL,
+        "foreachBatch packing sink: streamed manifest == batch pack",
+        ("streaming", "llm", "packing"),
+    ),
+    "streaming_ingest_dedup_audit": QuerySpec(
+        "streaming_ingest_dedup_audit", streaming_ingest_dedup_audit,
+        STREAMING_INGEST_DEDUP_AUDIT_SQL,
+        "foreachBatch ingest-dedup sink: per-batch audit envelopes",
+        ("streaming", "llm", "dedup"),
+    ),
+}
