@@ -19,8 +19,12 @@ per the reference's job services — ``services/jcap_pa_etl_service.py:
 4. pack         — concat-and-chunk span assignment at the configured
    sequence length (``llm.packing.pack_chunks``);
 5. write        — the packed manifest (doc, copy, order, span, chunks)
-   to the catalog; audit numbers ride the write via
-   ``operators.observe`` (no dedicated count scans).
+   to the catalog, load_date-partitioned: staging first (validate
+   before touching the destination), then a dynamic per-partition
+   replace of that run's date — prior dates survive, re-runs are
+   idempotent, and date-filtered readers scan only their partition.
+   Audit numbers ride the write via ``operators.observe`` (no
+   dedicated count scans).
 
 Scale posture: one broadcast probe + one doc-key shuffle (stage 1),
 zero-shuffle explode (stage 2), two range-partition passes (stages
@@ -136,10 +140,21 @@ class CorpusPrepService:
             rank_col="shuffle_pos",
         ).select(*emitted.columns, "shuffle_pos")
 
-        # 4. pack at seq_len over the shuffled order
+        # 4. pack at seq_len over the shuffled order. Token counting
+        # filters zero-length "words": split('', '\\s+') yields [''],
+        # so a raw size() would bill an empty/whitespace-only document
+        # one token and hand it a non-empty span in the manifest —
+        # blank docs must get the zero-token empty span the packing
+        # contract describes (same filter bpe_encode_stats applies).
         packed = pack_chunks(
             ordered.withColumn(
-                "n_tokens", F.size(words_of(F.col("text"))).cast("long")
+                "n_tokens",
+                F.size(
+                    F.filter(
+                        words_of(F.col("text")),
+                        lambda w: F.length(w) >= 1,
+                    )
+                ).cast("long"),
             ),
             order_col="shuffle_pos",
             tokens_col="n_tokens",
@@ -158,7 +173,9 @@ class CorpusPrepService:
             total_tokens=F.max("end_off"),
         )
         staging = f"{self.dest_table}__staging"
-        self.catalog.write_table(packed, staging, mode="overwrite")
+        self.catalog.write_table(
+            packed, staging, mode="overwrite", partition_by=["load_date"]
+        )
         kept.unpersist()
 
         out = metrics_of(out_obs)
@@ -169,8 +186,16 @@ class CorpusPrepService:
                 "corpus prep produced an empty manifest; destination "
                 f"{self.dest_table} left untouched (staging: {staging})"
             )
-        self.catalog.write_table(
-            self.catalog.read_table(staging), self.dest_table, mode="overwrite"
+        # dynamic per-partition replace: each run lands ONE load_date
+        # partition; prior dates survive, a re-run of the same date is
+        # idempotent, and downstream date-filtered readers get
+        # PartitionFilters in the scan instead of a full-table read —
+        # the 100 TB posture for a daily corpus-prep cadence
+        # (plan-gated in tests/test_jobs.py)
+        self.catalog.overwrite_partitions(
+            self.catalog.read_table(staging),
+            self.dest_table,
+            partition_by=["load_date"],
         )
         n_input = int(metrics_of(in_obs)["n_input"])
         n_kept = int(metrics_of(kept_obs)["n_kept"])

@@ -642,6 +642,68 @@ def test_corpus_prep_etl_end_to_end(spark, sf_dir, job_service, warehouse):
     assert manifest.agg(F2.max("chunk_last")).collect()[0][0] == result["n_chunks"] - 1
 
 
+def test_corpus_prep_manifest_partitions_accumulate_and_prune(
+    spark, sf_dir, tmp_path
+):
+    """The corpus-prep pipeline's 100 TB write posture, gated on the
+    PIPELINE (not just the catalog verb): two runs land two load_date
+    partitions (staging AND destination are load_date-partitioned), a
+    date-filtered read shows PartitionFilters in the scan, the second
+    run leaves the first date's manifest bit-identical, and a re-run of
+    the same date is idempotent instead of truncating history."""
+    import pyspark.sql.functions as F2
+
+    from spark_etl_agent_spark.jobs.pretrain import CorpusPrepService
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "prep_wh"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat.write_table(docs, "corpus.documents_clean", mode="overwrite")
+    cat.write_table(
+        docs.filter(F2.col("doc_id") % 97 == 0), "corpus.benchmarks",
+        mode="overwrite",
+    )
+    svc = CorpusPrepService(cat)
+    svc.run_corpus_prep_etl("2026-08-01")
+    day1 = sorted(
+        map(tuple, cat.read_table("corpus.packed_manifest")
+            .filter(F2.col("load_date") == "2026-08-01").collect())
+    )
+    svc.run_corpus_prep_etl("2026-08-02")
+
+    dest = cat.read_table("corpus.packed_manifest")
+    # partition-column values come back type-inferred (DATE), so
+    # normalize to strings for comparison
+    dates = sorted(
+        str(r["load_date"])
+        for r in dest.select("load_date").distinct().collect()
+    )
+    assert dates == ["2026-08-01", "2026-08-02"]
+    # day-1 manifest untouched by day 2's dynamic partition overwrite
+    day1_after = sorted(
+        map(tuple, dest.filter(F2.col("load_date") == "2026-08-01").collect())
+    )
+    assert day1_after == day1
+    # the scan of a date-filtered read prunes at partition level
+    filtered = dest.filter(F2.col("load_date") == "2026-08-02")
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(load_date" in plan
+    # staging is partitioned the same way (layout parity with dest)
+    staging_plan_df = cat.read_table(
+        "corpus.packed_manifest__staging"
+    ).filter(F2.col("load_date") == "2026-08-02")
+    splan = staging_plan_df._sc._jvm.PythonSQLUtils.explainString(
+        staging_plan_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(load_date" in splan
+    # idempotent same-date re-run: same rows, history intact
+    n_before = dest.count()
+    svc.run_corpus_prep_etl("2026-08-02")
+    assert cat.read_table("corpus.packed_manifest").count() == n_before
+
+
 def test_read_resilient_skips_corrupt_file(spark, tmp_path):
     """S5 hardening: a truncated/garbage file inside a table directory
     must not kill the read when the resilient policy is chosen — and
