@@ -1,0 +1,107 @@
+"""Substring-level duplication analysis (ExactSubstr-lite).
+
+Document-level dedup (``llm.dedup``) misses the dominant failure mode
+of web corpora: *spans* repeated across otherwise-distinct documents
+(boilerplate, licenses, templated paragraphs).  The canonical fix —
+suffix-array exact-substring dedup (Lee et al., "Deduplicating
+Training Data Makes Language Models Better") — needs a corpus-global
+suffix array; this module computes the same signal with shuffle-bounded
+DataFrame ops: every token ``k``-gram is content-hashed, globally
+counted, and per-document runs of duplicated spans are measured with
+gaps-and-islands.
+
+Scale shape (the whole point):
+
+- span extraction is a per-row projection (``transform`` over the
+  token array) — no shuffle, corpus scanned once;
+- the global count is ONE uniform groupBy on the span hash (map-side
+  partial counts; the reduce key space is the distinct-span set);
+- only *duplicated* hashes (a small fraction of a healthy corpus)
+  re-join the position table — the join's build side shrinks with
+  corpus quality, and the equi-join is AQE/skew-join eligible for the
+  boilerplate-hash hot keys;
+- run detection windows partition by document, so no partition
+  exceeds one document's span count.
+
+Hashes are md5 (128-bit) so cross-engine counts are collision-free in
+both Spark and the DuckDB oracle; at 100 TB swap ``md5`` for
+``xxhash64`` to halve the shuffled key width (64-bit collisions only
+perturb *counts* of near-identical spans, not the dedup decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 8
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-document duplicated-span profile over token ``k``-grams.
+
+    Output: ``(id_col, n_spans, n_dup_spans, longest_dup_run,
+    dup_span_ratio)`` where ``longest_dup_run`` is in TOKENS (a run of
+    ``r`` consecutive duplicated spans covers ``r + k - 1`` tokens) and
+    a span is "duplicated" iff its text occurs at more than one
+    position corpus-wide (cross-document or repeated within one).
+    """
+    words = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), w -> length(w) >= 1)"
+    )
+    base = docs.select(
+        F.col(id_col), words.alias("__words")
+    ).withColumn("n_spans", F.greatest(F.size("__words") - (k - 1), F.lit(0)))
+    spans = base.filter(F.col("n_spans") > 0).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__words) - {k}), "
+                f"i -> md5(array_join(slice(__words, i + 1, {k}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    # global occurrence counts: one uniform shuffle on the span hash;
+    # only hashes seen twice+ survive to the join (small for a healthy
+    # corpus — duplication is the exception the operator hunts)
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h")
+    )
+    dup_pos = spans.join(dup_hashes, "h", "inner").select(id_col, "pos")
+    # gaps-and-islands per document: consecutive duplicated positions
+    # share (pos - row_number) — window partitions are document-bounded
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("run_spans"))
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum("run_spans").alias("__n_dup"),
+        (F.max("run_spans") + F.lit(k - 1)).alias("__longest"),
+    )
+    return (
+        base.select(id_col, "n_spans")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("__n_dup", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("__longest", F.lit(0)).alias("longest_dup_run"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce("__n_dup", F.lit(0)).cast("double")
+                / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_ratio"),
+        )
+    )

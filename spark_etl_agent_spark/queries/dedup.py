@@ -5,6 +5,8 @@ pure DataFrame program with a DuckDB oracle."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..llm import dedup as D
 from .base import QuerySpec, fan_out, load
 
@@ -316,6 +318,104 @@ WHERE d.doc_id % 10 = 0
 """
 
 
+def bloom_ingest_dedup(spark, sf_dir):
+    """Bloom-gated ingest dedup: which arriving-batch documents are new
+    vs the standing corpus index, where the index side is only ever
+    scanned (bloom sketch build + row-wise probe), never shuffled —
+    the 100 TB ingest shape (`operators/bloom.py`). Output equals the
+    exact anti-join; the content signature is the md5 of the first 4
+    normalized words (a prefix fingerprint coarse enough to collide)."""
+    from ..operators.bloom import bloom_antijoin
+
+    docs = load(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.array_join(
+            F.slice(
+                F.expr(
+                    "filter(split(lower(text), '\\\\s+'), w -> length(w) >= 1)"
+                ),
+                1,
+                4,
+            ),
+            " ",
+        )
+    )
+    keyed = docs.select("doc_id", sig.alias("content_sig"))
+    batch = keyed.filter(F.col("doc_id") % 7 == 0)
+    index = keyed.filter(F.col("doc_id") % 7 != 0)
+    return bloom_antijoin(batch, index, "content_sig").select(
+        "doc_id", "content_sig"
+    )
+
+
+BLOOM_INGEST_DEDUP_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id,
+    md5(array_to_string(
+      list_filter(string_split_regex(lower(text), '\s+'),
+                  x -> len(x) >= 1)[1:4], ' ')) AS content_sig
+  FROM documents
+)
+SELECT b.doc_id, b.content_sig
+FROM keyed b
+WHERE b.doc_id % 7 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM keyed i
+    WHERE i.doc_id % 7 <> 0 AND i.content_sig = b.content_sig
+  )
+"""
+
+
+def duplicate_span_stats(spark, sf_dir):
+    """Substring-level duplication profile (ExactSubstr-lite): every
+    token 8-gram corpus-counted, per-doc duplicated-span runs via
+    gaps-and-islands (`llm/spans.py`)."""
+    from ..llm.spans import duplicate_span_stats as span_stats
+
+    return span_stats(fan_out(load(spark, sf_dir, "documents")))
+
+
+DUPLICATE_SPAN_STATS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) >= 1) AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id, greatest(len(words) - 7, 0) AS n_spans FROM w
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+    md5(array_to_string(words[i + 1:i + 8], ' ')) AS h
+  FROM w, LATERAL unnest(generate_series(0, len(words) - 8)) AS u(i)
+),
+occ AS (SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+dup AS (SELECT s.doc_id, s.pos FROM spans s JOIN occ USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run_spans FROM isl GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id,
+    CAST(sum(run_spans) AS BIGINT) AS n_dup_spans,
+    max(run_spans) + 7 AS longest_dup_run
+  FROM runs GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_spans,
+  coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+  coalesce(p.longest_dup_run, 0) AS longest_dup_run,
+  CASE WHEN b.n_spans > 0
+       THEN CAST(coalesce(p.n_dup_spans, 0) AS DOUBLE) / b.n_spans
+       ELSE 0.0 END AS dup_span_ratio
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "exact_dedup": QuerySpec(
         "exact_dedup", exact_dedup, EXACT_DEDUP_SQL,
@@ -356,5 +456,16 @@ QUERIES = {
         INCREMENTAL_NEARDUP_PROBE_SQL,
         "Ingest-time LSH probe of a new batch against the corpus index",
         ("dedup", "llm", "join"),
+    ),
+    "bloom_ingest_dedup": QuerySpec(
+        "bloom_ingest_dedup", bloom_ingest_dedup, BLOOM_INGEST_DEDUP_SQL,
+        "Bloom-gated exact anti-join ingest dedup (index never shuffles)",
+        ("dedup", "llm", "join"),
+    ),
+    "duplicate_span_stats": QuerySpec(
+        "duplicate_span_stats", duplicate_span_stats,
+        DUPLICATE_SPAN_STATS_SQL,
+        "Token 8-gram duplicated-span profile (ExactSubstr-lite)",
+        ("dedup", "llm", "text"),
     ),
 }

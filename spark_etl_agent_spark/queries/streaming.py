@@ -169,6 +169,41 @@ GROUP BY 1, 2, 3
 """
 
 
+def streaming_running_totals(spark, sf_dir):
+    """Custom keyed-state operator surfaced for the driver:
+    ``applyInPandasWithState`` accumulates per-user running totals
+    (count, exact micro-unit value sum, last event time) across
+    micro-batches; Update mode emits a row per (user, batch), so the
+    final state per user is the max-count row. The oracle is the batch
+    twin — after consuming ALL input, cumulative state per user equals
+    a plain groupBy. Value sums accumulate in integer micro-units
+    (value·10⁴) so state never drifts across batch boundaries."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import user_running_totals
+
+    out = run_available_now(
+        user_running_totals(events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+STREAMING_RUNNING_TOTALS_SQL = """
+SELECT user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
+  MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "streaming_static_enrichment": QuerySpec(
         "streaming_static_enrichment", streaming_static_enrichment,
@@ -199,5 +234,11 @@ QUERIES = {
         STREAMING_SESSION_AGG_SQL,
         "Structured Streaming gap-based session windows (AvailableNow), oracled",
         ("streaming", "window-agg"),
+    ),
+    "streaming_running_totals": QuerySpec(
+        "streaming_running_totals", streaming_running_totals,
+        STREAMING_RUNNING_TOTALS_SQL,
+        "applyInPandasWithState keyed running totals (AvailableNow), oracled",
+        ("streaming", "stateful"),
     ),
 }
