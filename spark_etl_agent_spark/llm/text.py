@@ -279,3 +279,59 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("repetition_ratio"),
     )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """fastText-style linear document scorer over hashed bag-of-words
+    features — the cheap trained-classifier tier of a corpus quality
+    gate (CCNet/fastText shape: hash token → bucket, score = Σ
+    count_b·w_b, threshold into quality bins).
+
+    The weight table here is derived deterministically from each
+    bucket's md5 (a stand-in for trained weights — the hashing trick,
+    exact-integer scoring, and bucketing are the product; swapping in a
+    trained ``(bucket, w_milli)`` table changes one line). Weights are
+    integer milli-units so the per-document sum is an exact long —
+    order- and partitioning-independent, matching the DuckDB oracle
+    bit-for-bit. One scan, one uniform groupBy on the doc id; the
+    weight lookup is pure expression (no join, no UDF).
+
+    Output: ``(id, n_tokens, z_milli, mean_w_milli, quality_bucket)``
+    where ``quality_bucket = floor(mean_w_milli / 100)`` bins documents
+    into ~20 stable quality bands. Token-less documents emit no row
+    (nothing to score).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(words_of(F.col(text_col)), lambda w: F.length(w) >= 1)
+        ).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    w_milli = (
+        F.conv(
+            F.substring(F.md5(bucket.cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2001
+    ) - 1000
+    scored = toks.select(F.col(id_col), w_milli.alias("w_milli"))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_milli").alias("z_milli"),
+    )
+    mean = F.col("z_milli").cast("double") / F.col("n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "z_milli",
+        mean.alias("mean_w_milli"),
+        F.floor(mean / F.lit(100.0)).cast("int").alias("quality_bucket"),
+    )

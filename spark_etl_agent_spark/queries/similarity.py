@@ -286,7 +286,59 @@ SELECT label, vec_id AS medoid_id, centroid_sim FROM (
 """
 
 
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization + fidelity report — the
+    index-compression tier of a 100 TB ANN stack (`llm/quantize.py`)."""
+    from ..llm.quantize import quantize_int8_report
+
+    return quantize_int8_report(load(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH x AS (
+  SELECT vec_id,
+    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1000000)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+    list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+  FROM x
+),
+q AS (
+  SELECT vec_id, e, scale,
+    CASE WHEN scale > 0
+         THEN list_transform(e, v -> round(v / scale))
+         ELSE list_transform(e, v -> 0.0) END AS qv
+  FROM s
+),
+err AS (
+  SELECT vec_id, e, scale, qv,
+    list_transform(range(1, len(e) + 1),
+      i -> CAST(round(abs(qv[CAST(i AS INT)] * scale - e[CAST(i AS INT)])
+                      * 1000) AS BIGINT)) AS errs
+  FROM q
+)
+SELECT vec_id,
+  len(e) AS n_dims,
+  scale,
+  CAST(coalesce(list_sum(errs), 0) AS BIGINT) AS sum_abs_err,
+  CAST(coalesce(list_max(errs), 0) AS BIGINT) AS max_abs_err,
+  CASE WHEN scale > 0 AND list_dot_product(qv, qv) > 0
+       THEN list_dot_product(e, qv)
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv)))
+       END AS cos_fidelity
+FROM err
+"""
+
+
 QUERIES = {
+    "embedding_quantize_int8": QuerySpec(
+        "embedding_quantize_int8", embedding_quantize_int8,
+        EMBEDDING_QUANTIZE_INT8_SQL,
+        "Int8 scalar quantization + exact fidelity report per vector",
+        ("similarity", "llm"),
+    ),
     "embedding_label_medoids": QuerySpec(
         "embedding_label_medoids", embedding_label_medoids,
         EMBEDDING_LABEL_MEDOIDS_SQL,

@@ -324,6 +324,39 @@ def _bpe_encode_oracle_sql(n_merges: int = 6) -> str:
 BPE_ENCODE_CORPUS_SQL = _bpe_encode_oracle_sql(6)
 
 
+def quality_linear_score(spark, sf_dir):
+    from ..llm.text import linear_quality_score
+
+    return linear_quality_score(load(spark, sf_dir, "documents"))
+
+
+QUALITY_LINEAR_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> len(x) >= 1)) AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    (CAST(('0x' || substr(md5(CAST(
+        CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256
+      AS VARCHAR)), 1, 4)) AS BIGINT) % 2001) - 1000 AS w_milli
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    CAST(sum(w_milli) AS BIGINT) AS z_milli
+  FROM feat GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, z_milli,
+  CAST(z_milli AS DOUBLE) / n_tokens AS mean_w_milli,
+  CAST(floor(CAST(z_milli AS DOUBLE) / n_tokens / 100.0) AS INTEGER)
+    AS quality_bucket
+FROM agg
+"""
+
+
 QUERIES = {
     "bpe_encode_corpus": QuerySpec(
         "bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_CORPUS_SQL,
@@ -366,6 +399,12 @@ QUERIES = {
     "doc_fingerprints": QuerySpec(
         "doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL,
         "Content hash + prefix fingerprint (rolling-hash prefilter)",
+        ("text", "llm"),
+    ),
+    "quality_linear_score": QuerySpec(
+        "quality_linear_score", quality_linear_score,
+        QUALITY_LINEAR_SCORE_SQL,
+        "Hashed-feature linear quality scorer (fastText shape, exact ints)",
         ("text", "llm"),
     ),
 }
