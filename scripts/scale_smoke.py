@@ -148,6 +148,13 @@ def llm_shapes(spark, d: str):
         "decontaminate": specs["decontaminate_corpus"].spark(spark, d),
         "pack_documents": specs["pack_documents"].spark(spark, d),
         "incr_probe": specs["incremental_neardup_probe"].spark(spark, d),
+        # round-5 shapes: sketch-pruned ingest anti-join (index must
+        # never shuffle — cost is two scans + sketch-sized exchanges)
+        # and the token-8-gram duplication profile (one uniform
+        # span-hash shuffle; per-replica char rotations keep the
+        # duplicated-hash side growing linearly, not quadratically)
+        "bloom_ingest": specs["bloom_ingest_dedup"].spark(spark, d),
+        "dup_spans": specs["duplicate_span_stats"].spark(spark, d),
     }
 
 

@@ -187,7 +187,9 @@ def _collect_modules():
 # the only names that have never had a green driver CORRECTNESS row
 # (the 14 round-4 corpus-pipeline queries, plus approx_distinct_parts
 # and bpe_train_merges whose real oracles landed in round 4 but were
-# never driver-exercised).  Round 5 front-loads those 16, keeps 6
+# never driver-exercised).  Round 5 front-loads those 16, adds the 7
+# queries written THIS round (so they are driver-verified in the same
+# round and the never-checked backlog stays empty), keeps 6
 # cross-family regression canaries, and fills the remaining slots with
 # the STALEST previously-passed names (last driver row round 1, then
 # the oldest round-3 passers alphabetically) so coverage recency stays
@@ -213,9 +215,15 @@ DRIVER_WINDOW = (
     "packing_audit",
     "mixture_plan_langs",
     "mixture_resample_counts",
-    # -- new round-5 sink-surface queries (2) --
+    # -- new round-5 queries (7): driver rows land the same round they
+    #    were written, so nothing joins the never-checked backlog --
     "streaming_pack_manifest",
     "streaming_ingest_dedup_audit",
+    "bloom_ingest_dedup",
+    "duplicate_span_stats",
+    "streaming_running_totals",
+    "embedding_quantize_int8",
+    "quality_linear_score",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -240,17 +248,12 @@ DRIVER_WINDOW = (
     "normalized_dedup",
     "simhash_fingerprints",
     "streaming_tumbling_agg",
-    # -- next-stalest prior passes: round 3, alphabetical (10) --
+    # -- next-stalest prior passes: round 3, alphabetical (5) --
     "above_nation_average",
     "bpe_pair_counts",
     "case_when_classifier",
     "conversion_funnel",
     "count_distinct_customers",
-    "cube_part_inventory",
-    "customer_order_counts",
-    "date_function_gallery",
-    "distinct_projection",
-    "event_type_daily_pivot",
 )
 
 
