@@ -224,6 +224,7 @@ DRIVER_WINDOW = (
     "streaming_running_totals",
     "embedding_quantize_int8",
     "quality_linear_score",
+    "streaming_stream_join",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -248,12 +249,11 @@ DRIVER_WINDOW = (
     "normalized_dedup",
     "simhash_fingerprints",
     "streaming_tumbling_agg",
-    # -- next-stalest prior passes: round 3, alphabetical (5) --
+    # -- next-stalest prior passes: round 3, alphabetical (4) --
     "above_nation_average",
     "bpe_pair_counts",
     "case_when_classifier",
     "conversion_funnel",
-    "count_distinct_customers",
 )
 
 

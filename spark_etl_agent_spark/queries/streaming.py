@@ -169,6 +169,33 @@ GROUP BY 1, 2, 3
 """
 
 
+def streaming_stream_join(spark, sf_dir):
+    """Stream-STREAM interval join (the attribution join): each click
+    joined to the same user's purchases within 2 h after it, both sides
+    watermarked so state stays bounded on unbounded input
+    (`streaming/pipeline.py::click_purchase_conversions`). The hardest
+    built-in streaming op — two stateful sides shuffled on user_id,
+    event-time range pruning state within each key."""
+    from ..streaming import click_purchase_conversions
+
+    return run_available_now(
+        click_purchase_conversions(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+STREAMING_STREAM_JOIN_SQL = """
+SELECT c.user_id,
+  c.event_id AS click_id, c.ts AS click_ts,
+  p.event_id AS purchase_id, p.ts AS purchase_ts,
+  p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 120 MINUTE
+"""
+
+
 def streaming_running_totals(spark, sf_dir):
     """Custom keyed-state operator surfaced for the driver:
     ``applyInPandasWithState`` accumulates per-user running totals
@@ -240,5 +267,11 @@ QUERIES = {
         STREAMING_RUNNING_TOTALS_SQL,
         "applyInPandasWithState keyed running totals (AvailableNow), oracled",
         ("streaming", "stateful"),
+    ),
+    "streaming_stream_join": QuerySpec(
+        "streaming_stream_join", streaming_stream_join,
+        STREAMING_STREAM_JOIN_SQL,
+        "Watermarked stream-stream interval join (attribution), oracled",
+        ("streaming", "join"),
     ),
 }
