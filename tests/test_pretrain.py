@@ -347,7 +347,11 @@ def test_bpe_encode_greedy_left_to_right(spark):
     assert row["n_bpe_tokens"] == 2
 
 
-def test_bpe_encode_is_zero_shuffle(spark, sf_dir):
+def test_bpe_encode_plan_shape(spark, sf_dir):
+    """The merge fold must run per DISTINCT word and rejoin the corpus
+    via broadcast: the corpus side sees exactly the explode → broadcast
+    join → doc-key aggregate shape (no sort-merge join, no fold work
+    per word occurrence)."""
     from spark_etl_agent_spark.llm.bpe import bpe_encode_stats
     from spark_etl_agent_spark.queries.base import load
 
@@ -356,7 +360,12 @@ def test_bpe_encode_is_zero_shuffle(spark, sf_dir):
         bpe_encode_stats(docs, [("a", "b", 0)])
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan  # pure projection over the scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the per-occurrence side must NOT carry the merge fold: aggregate
+    # (the fold primitive) appears only once — on the distinct-word
+    # branch feeding the broadcast
+    assert plan.count("aggregate(") <= 1
 
 
 def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
