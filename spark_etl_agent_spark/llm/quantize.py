@@ -91,3 +91,130 @@ def quantize_int8_report(
             dot_xq / (F.sqrt(dot_xx) * F.sqrt(dot_qq)),
         ).alias("cos_fidelity"),
     )
+
+
+def pq_encode_stats(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encode + fidelity report — the index
+    compression that makes billion-vector ANN fit in memory (a 64-dim
+    float vector becomes ``m`` one-byte codes).
+
+    Per subspace ``j``: slice out ``dim/m`` components, assign every
+    vector to its nearest (L2) seed centroid — the ``k`` lowest-id
+    vectors' subslices, the same no-RNG seeding as the IVF trainer —
+    then measure the residual against each cell's floor-mean centroid
+    (one Lloyd update's worth of codebook refinement). Output is the
+    bounded ``m × k`` grid: members, exact residual sum, mean residual
+    per cell.
+
+    Scale shape: the codebook is collected (k·m rows — broadcast-sized
+    by definition) and embedded as literal expressions, so assignment
+    is ONE codegen'd zero-shuffle projection over the corpus (the
+    :func:`..kmeans._assign_literal` idiom); the only shuffles are the
+    bounded (subspace, cell, dim) centroid aggregate and the final
+    m×k-key summary.
+
+    Determinism: scaled-integer components make every squared L2
+    distance an exact integer ≤ 4e12·16 < 2^53; residual sums are
+    int64; assignment ties break on the lower cell id; floor-mean
+    centroids are exact (the kmeans idiom). Bit-identical across
+    engines and partitionings.
+    """
+    from .similarity import SCALE, scaled
+
+    d_sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("vec_id"), scaled(F.col(vec_col)).alias("svec")
+    )
+
+    seeds = (
+        base.orderBy("vec_id").limit(k).select("vec_id", "svec").collect()
+    )
+
+    # one literal-codebook argmin per subspace, all in a single projection
+    sub_assignments = []
+    for j in range(m):
+        sub = F.slice(F.col("svec"), j * d_sub + 1, d_sub)
+        structs = []
+        for cell, row in enumerate(seeds):
+            cvec = F.array(
+                *[F.lit(float(x)) for x in row.svec[j * d_sub : (j + 1) * d_sub]]
+            )
+            dist = F.aggregate(
+                F.zip_with(sub, cvec, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            structs.append(
+                F.struct(dist.alias("d"), F.lit(cell).alias("cell"))
+            )
+        best = F.array_min(F.array(*structs))
+        sub_assignments.append(best["cell"].alias(f"c{j}"))
+
+    coded = base.select("vec_id", "svec", *sub_assignments)
+
+    # long form: (vec_id, subspace, cell, subvector) → residual stats
+    long = coded.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.col(f"c{j}").alias("cell"),
+                        F.slice(F.col("svec"), j * d_sub + 1, d_sub).alias("sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.cell", "s.sub")
+
+    cent = (
+        long.select("subspace", "cell", F.posexplode("sub").alias("dimi", "sval"))
+        .groupBy("subspace", "cell", "dimi")
+        .agg(
+            F.floor(F.sum("sval") / F.count(F.lit(1)).cast("double"))
+            .cast("double")
+            .alias("cq")
+        )
+        .groupBy("subspace", "cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dimi", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cvec")
+        )
+    )
+
+    resid = long.join(F.broadcast(cent), ["subspace", "cell"]).select(
+        "subspace",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("sub"), F.col("cvec"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        .cast("long")
+        .alias("err"),
+    )
+    return (
+        resid.groupBy("subspace", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("err").alias("err_sum"),
+        )
+        .select(
+            "subspace",
+            "cell",
+            "n_members",
+            "err_sum",
+            F.expr("err_sum div n_members").alias("err_mean"),
+        )
+    )

@@ -453,3 +453,86 @@ def label_medoids(
         .filter(F.col("__rn") == 1)
         .select("label", F.col(id_col).alias("medoid_id"), "centroid_sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    min_cosine: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_width: int = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embeddings
+    with deterministic k-means (:func:`..kmeans.train_cells`), then
+    compare vectors pairwise only WITHIN a cell and drop every vector
+    that has a higher-priority (lower-id) cell-mate above the cosine
+    threshold. Returns one row per dropped vector:
+    ``(vec_id, cell, keeper_id, cosine_sim)`` where ``keeper_id`` is
+    the most-similar lower-id cell-mate (ties → smaller keeper id).
+
+    This is the embedding-space analogue of MinHash near-dup removal:
+    the cluster assignment plays the role of the LSH band — it bounds
+    the quadratic compare to within-cell pairs, which is the entire
+    SemDeDup scale story. At 100 TB, ``k`` must grow with the corpus
+    (k ≈ N / target_cell_width) so cells stay bounded; the pairwise
+    join is an equi-join on ``cell`` that AQE splits on skew.
+
+    ``max_cell_width`` (optional) enforces that contract in-operator —
+    the same posture as the SimHash hot-bucket guard: the assignment is
+    k rows of counts (collecting it is broadcast-equivalent), and a
+    cell wider than the cap raises with guidance instead of silently
+    going quadratic.
+
+    Determinism: cosine over scaled integer vectors is exact/ordered
+    identically in both engines (module docstring); the keeper choice
+    is a window with a total order; the pairwise drop rule (ANY
+    lower-id similar cell-mate drops you) is set-algebraic, not
+    iteration-order-dependent.
+    """
+    from . import kmeans
+
+    cells = kmeans.train_cells(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    if max_cell_width is not None:
+        widths = cells.groupBy("cell").count()
+        worst = widths.agg(F.max("count").alias("m")).collect()[0]["m"]
+        if worst is not None and worst > max_cell_width:
+            raise ValueError(
+                f"semantic_dedup: widest cell has {worst} members "
+                f"(cap {max_cell_width}); raise k so cells stay bounded "
+                "or pre-split the corpus — a quadratic compare over this "
+                "cell would not scale"
+            )
+    m = (
+        with_scaled_and_norm(df, vec_col, id_col)
+        .withColumnRenamed(id_col, "vec_id")
+        .join(cells, "vec_id")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.cell").alias("cell"),
+            F.col("b.vec_id").alias("keeper_id"),
+            cosine(
+                dot(F.col("a.svec"), F.col("b.svec")),
+                F.col("a.norm_sq"),
+                F.col("b.norm_sq"),
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= F.lit(float(min_cosine)))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("keeper_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cell", "keeper_id", "cosine_sim")
+    )

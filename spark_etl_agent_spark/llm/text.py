@@ -335,3 +335,74 @@ def linear_quality_score(
         mean.alias("mean_w_milli"),
         F.floor(mean / F.lit(100.0)).cast("int").alias("quality_bucket"),
     )
+
+
+def word_pair_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_n: int = 40,
+) -> DataFrame:
+    """Top co-occurring word pairs by PMI — the collocation / phrase
+    mining primitive (corpus analytics for tokenizer design and
+    boilerplate discovery).
+
+    Shape: distinct words per doc (array_distinct before the explode —
+    presence, not frequency) → document frequencies (one bounded-key
+    shuffle) → vocabulary gate ``df ≥ min_df`` broadcast back (at real
+    scale the vocabulary after a min-df/top-V gate is bounded by
+    construction — that broadcast is the standard collocation-mining
+    design, and it is what bounds the per-doc pair fan-out) → per-doc
+    pair self-join on the doc key → one (w1, w2) shuffle with map-side
+    combine → scalar doc-count broadcast.
+
+    Determinism: the ranking/score ``lift_ppm = (c12 · N · 1e6) div
+    (c1 · c2)`` is pure int64 (exact in any order, both engines);
+    ``pmi_micro = floor(ln(lift) · 1e6)`` is reported alongside under
+    the tfidf 1-ULP-tolerance idiom. Ties break on the pair itself.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(words_of(F.col(text_col)))).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+    )
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("wdf"))
+    vocab = dfreq.filter(F.col("wdf") >= min_df)
+    wv = words.join(F.broadcast(vocab), "w")
+    a = wv.select("doc", F.col("w").alias("w1"), F.col("wdf").alias("c1"))
+    b = wv.select(F.col("doc").alias("doc2"), F.col("w").alias("w2"), F.col("wdf").alias("c2"))
+    pair_counts = (
+        a.join(b, (F.col("doc") == F.col("doc2")) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2", "c1", "c2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = pair_counts.crossJoin(F.broadcast(n_docs)).select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "c2",
+        F.expr("(c12 * _n * 1000000) div (c1 * c2)").cast("long").alias("lift_ppm"),
+        F.floor(
+            F.log(
+                F.col("c12").cast("double")
+                * F.col("_n").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            )
+            * 1e6
+        ).cast("long").alias("pmi_micro"),
+    )
+    # top-N first via TakeOrderedAndProject (distributed bounded
+    # reduction — no unpartitioned window ever sees the full pair set);
+    # the rank window then runs over ≤ top_n rows.
+    top = scored.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")).limit(top_n)
+    w = Window.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("pair_rank", F.row_number().over(w)).select(
+        "pair_rank", "w1", "w2", "c12", "c1", "c2", "lift_ppm", "pmi_micro"
+    )

@@ -212,3 +212,115 @@ def freshness_report(
         F.col("newest_ts").isNotNull()
         & (F.col("lag_hours") <= F.lit(float(max_lag_hours))),
     )
+
+
+def drift_psi(
+    df,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    boundary: str = "2024-01-16",
+    n_buckets: int = 10,
+    bucket_width: float = 25.0,
+    alert_micro: int = 50_000,
+):
+    """Population Stability Index between a reference window
+    (``ts < boundary``) and the current window, per group — the
+    standard "did this feed's distribution drift?" monitor a
+    production pipeline runs before trusting new data.
+
+    Shape: one scan tags every row with (group, value bucket, side);
+    one bounded-key groupBy counts the grid; the full
+    group × bucket grid is rebuilt executor-side (``sequence``
+    explode over the distinct groups — missing buckets matter because
+    of add-one smoothing) and the per-group PSI is a bounded-key sum.
+    Nothing scales with rows except the first scan.
+
+    Determinism: bucket proportions are integer ppm with add-one
+    (Laplace) smoothing — ``(c+1)·1e6 div (total+n_buckets)`` — so
+    every PSI term is ``floor((p_ppm − q_ppm) · ln(p_ppm/q_ppm))``,
+    an int64 under the tfidf 1-ULP ln idiom, and the per-group sum is
+    order-independent. ``worst_bucket`` ties break on the lower
+    bucket id.
+    """
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0), F.floor(F.col(value_col) / F.lit(float(bucket_width))).cast("int")
+        ),
+    )
+    side = F.when(
+        F.col(ts_col) < F.lit(boundary).cast("timestamp"), F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    tagged = df.select(
+        F.col(group_col).alias("grp"), b.alias("bucket"), side.alias("side")
+    )
+    counts = tagged.groupBy("grp", "bucket", "side").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        tagged.select("grp")
+        .distinct()
+        .select("grp", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"))
+    )
+    ref = counts.filter(F.col("side") == "ref").select(
+        "grp", "bucket", F.col("c").alias("rc")
+    )
+    cur = counts.filter(F.col("side") == "cur").select(
+        "grp", "bucket", F.col("c").alias("cc")
+    )
+    full = (
+        grid.join(ref, ["grp", "bucket"], "left")
+        .join(cur, ["grp", "bucket"], "left")
+        .select(
+            "grp",
+            "bucket",
+            F.coalesce("rc", F.lit(0)).cast("long").alias("rc"),
+            F.coalesce("cc", F.lit(0)).cast("long").alias("cc"),
+        )
+    )
+    totals = full.groupBy("grp").agg(
+        F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    terms = full.join(totals, "grp").select(
+        "grp",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.expr(f"((rc + 1) * 1000000) div (n_ref + {int(n_buckets)})")
+        .cast("long")
+        .alias("p_ppm"),
+        F.expr(f"((cc + 1) * 1000000) div (n_cur + {int(n_buckets)})")
+        .cast("long")
+        .alias("q_ppm"),
+    ).select(
+        "grp",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.floor(
+            (F.col("p_ppm") - F.col("q_ppm")).cast("double")
+            * F.log(F.col("p_ppm").cast("double") / F.col("q_ppm").cast("double"))
+        )
+        .cast("long")
+        .alias("term_micro"),
+    )
+    return (
+        terms.groupBy("grp", "n_ref", "n_cur")
+        .agg(
+            F.sum("term_micro").alias("psi_micro"),
+            (-F.array_max(
+                F.collect_list(
+                    F.struct(F.col("term_micro").alias("t"), (-F.col("bucket")).alias("nb"))
+                )
+            )["nb"]).cast("int").alias("worst_bucket"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ref",
+            "n_cur",
+            "psi_micro",
+            "worst_bucket",
+            (F.col("psi_micro") >= F.lit(int(alert_micro))).alias("drifted"),
+        )
+    )

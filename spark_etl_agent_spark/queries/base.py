@@ -134,6 +134,7 @@ def _collect_modules():
     # and so pyspark import cost is paid once.
     from . import (
         advanced,
+        centrality,
         dedup,
         events,
         jcap,
@@ -178,6 +179,7 @@ def _collect_modules():
         tpch_ext,
         tpch_final,
         pretrain,
+        centrality,
     )
 
 
@@ -191,9 +193,13 @@ def _collect_modules():
 # queries written THIS round (so they are driver-verified in the same
 # round and the never-checked backlog stays empty), keeps 6
 # cross-family regression canaries, and fills the remaining slots with
-# the STALEST previously-passed names (last driver row round 1, then
-# the oldest round-3 passers alphabetically) so coverage recency stays
-# fresh across the whole inventory.
+# the STALEST previously-passed names (last driver row round 1) so
+# coverage recency stays fresh across the whole inventory. The round-5
+# second-half additions (supplier_pagerank, semantic_dedup_embeddings,
+# pmi_word_pairs, drift_psi_report, pq_encode_cells, corpus_datacard)
+# displaced the two newest round-1 refreshers and the four round-3
+# refreshers — new queries always get a driver row the round they are
+# written; refresh slots absorb the cost.
 # Every name is validated against the merged inventory at registry() time
 # so a rename or removal fails loudly instead of silently shrinking
 # coverage.
@@ -225,6 +231,12 @@ DRIVER_WINDOW = (
     "embedding_quantize_int8",
     "quality_linear_score",
     "streaming_stream_join",
+    "supplier_pagerank",
+    "semantic_dedup_embeddings",
+    "pmi_word_pairs",
+    "drift_psi_report",
+    "pq_encode_cells",
+    "corpus_datacard",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -247,13 +259,6 @@ DRIVER_WINDOW = (
     "neardup_components",
     "ngram_jaccard_dedup",
     "normalized_dedup",
-    "simhash_fingerprints",
-    "streaming_tumbling_agg",
-    # -- next-stalest prior passes: round 3, alphabetical (4) --
-    "above_nation_average",
-    "bpe_pair_counts",
-    "case_when_classifier",
-    "conversion_funnel",
 )
 
 

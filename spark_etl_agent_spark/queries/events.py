@@ -210,3 +210,78 @@ QUERIES = {
         "Daily event-type pivot counts", ("events", "pivot"),
     ),
 }
+
+
+def drift_psi_report(spark, sf_dir):
+    """Distribution-drift monitor: per-event-type PSI between the first
+    half of January (reference) and the rest (current), over 10
+    fixed-width value buckets with add-one smoothing."""
+    from ..operators.quality import drift_psi
+
+    return drift_psi(load(spark, sf_dir, "events"))
+
+
+DRIFT_PSI_REPORT_SQL = """
+WITH tagged AS (
+  SELECT event_type AS grp,
+    least(9, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bucket,
+    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS side
+  FROM events
+),
+counts AS (
+  SELECT grp, bucket, side, count(*) AS c FROM tagged GROUP BY grp, bucket, side
+),
+grid AS (
+  SELECT g.grp, b.bucket
+  FROM (SELECT DISTINCT grp FROM tagged) g,
+       (SELECT unnest(range(0, 10)) AS bucket) b
+),
+full_grid AS (
+  SELECT grid.grp, grid.bucket,
+    COALESCE(r.c, 0) AS rc, COALESCE(cu.c, 0) AS cc
+  FROM grid
+  LEFT JOIN counts r
+    ON r.grp = grid.grp AND r.bucket = grid.bucket AND r.side = 'ref'
+  LEFT JOIN counts cu
+    ON cu.grp = grid.grp AND cu.bucket = grid.bucket AND cu.side = 'cur'
+),
+totals AS (
+  SELECT grp, CAST(sum(rc) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur
+  FROM full_grid GROUP BY grp
+),
+terms AS (
+  SELECT f.grp, f.bucket, t.n_ref, t.n_cur,
+    ((f.rc + 1) * 1000000) // (t.n_ref + 10) AS p_ppm,
+    ((f.cc + 1) * 1000000) // (t.n_cur + 10) AS q_ppm
+  FROM full_grid f JOIN totals t ON t.grp = f.grp
+),
+terms2 AS (
+  SELECT grp, bucket, n_ref, n_cur,
+    CAST(floor(CAST(p_ppm - q_ppm AS DOUBLE)
+               * ln(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE)))
+         AS BIGINT) AS term_micro
+  FROM terms
+),
+sel AS (
+  SELECT grp, bucket,
+    row_number() OVER (PARTITION BY grp ORDER BY term_micro DESC, bucket) AS rn
+  FROM terms2
+),
+agg AS (
+  SELECT grp, n_ref, n_cur, CAST(sum(term_micro) AS BIGINT) AS psi_micro
+  FROM terms2 GROUP BY grp, n_ref, n_cur
+)
+SELECT a.grp AS event_type, a.n_ref, a.n_cur, a.psi_micro,
+  CAST(s.bucket AS INTEGER) AS worst_bucket,
+  a.psi_micro >= 50000 AS drifted
+FROM agg a JOIN sel s ON s.grp = a.grp AND s.rn = 1
+"""
+
+
+QUERIES["drift_psi_report"] = QuerySpec(
+    "drift_psi_report",
+    drift_psi_report,
+    DRIFT_PSI_REPORT_SQL,
+    "Per-event-type PSI drift monitor (integer-ppm buckets, add-one smoothing)",
+    ("events", "quality", "agg"),
+)

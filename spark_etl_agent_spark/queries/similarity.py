@@ -383,3 +383,117 @@ QUERIES = {
         ("similarity", "llm", "agg"),
     ),
 }
+
+
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup: k-means cells bound the pairwise compare; every vector
+    with a lower-id cell-mate above the cosine threshold is dropped and
+    mapped to its most-similar keeper."""
+    return sim.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), k=4, iters=2, min_cosine=0.35
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+cent0 AS (
+  SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
+  FROM base ORDER BY vec_id LIMIT 4
+),
+{_kmeans_round_sql(0)},
+{_kmeans_round_sql(1)},
+pairs AS (
+  SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS keeper_id,
+    list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
+      AS cosine_sim
+  FROM assign1 a JOIN assign1 b
+    ON b.cell = a.cell AND b.vec_id < a.vec_id
+)
+SELECT vec_id, cell, keeper_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine_sim DESC, keeper_id) AS rn
+  FROM pairs WHERE cosine_sim >= 0.35
+) WHERE rn = 1
+"""
+
+
+QUERIES["semantic_dedup_embeddings"] = QuerySpec(
+    "semantic_dedup_embeddings",
+    semantic_dedup_embeddings,
+    SEMANTIC_DEDUP_SQL,
+    "SemDeDup: within-k-means-cell cosine dedup, keep-lowest-id",
+    ("similarity", "dedup", "iterative", "llm"),
+)
+
+
+def pq_encode_cells(spark, sf_dir):
+    """Product-quantization encode (m=4 subspaces × k=8 cells) +
+    residual fidelity grid — the memory-compression layer of a
+    billion-vector ANN index."""
+    from ..llm.quantize import pq_encode_stats
+
+    return pq_encode_stats(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_subspace_sql(j: int, d_sub: int = 16, k: int = 8) -> str:
+    a, b = j * d_sub + 1, (j + 1) * d_sub
+    return f"""
+a{j} AS (
+  SELECT vec_id, sub, cell FROM (
+    SELECT b.vec_id, b.svec[{a}:{b}] AS sub, s.cell,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        list_dot_product(b.svec[{a}:{b}], b.svec[{a}:{b}])
+        - 2 * list_dot_product(b.svec[{a}:{b}], s.svec[{a}:{b}])
+        + list_dot_product(s.svec[{a}:{b}], s.svec[{a}:{b}]) ASC,
+        s.cell ASC) AS rn
+    FROM base b, seeds s
+  ) WHERE rn = 1
+),
+cl{j} AS (
+  SELECT cell, dim,
+    CAST(floor(sum(sub[CAST(dim AS INT)]) / count(*)) AS DOUBLE) AS cq
+  FROM a{j}, range(1, {d_sub + 1}) t(dim)
+  GROUP BY cell, dim
+),
+cent{j} AS (SELECT cell, list(cq ORDER BY dim) AS cvec FROM cl{j} GROUP BY cell),
+r{j} AS (
+  SELECT {j} AS subspace, a.cell,
+    CAST(list_dot_product(a.sub, a.sub)
+         - 2 * list_dot_product(a.sub, c.cvec)
+         + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS err
+  FROM a{j} a JOIN cent{j} c ON c.cell = a.cell
+)"""
+
+
+PQ_ENCODE_CELLS_SQL = (
+    f"""
+WITH base AS (
+  SELECT vec_id, {_SVEC} AS svec FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, svec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+),
+"""
+    + ",".join(_pq_subspace_sql(j) for j in range(4))
+    + """,
+allr AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+         UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+SELECT subspace, cell, count(*) AS n_members,
+  CAST(sum(err) AS BIGINT) AS err_sum,
+  CAST(sum(err) AS BIGINT) // count(*) AS err_mean
+FROM allr GROUP BY subspace, cell
+"""
+)
+
+
+QUERIES["pq_encode_cells"] = QuerySpec(
+    "pq_encode_cells",
+    pq_encode_cells,
+    PQ_ENCODE_CELLS_SQL,
+    "Product-quantization codes + exact residual grid (m=4, k=8)",
+    ("similarity", "quantize", "llm"),
+)

@@ -408,3 +408,86 @@ QUERIES = {
         ("text", "llm"),
     ),
 }
+
+
+def pmi_word_pairs(spark, sf_dir):
+    """Collocation mining: top word pairs by PMI/lift over per-doc
+    word presence. Exact int64 lift ranks the pairs; pmi_micro rides
+    along under the tfidf 1-ULP ln idiom."""
+    return T.word_pair_pmi(
+        fan_out(load(spark, sf_dir, "documents")), min_df=5, top_n=40
+    )
+
+
+PMI_WORD_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id AS doc, w
+  FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)
+  WHERE length(w) >= 1
+),
+dfreq AS (SELECT w, count(*) AS wdf FROM words GROUP BY w),
+vocab AS (SELECT w, wdf FROM dfreq WHERE wdf >= 5),
+wv AS (
+  SELECT words.doc, words.w, vocab.wdf
+  FROM words JOIN vocab ON vocab.w = words.w
+),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, a.wdf AS c1, b.wdf AS c2,
+    count(*) AS c12
+  FROM wv a JOIN wv b ON b.doc = a.doc AND a.w < b.w
+  GROUP BY a.w, b.w, a.wdf, b.wdf
+),
+n AS (SELECT count(*) AS _n FROM documents),
+scored AS (
+  SELECT w1, w2, c12, c1, c2,
+    (c12 * _n * 1000000) // (c1 * c2) AS lift_ppm,
+    CAST(floor(ln(CAST(c12 AS DOUBLE) * _n
+                  / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1e6)
+         AS BIGINT) AS pmi_micro
+  FROM pairs, n
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY lift_ppm DESC, w1, w2) AS pair_rank,
+    w1, w2, c12, c1, c2, lift_ppm, pmi_micro
+  FROM scored
+) WHERE pair_rank <= 40
+"""
+
+
+QUERIES["pmi_word_pairs"] = QuerySpec(
+    "pmi_word_pairs",
+    pmi_word_pairs,
+    PMI_WORD_PAIRS_SQL,
+    "Top word-pair collocations by exact int64 lift / PMI",
+    ("text", "agg", "llm"),
+)
+
+
+def corpus_datacard(spark, sf_dir):
+    """One-pass dataset-card rollup: per-language, per-source, and
+    grand-total corpus stats via GROUPING SETS — the release artifact
+    that ships with a training corpus. Single scan, bounded key space,
+    map-side partials."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_dc")
+    return spark.sql(CORPUS_DATACARD_BODY.format(table="documents_dc"))
+
+
+CORPUS_DATACARD_BODY = """
+SELECT lang, source,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+  CAST(sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+  count(DISTINCT source) AS n_sources,
+  CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars_q
+FROM {table}
+GROUP BY GROUPING SETS ((lang), (source), ())
+"""
+
+
+QUERIES["corpus_datacard"] = QuerySpec(
+    "corpus_datacard",
+    corpus_datacard,
+    CORPUS_DATACARD_BODY.format(table="documents"),
+    "Dataset-card rollup: per-lang / per-source / total corpus stats",
+    ("text", "agg", "llm"),
+)

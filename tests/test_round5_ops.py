@@ -1,0 +1,135 @@
+"""Operator-level edge cases for the round-5 second-half additions
+(PageRank, SemDeDup, PSI drift, PQ encode) — the oracle-parity suite
+covers cross-engine correctness; these pin hand-computed values,
+guards, and plan shapes."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_etl_agent_spark.llm.quantize import pq_encode_stats
+from spark_etl_agent_spark.llm.similarity import semantic_dedup
+from spark_etl_agent_spark.operators.pagerank import pagerank
+from spark_etl_agent_spark.operators.quality import drift_psi
+
+
+def _sym(spark, pairs):
+    rows = [Row(src=a, dst=b) for a, b in pairs] + [
+        Row(src=b, dst=a) for a, b in pairs
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_pagerank_path_graph_hand_values(spark):
+    """Path 1–2–3, one round: contributions 1e6, 5e5, 1e6; inbound sums
+    (5e5, 2e6, 5e5); damped update = 150000 + 850·acc div 1000."""
+    out = {
+        r["node"]: (r["degree"], r["rank_micro"])
+        for r in pagerank(_sym(spark, [(1, 2), (2, 3)]), iters=1).collect()
+    }
+    assert out == {1: (1, 575000), 2: (2, 1850000), 3: (1, 575000)}
+
+
+def test_pagerank_mass_bounded_and_deterministic_any_npart(spark):
+    """Integer truncation only loses mass (never creates it), and the
+    result is partitioning-independent."""
+    edges = _sym(spark, [(i, (i * 7) % 23) for i in range(1, 23)])
+    a = pagerank(edges, iters=4)
+    total = a.agg(F.sum("rank_micro")).collect()[0][0]
+    n = a.count()
+    assert total <= n * 1_000_000
+    b = pagerank(edges.repartition(13), iters=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semantic_dedup_cell_width_guard(spark):
+    """k=1 puts every vector in one cell — the guard must refuse the
+    quadratic compare, naming the width."""
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3 + 1)] * 64) for i in range(40)]
+    )
+    with pytest.raises(ValueError, match="widest cell"):
+        semantic_dedup(df, k=1, iters=1, max_cell_width=10)
+
+
+def test_semantic_dedup_drops_exact_copy_keeps_lowest_id(spark):
+    vec = [1.0, -2.0] * 32
+    other = [5.0, 0.25] * 32
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=vec),
+            Row(vec_id=2, embedding=vec),
+            Row(vec_id=3, embedding=other),
+        ]
+    )
+    rows = semantic_dedup(df, k=1, iters=1, min_cosine=0.99).collect()
+    assert len(rows) == 1
+    assert rows[0]["vec_id"] == 2 and rows[0]["keeper_id"] == 1
+    assert rows[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_drift_psi_identical_windows_score_zero(spark):
+    """Same value multiset on both sides of the boundary → every
+    p_ppm == q_ppm → PSI exactly 0, not drifted."""
+    ref_ts = datetime.datetime(2024, 1, 2)
+    cur_ts = datetime.datetime(2024, 1, 20)
+    rows = [
+        Row(ts=ts, event_type="t", value=v)
+        for ts in (ref_ts, cur_ts)
+        for v in (10.0, 40.0, 40.0, 260.0, -5.0)
+    ]
+    out = drift_psi(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["psi_micro"] == 0 and r["drifted"] is False
+    assert r["n_ref"] == 5 and r["n_cur"] == 5
+
+
+def test_drift_psi_clamps_out_of_range_values(spark):
+    """value −5 → bucket 0; value 260 → bucket 9 (clamped, not
+    dropped): total counts must equal input rows."""
+    rows = [
+        Row(ts=datetime.datetime(2024, 1, 2), event_type="t", value=-5.0),
+        Row(ts=datetime.datetime(2024, 1, 20), event_type="t", value=260.0),
+    ]
+    r = drift_psi(spark.createDataFrame(rows)).collect()[0]
+    assert r["n_ref"] == 1 and r["n_cur"] == 1
+
+
+def test_pq_encode_zero_residual_on_seed_vectors(spark):
+    """A corpus consisting only of the seed vectors reconstructs
+    exactly: every residual is 0 and membership covers all vectors in
+    each subspace."""
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 64) for i in range(8)]
+    )
+    out = pq_encode_stats(df, m=4, k=8).collect()
+    by_sub = {}
+    for r in out:
+        assert r["err_sum"] == 0 and r["err_mean"] == 0
+        by_sub[r["subspace"]] = by_sub.get(r["subspace"], 0) + r["n_members"]
+    assert by_sub == {0: 8, 1: 8, 2: 8, 3: 8}
+
+
+def test_pq_encode_assignment_is_zero_shuffle(spark, sf_dir):
+    """The code-assignment projection must not shuffle or fan out the
+    corpus: no cartesian/nested-loop join anywhere in the plan."""
+    from spark_etl_agent_spark.queries.base import load
+
+    df = pq_encode_stats(load(spark, sf_dir, "embeddings"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_join_is_equi_join(spark, sf_dir):
+    """The within-cell compare must be an equi-join on the cell key —
+    all-pairs would defeat the SemDeDup blocking design."""
+    from spark_etl_agent_spark.queries.base import load
+
+    df = semantic_dedup(load(spark, sf_dir, "embeddings"), k=4, iters=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
