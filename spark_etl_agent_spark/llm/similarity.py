@@ -504,10 +504,14 @@ def semantic_dedup(
                 "or pre-split the corpus — a quadratic compare over this "
                 "cell would not scale"
             )
+    # materialized once: the (vector, cell) frame feeds BOTH sides of
+    # the self-join — without the checkpoint each side re-runs the
+    # scan + scaling + assignment join
     m = (
         with_scaled_and_norm(df, vec_col, id_col)
         .withColumnRenamed(id_col, "vec_id")
         .join(cells, "vec_id")
+        .localCheckpoint()
     )
     a, b = m.alias("a"), m.alias("b")
     pairs = (

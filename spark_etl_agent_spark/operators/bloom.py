@@ -149,13 +149,21 @@ def bloom_antijoin(
        correctness — bloom fp can only send extra rows into this join,
        never change its answer.
     """
+    # The sketch feeds n_hashes broadcast joins; without materializing
+    # it, every join re-runs the index scan + bit_or aggregation (the
+    # per-join column aliases sit below the exchange, so Spark's
+    # ReusedExchange canonicalization never kicks in — measured 10
+    # rebuilds per antijoin). localCheckpoint pays ONE sketch build;
+    # the checkpointed result is ≤ n_bits/64 rows by construction.
     flagged = bloom_might_contain(
         batch,
-        bloom_bitmap(index.select(key_col), key_col, n_bits, n_hashes),
+        bloom_bitmap(
+            index.select(key_col), key_col, n_bits, n_hashes
+        ).localCheckpoint(),
         key_col,
         n_bits=n_bits,
         n_hashes=n_hashes,
-    )
+    ).persist()  # feeds both the definite and maybe branches
     definite = flagged.filter(~F.col(FLAG)).drop(FLAG)
     maybe = flagged.filter(F.col(FLAG)).drop(FLAG)
     # candidate index keys: row-wise bloom probe (map-side) → the only
@@ -163,7 +171,7 @@ def bloom_antijoin(
     # distinct is over that tiny remainder, not the index
     maybe_bloom = bloom_bitmap(
         maybe.select(key_col), key_col, n_bits, n_hashes
-    )
+    ).localCheckpoint()
     index_candidates = (
         bloom_might_contain(
             index.select(key_col),

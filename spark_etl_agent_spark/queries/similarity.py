@@ -388,9 +388,11 @@ QUERIES = {
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup: k-means cells bound the pairwise compare; every vector
     with a lower-id cell-mate above the cosine threshold is dropped and
-    mapped to its most-similar keeper."""
+    mapped to its most-similar keeper. k=16 (vs the profile query's
+    k=4) keeps cells ~100 wide — the SemDeDup contract is that k grows
+    with the corpus so the within-cell quadratic stays bounded."""
     return sim.semantic_dedup(
-        load(spark, sf_dir, "embeddings"), k=4, iters=2, min_cosine=0.35
+        load(spark, sf_dir, "embeddings"), k=16, iters=2, min_cosine=0.35
     )
 
 
@@ -401,7 +403,7 @@ WITH base AS (
 ),
 cent0 AS (
   SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
-  FROM base ORDER BY vec_id LIMIT 4
+  FROM base ORDER BY vec_id LIMIT 16
 ),
 {_kmeans_round_sql(0)},
 {_kmeans_round_sql(1)},
