@@ -158,6 +158,73 @@ def llm_shapes(spark, d: str):
     }
 
 
+def round5_thunks(spark, d: str) -> dict:
+    """Round-5 iterative shapes. Returned as THUNKS, not DataFrames:
+    both operators do eager work at construction time (k-means rounds,
+    checkpoint materialization), so building them outside the timed
+    region would hide exactly the cost the smoke exists to measure.
+
+    - PageRank: the blow-up re-keys only o_orderkey, so the replica id
+      is recovered as ``o_orderkey div base_max`` and folded into the
+      customer node id — the graph then grows 10x in customer nodes
+      and edges (suppliers stay fixed and get 10x hotter, the realistic
+      skew direction).
+    - SemDeDup: k scales with the corpus (k ≈ N / target cell width) —
+      that IS the operator's scale contract; a fixed k would measure
+      the documented quadratic, not the design. Past 128 cells the
+      assignment falls off the literal-codebook path onto the
+      broadcast-join path, so the 10x run also exercises that branch.
+    """
+    from spark_etl_agent_spark.llm.similarity import semantic_dedup
+    from spark_etl_agent_spark.operators.pagerank import pagerank
+
+    base_max = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+        + 1
+    )
+
+    def _pagerank():
+        od = spark.read.parquet(f"{d}/orders.parquet")
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        pairs = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .select(
+                (
+                    (
+                        F.col("o_custkey")
+                        + F.expr(f"o_orderkey div {base_max}") * 1_000_000
+                    )
+                    * 2
+                ).alias("a"),
+                (F.col("l_suppkey") * 2 + 1).alias("b"),
+            )
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        return pagerank(edges, iters=6)
+
+    def _semantic():
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        n = emb.count()
+        k = max(16, (16 * n) // 2000)
+        return semantic_dedup(emb, k=k, iters=2, min_cosine=0.35)
+
+    return {"pagerank": _pagerank, "semantic_dedup": _semantic}
+
+
+def run_thunks(thunks: dict) -> dict:
+    out = {}
+    for name, fn in thunks.items():
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        out[name] = time.perf_counter() - t0
+    return out
+
+
 def components_with_rounds(spark, d: str):
     """neardup_components with the per-round convergence trace exposed;
     returns (DataFrame, round_stats list) — the list fills on execution."""
@@ -209,8 +276,10 @@ def main():
     base = run(spark, SF_DIR)
     base = run(spark, SF_DIR)  # warm second run is the honest baseline
     base.update(run_dict(llm_shapes(spark, SF_DIR)))
+    base.update(run_thunks(round5_thunks(spark, SF_DIR)))
     big = run(spark, WORK)
     big.update(run_dict(llm_shapes(spark, WORK)))
+    big.update(run_thunks(round5_thunks(spark, WORK)))
 
     print(f"{'shape':18s} {'sf0.1':>8s} {str(BLOWUP)+'x':>8s} {'ratio':>7s}")
     worst = 0.0
