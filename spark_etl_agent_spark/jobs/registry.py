@@ -14,6 +14,7 @@ from .alerts import Alerter
 from .corpus import CorpusDedupService
 from .etl import EtlService
 from .jcap import JcapPaEtlService
+from .monitor import QualityMonitorService
 from .pretrain import CorpusPrepService
 from .sync import IncrementalSyncService
 
@@ -57,6 +58,15 @@ JOB_TYPE_INFO: Dict[str, Dict[str, Any]] = {
         "parameters": ["load_date"],
         "environment": "Warehouse",
     },
+    "quality_monitor_etl": {
+        "method": "run_quality_monitor",
+        "description": (
+            "Quality monitor ETL - expectation contract gate, per-group "
+            "freshness, PSI drift with alerts, report tables"
+        ),
+        "parameters": ["load_date", "as_of"],
+        "environment": "Monitoring",
+    },
     "jcap_pa_etl": {
         "method": "run_jcap_pa_etl",
         "description": (
@@ -94,6 +104,9 @@ class JobService:
         self.corpus_dedup_service = CorpusDedupService(catalog)
         self.corpus_prep_service = CorpusPrepService(catalog)
         self.incremental_sync_service = IncrementalSyncService(catalog)
+        self.quality_monitor_service = QualityMonitorService(
+            catalog, alerter=alerter
+        )
         # registry shape mirrors services/job_service.py:23-38; the
         # static half lives in module-level JOB_TYPE_INFO
         services = {
@@ -101,6 +114,7 @@ class JobService:
             "corpus_dedup_etl": self.corpus_dedup_service,
             "corpus_prep_etl": self.corpus_prep_service,
             "incremental_sync_etl": self.incremental_sync_service,
+            "quality_monitor_etl": self.quality_monitor_service,
             "jcap_pa_etl": self.jcap_pa_etl_service,
         }
         self.supported_job_types: Dict[str, Dict[str, Any]] = {

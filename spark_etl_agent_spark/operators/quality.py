@@ -198,8 +198,12 @@ def freshness_report(
         F.count(F.lit(1)).alias("n_rows"),
     ]
     base = df.groupBy(*groups).agg(*agg) if groups else df.agg(*agg)
+    # .cast("timestamp") first: a TIMESTAMP_NTZ feed column (what raw
+    # parquet often carries) cannot cast straight to DOUBLE, and under
+    # the UTC-pinned session the NTZ→LTZ hop is value-identical
     lag_h = (
-        as_of_col.cast("double") - F.col("newest_ts").cast("double")
+        as_of_col.cast("double")
+        - F.col("newest_ts").cast("timestamp").cast("double")
     ) / F.lit(3600.0)
     return base.select(
         *(groups or []),

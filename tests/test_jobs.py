@@ -752,3 +752,87 @@ def test_corpus_prep_raises_on_absent_target_domain(spark, tmp_path):
     svc = CorpusPrepService(cat)
     with _pytest.raises(RuntimeError, match="zh"):
         svc.run_corpus_prep_etl("2026-08-14")
+
+
+def test_quality_monitor_etl_end_to_end(spark, tmp_path):
+    """Job 6: contract gate → freshness → PSI drift → alerts → report
+    tables. A drifted group fires exactly one alert; a broken contract
+    aborts before any report lands; reports are queryable tables."""
+    import datetime as _dt
+
+    from spark_etl_agent_spark.jobs.alerts import LogAlerter
+    from spark_etl_agent_spark.jobs.monitor import QualityMonitorService
+
+    cat = Catalog(spark, str(tmp_path / "monitor_wh"))
+    ref_ts = _dt.datetime(2024, 1, 2)
+    cur_ts = _dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    # "steady": identical value distribution both windows → PSI 0
+    for ts in (ref_ts, cur_ts):
+        for v in (10.0, 40.0, 70.0, 100.0) * 25:
+            rows.append((eid, ts, "steady", v)); eid += 1
+    # "shifted": reference mass in bucket 0, current in bucket 9
+    for v in (5.0,) * 100:
+        rows.append((eid, ref_ts, "shifted", v)); eid += 1
+    for v in (240.0,) * 100:
+        rows.append((eid, cur_ts, "shifted", v)); eid += 1
+    feed = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    cat.write_table(feed, "staging.events", mode="overwrite")
+
+    alerter = LogAlerter()
+    svc = QualityMonitorService(
+        cat, feed_table="staging.events", alerter=alerter
+    )
+    env = svc.run_quality_monitor(load_date="2024-01-21")
+    assert env["status"] == "Success"
+    assert env["drifted_groups"] == ["shifted"]
+    assert env["alerts_fired"] == 1
+    assert alerter.sent[0]["job_name"] == "quality_monitor_etl:shifted"
+    assert env["stale_groups"] == []  # as_of defaults to newest event
+
+    drift = {r.event_type: r for r in cat.read_table("monitor.drift").collect()}
+    assert drift["steady"].psi_micro == 0 and not drift["steady"].drifted
+    assert drift["shifted"].drifted and drift["shifted"].worst_bucket in (0, 9)
+    exp = cat.read_table("monitor.expectations")
+    assert exp.filter("passed = false").count() == 0
+
+    # broken contract: NULL event ids must abort before reports update
+    bad = feed.withColumn(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, None).otherwise(F.col("event_id")),
+    )
+    cat.write_table(bad, "staging.events_bad", mode="overwrite")
+    svc_bad = QualityMonitorService(
+        cat, feed_table="staging.events_bad", alerter=alerter
+    )
+    env_bad = svc_bad.run_quality_monitor(load_date="2024-01-21")
+    assert env_bad["status"] == "Failed"
+    assert "event_id_not_null" in env_bad["error"]
+
+
+def test_quality_monitor_handles_ntz_feed(spark, tmp_path, sf_dir):
+    """Raw parquet feeds carry TIMESTAMP_NTZ — the monitor must
+    normalize before timestamp arithmetic (regression: the CLI e2e
+    drive failed on freshness's NTZ→double cast while the LTZ-built
+    unit fixture passed)."""
+    from spark_etl_agent_spark.jobs.monitor import QualityMonitorService
+
+    cat = Catalog(spark, str(tmp_path / "monitor_ntz_wh"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cat.write_table(raw, "staging.events", mode="overwrite")
+    env = QualityMonitorService(cat).run_quality_monitor(
+        load_date="2024-01-21"
+    )
+    assert env["status"] == "Success"
+    assert env["n_groups"] >= 1
+
+
+def test_quality_monitor_registered_and_dispatchable(spark, tmp_path, job_service):
+    """The 6th job type is listed and dispatches through the generic
+    parameter prober (as_of forwarded)."""
+    listing = job_service.list_supported_job_types()
+    assert "quality_monitor_etl" in listing
+    assert "Monitoring" in listing["quality_monitor_etl"]
