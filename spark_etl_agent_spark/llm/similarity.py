@@ -540,3 +540,65 @@ def semantic_dedup(
         .filter(F.col("__rn") == 1)
         .select("vec_id", "cell", "keeper_id", "cosine_sim")
     )
+
+
+def hard_negatives_topk(
+    df: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for
+    each probe vector, the top-k most-similar vectors with a DIFFERENT
+    label (nearest wrong answers — the negatives that actually teach a
+    ranker). Same broadcast-probe shape as :func:`brute_force_topk`
+    with the label-mismatch predicate fused into the join; at 100 TB
+    the candidate side streams through unchanged and only the
+    query-keyed top-k shuffles."""
+    base = df.select(
+        F.col(id_col), F.col(label_col), scaled(F.col(vec_col)).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+    q = F.broadcast(
+        base.filter(F.col(id_col) < query_ids_below).select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col("svec").alias("q_svec"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    cand = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("svec").alias("c_svec"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    pairs = q.join(
+        cand, F.col("query_label") != F.col("neighbor_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(
+            dot(F.col("q_svec"), F.col("c_svec")),
+            F.col("q_norm"),
+            F.col("c_norm"),
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rnk",
+            "cosine_sim",
+        )
+    )

@@ -237,6 +237,7 @@ DRIVER_WINDOW = (
     "drift_psi_report",
     "pq_encode_cells",
     "corpus_datacard",
+    "hard_negatives_embeddings",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -258,7 +259,6 @@ DRIVER_WINDOW = (
     "multimodal_source_stats",
     "neardup_components",
     "ngram_jaccard_dedup",
-    "normalized_dedup",
 )
 
 

@@ -499,3 +499,40 @@ QUERIES["pq_encode_cells"] = QuerySpec(
     "Product-quantization codes + exact residual grid (m=4, k=8)",
     ("similarity", "quantize", "llm"),
 )
+
+
+def hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining: nearest different-label neighbors per
+    probe vector (the contrastive-training negative sampler)."""
+    return sim.hard_negatives_topk(load(spark, sf_dir, "embeddings"))
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, label, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, label, {_SVEC} AS svec FROM embeddings)
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+    list_dot_product(q.svec, c.svec) / (sqrt(q.norm_sq) * sqrt(c.norm_sq))
+      AS cosine_sim
+  FROM normed q JOIN normed c ON c.label != q.label
+  WHERE q.vec_id < 8
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rnk, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= 5
+"""
+
+
+QUERIES["hard_negatives_embeddings"] = QuerySpec(
+    "hard_negatives_embeddings",
+    hard_negatives_embeddings,
+    HARD_NEGATIVES_SQL,
+    "Hard-negative mining: top-k nearest different-label vectors per probe",
+    ("similarity", "llm"),
+)
