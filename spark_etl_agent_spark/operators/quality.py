@@ -247,12 +247,7 @@ def drift_psi(
     order-independent. ``worst_bucket`` ties break on the lower
     bucket id.
     """
-    b = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(
-            F.lit(0), F.floor(F.col(value_col) / F.lit(float(bucket_width))).cast("int")
-        ),
-    )
+    b = bucketize(value_col, n_buckets, bucket_width)
     side = F.when(
         F.col(ts_col) < F.lit(boundary).cast("timestamp"), F.lit("ref")
     ).otherwise(F.lit("cur"))
@@ -283,6 +278,60 @@ def drift_psi(
             F.coalesce("cc", F.lit(0)).cast("long").alias("cc"),
         )
     )
+    return psi_from_grid(full, n_buckets, alert_micro).withColumnRenamed(
+        "grp", group_col
+    )
+
+
+def bucketize(value_col: str, n_buckets: int, bucket_width: float):
+    """Fixed-width value bucket, clamped into [0, n_buckets)."""
+    return F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(F.col(value_col) / F.lit(float(bucket_width))).cast("int"),
+        ),
+    )
+
+
+def reference_histogram(
+    df,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_buckets: int = 10,
+    bucket_width: float = 25.0,
+):
+    """Full (group × bucket) reference histogram — the frozen "p side"
+    a streaming drift monitor compares every micro-batch against. The
+    grid is dense (missing buckets as 0) because add-one smoothing
+    needs every cell, and the group universe is the REFERENCE's: the
+    monitor watches known feeds; a group that first appears mid-stream
+    is a schema event, not drift. Output: (grp, bucket, rc)."""
+    tagged = df.select(
+        F.col(group_col).alias("grp"),
+        bucketize(value_col, n_buckets, bucket_width).alias("bucket"),
+    )
+    counts = tagged.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        tagged.select("grp")
+        .distinct()
+        .select(
+            "grp",
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+        )
+    )
+    return grid.join(counts, ["grp", "bucket"], "left").select(
+        "grp", "bucket", F.coalesce("c", F.lit(0)).cast("long").alias("rc")
+    )
+
+
+def psi_from_grid(full, n_buckets: int = 10, alert_micro: int = 50_000):
+    """PSI report from a dense (grp, bucket, rc, cc) count grid — the
+    shared algebra of :func:`drift_psi` (batch, ref window vs current
+    window) and the streaming drift sink (frozen reference vs each
+    micro-batch). Integer ppm with add-one smoothing; per-group sums of
+    int64 terms; worst bucket ties to the lower id. Output:
+    (grp, n_ref, n_cur, psi_micro, worst_bucket, drifted)."""
     totals = full.groupBy("grp").agg(
         F.sum("rc").alias("n_ref"), F.sum("cc").alias("n_cur")
     )
@@ -315,12 +364,15 @@ def drift_psi(
             F.sum("term_micro").alias("psi_micro"),
             (-F.array_max(
                 F.collect_list(
-                    F.struct(F.col("term_micro").alias("t"), (-F.col("bucket")).alias("nb"))
+                    F.struct(
+                        F.col("term_micro").alias("t"),
+                        (-F.col("bucket")).alias("nb"),
+                    )
                 )
             )["nb"]).cast("int").alias("worst_bucket"),
         )
         .select(
-            F.col("grp").alias(group_col),
+            "grp",
             "n_ref",
             "n_cur",
             "psi_micro",

@@ -238,6 +238,7 @@ DRIVER_WINDOW = (
     "pq_encode_cells",
     "corpus_datacard",
     "hard_negatives_embeddings",
+    "streaming_drift_audit",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -249,7 +250,6 @@ DRIVER_WINDOW = (
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_sign_bucket_pairs",
-    "doc_fingerprints",
     "embedding_cosine_neardup",
     "embedding_label_centroids",
     "kmeans_cell_profile",

@@ -296,3 +296,124 @@ QUERIES = {
         ("streaming", "llm", "dedup"),
     ),
 }
+
+
+def streaming_drift_audit(spark, sf_dir) -> DataFrame:
+    """Continuous drift monitoring: the post-boundary events stream in
+    three micro-batches (``event_id % 3``) through
+    ``streaming_drift_sink``, each batch PSI-scored against the frozen
+    pre-boundary reference histogram; returns the per-(batch, group)
+    audit envelopes. The oracle recomputes every batch's grid with the
+    identical integer-ppm algebra (``psi_from_grid`` unrolled over the
+    batch axis)."""
+    from ..operators.quality import reference_histogram
+    from ..streaming.pipeline import run_available_now, streaming_drift_sink
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < boundary)
+    cur = ev.filter(F.col("ts") >= boundary)
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_drift_")
+    src = _stage_batches(
+        [cur.filter(F.col("event_id") % 3 == i) for i in range(3)], work
+    )
+    audit: list = []
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        stream,
+        output_mode="append",
+        foreach_batch=streaming_drift_sink(
+            reference_histogram(ref), audit
+        ),
+    )
+    return spark.createDataFrame(
+        audit,
+        "batch_id long, event_type string, n_ref long, n_cur long, "
+        "psi_micro long, worst_bucket int, drifted boolean",
+    )
+
+
+STREAMING_DRIFT_AUDIT_SQL = """
+WITH refside AS (
+  SELECT event_type AS grp,
+    least(9, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bucket
+  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+),
+grid AS (
+  SELECT g.grp, b.bucket
+  FROM (SELECT DISTINCT grp FROM refside) g,
+       (SELECT unnest(range(0, 10)) AS bucket) b
+),
+rcount AS (SELECT grp, bucket, count(*) AS c FROM refside GROUP BY grp, bucket),
+rhist AS (
+  SELECT grid.grp, grid.bucket, COALESCE(rcount.c, 0) AS rc
+  FROM grid LEFT JOIN rcount
+    ON rcount.grp = grid.grp AND rcount.bucket = grid.bucket
+),
+curside AS (
+  SELECT event_id % 3 AS batch_id, event_type AS grp,
+    least(9, greatest(0, CAST(floor(value / 25.0) AS INT))) AS bucket
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+),
+ccount AS (
+  SELECT batch_id, grp, bucket, count(*) AS c
+  FROM curside GROUP BY batch_id, grp, bucket
+),
+fullg AS (
+  SELECT b.batch_id, h.grp, h.bucket, h.rc, COALESCE(cc.c, 0) AS cc
+  FROM (SELECT unnest(range(0, 3)) AS batch_id) b
+  CROSS JOIN rhist h
+  LEFT JOIN ccount cc
+    ON cc.batch_id = b.batch_id AND cc.grp = h.grp AND cc.bucket = h.bucket
+),
+totals AS (
+  SELECT batch_id, grp,
+    CAST(sum(rc) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur
+  FROM fullg GROUP BY batch_id, grp
+),
+terms AS (
+  SELECT f.batch_id, f.grp, f.bucket, t.n_ref, t.n_cur,
+    ((f.rc + 1) * 1000000) // (t.n_ref + 10) AS p_ppm,
+    ((f.cc + 1) * 1000000) // (t.n_cur + 10) AS q_ppm
+  FROM fullg f JOIN totals t ON t.batch_id = f.batch_id AND t.grp = f.grp
+),
+terms2 AS (
+  SELECT batch_id, grp, bucket, n_ref, n_cur,
+    CAST(floor(CAST(p_ppm - q_ppm AS DOUBLE)
+               * ln(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE)))
+         AS BIGINT) AS term_micro
+  FROM terms
+),
+sel AS (
+  SELECT batch_id, grp, bucket,
+    row_number() OVER (PARTITION BY batch_id, grp
+                       ORDER BY term_micro DESC, bucket) AS rn
+  FROM terms2
+),
+agg AS (
+  SELECT batch_id, grp, n_ref, n_cur,
+    CAST(sum(term_micro) AS BIGINT) AS psi_micro
+  FROM terms2 GROUP BY batch_id, grp, n_ref, n_cur
+)
+SELECT a.batch_id, a.grp AS event_type, a.n_ref, a.n_cur, a.psi_micro,
+  CAST(s.bucket AS INTEGER) AS worst_bucket,
+  a.psi_micro >= 50000 AS drifted
+FROM agg a JOIN sel s
+  ON s.batch_id = a.batch_id AND s.grp = a.grp AND s.rn = 1
+"""
+
+
+QUERIES["streaming_drift_audit"] = QuerySpec(
+    "streaming_drift_audit",
+    streaming_drift_audit,
+    STREAMING_DRIFT_AUDIT_SQL,
+    "Per-micro-batch PSI drift envelopes vs a frozen reference histogram",
+    ("streaming", "quality", "llm"),
+)

@@ -453,3 +453,68 @@ def streaming_packing_sink(
             audit.append((batch_id, n, int(new_end)))
 
     return pack_batch
+
+
+def streaming_drift_sink(
+    ref_hist: DataFrame,
+    audit: list,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_buckets: int = 10,
+    bucket_width: float = 25.0,
+    alert_micro: int = 50_000,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body for CONTINUOUS distribution-drift
+    monitoring: every micro-batch's value histogram is scored (PSI,
+    integer-ppm, add-one smoothing) against a FROZEN reference
+    histogram — the streaming twin of
+    :func:`..operators.quality.drift_psi`, sharing its
+    ``psi_from_grid`` algebra so batch and streaming verdicts agree
+    bit-for-bit on identical windows.
+
+    ``ref_hist`` is the dense (grp, bucket, rc) frame from
+    :func:`..operators.quality.reference_histogram`, localCheckpoint()ed
+    here once — per batch the only work is one bounded-key aggregate
+    over the batch plus a grid-sized join (the reference is never
+    rescanned). ``audit`` collects one envelope per (batch, group):
+    ``(batch_id, group, n_ref, n_cur, psi_micro, worst_bucket,
+    drifted)`` — bounded rows, the alert input of a production monitor.
+
+    Scale: per micro-batch cost is batch-sized + grid-sized; history
+    length and reference size never enter (the frozen histogram IS the
+    compressed reference).
+    """
+    from ..operators.quality import bucketize, psi_from_grid
+
+    frozen = ref_hist.localCheckpoint()
+
+    def drift_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = (
+            batch_df.select(
+                F.col(group_col).alias("grp"),
+                bucketize(value_col, n_buckets, bucket_width).alias("bucket"),
+            )
+            .groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("cc"))
+        )
+        full = frozen.join(cur, ["grp", "bucket"], "left").select(
+            "grp",
+            "bucket",
+            "rc",
+            F.coalesce("cc", F.lit(0)).cast("long").alias("cc"),
+        )
+        rows = psi_from_grid(full, n_buckets, alert_micro).collect()
+        for r in sorted(rows, key=lambda r: r["grp"]):
+            audit.append(
+                (
+                    batch_id,
+                    r["grp"],
+                    r["n_ref"],
+                    r["n_cur"],
+                    r["psi_micro"],
+                    r["worst_bucket"],
+                    r["drifted"],
+                )
+            )
+
+    return drift_batch
