@@ -143,6 +143,14 @@ def test_query_results_shuffle_partition_independent(spark, sf_dir):
         "mixture_resample_counts",
         "incremental_neardup_probe",
         "corpus_shuffle_order",
+        # round-5 second half: iterative integer PageRank, SemDeDup
+        # keeper choice, PMI top-N, PSI report and PQ residual grid
+        # must all be invariant to cluster width
+        "supplier_pagerank",
+        "semantic_dedup_embeddings",
+        "pmi_word_pairs",
+        "drift_psi_report",
+        "pq_encode_cells",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {n: _rows(SPECS[n].spark(spark, sf_dir)) for n in sample}
