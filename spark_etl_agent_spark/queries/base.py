@@ -239,6 +239,7 @@ DRIVER_WINDOW = (
     "corpus_datacard",
     "hard_negatives_embeddings",
     "streaming_drift_audit",
+    "embedding_covariance",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -256,7 +257,6 @@ DRIVER_WINDOW = (
     "minhash_near_duplicates",
     "minhash_signatures",
     "multimodal_decode",
-    "multimodal_source_stats",
     "neardup_components",
     "ngram_jaccard_dedup",
 )

@@ -536,3 +536,49 @@ QUERIES["hard_negatives_embeddings"] = QuerySpec(
     "Hard-negative mining: top-k nearest different-label vectors per probe",
     ("similarity", "llm"),
 )
+
+
+def embedding_covariance(spark, sf_dir):
+    """Exact dim×dim second-moment grid via Arrow-batched int64 BLAS
+    partials + a DECIMAL(38,0) reduce — bit-identical to the oracle's
+    explode² restatement at any parallelism."""
+    from ..llm.whiten import covariance_grid
+
+    return covariance_grid(load(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH s AS (SELECT vec_id, {_SVEC} AS svec FROM embeddings),
+pairsum AS (
+  SELECT i.dim AS dim_i, j.dim AS dim_j,
+    sum(CAST(svec[CAST(i.dim AS INT)] AS BIGINT)
+        * CAST(svec[CAST(j.dim AS INT)] AS BIGINT)) AS s_ij
+  FROM s, range(1, 65) i(dim), range(1, 65) j(dim)
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT dim, sum(CAST(svec[CAST(dim AS INT)] AS BIGINT)) AS s_m
+  FROM s, range(1, 65) t(dim) GROUP BY dim
+),
+nn AS (SELECT count(*) AS n FROM s)
+SELECT CAST(p.dim_i AS INT) AS dim_i, CAST(p.dim_j AS INT) AS dim_j,
+  CAST(nn.n AS BIGINT) AS n,
+  CAST(p.s_ij AS VARCHAR) AS s_ij_str,
+  CAST(floor(
+    ((CAST(p.s_ij AS DOUBLE)
+      - (CAST(mi.s_m AS DOUBLE) * CAST(mj.s_m AS DOUBLE))
+        / CAST(nn.n AS DOUBLE))
+     / CAST(nn.n AS DOUBLE)) / 1e12 * 1e6) AS BIGINT) AS cov_micro
+FROM pairsum p
+JOIN marg mi ON mi.dim = p.dim_i
+JOIN marg mj ON mj.dim = p.dim_j, nn
+"""
+
+
+QUERIES["embedding_covariance"] = QuerySpec(
+    "embedding_covariance",
+    embedding_covariance,
+    EMBEDDING_COVARIANCE_SQL,
+    "Exact covariance grid: int64 BLAS partials, DECIMAL reduce",
+    ("similarity", "stats", "llm"),
+)

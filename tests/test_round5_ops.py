@@ -133,3 +133,46 @@ def test_semantic_dedup_pairs_join_is_equi_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_whiten_identity_covariance(spark, sf_dir):
+    """Whitened embeddings must have ≈identity covariance (the whole
+    point of the transform), zero mean, and preserve row count/ids."""
+    import numpy as np
+
+    from spark_etl_agent_spark.llm.whiten import pca_whiten
+    from spark_etl_agent_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = pca_whiten(emb).toPandas()
+    assert len(out) == emb.count()
+    Y = np.stack(out["whitened"].to_numpy())
+    assert Y.shape[1] == 64
+    # centering uses the floor(x·1e6)-quantized exact marginals, so the
+    # residual mean is the 1e-6 quantization amplified by W's 1/√λ
+    assert np.abs(Y.mean(axis=0)).max() < 1e-3
+    C = np.cov(Y, rowvar=False, bias=True)
+    assert np.abs(C - np.eye(64)).max() < 0.05
+
+
+def test_gram_partials_match_numpy_direct(spark):
+    """The distributed exact Gram must equal a single-process numpy
+    computation on the same scaled integers."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from spark_etl_agent_spark.llm.whiten import covariance_grid
+
+    rng = [[((i * 7 + j * 13) % 29 - 14) / 10.0 for j in range(64)] for i in range(50)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(rng)]
+    ).repartition(7)
+    grid = {
+        (r["dim_i"], r["dim_j"]): int(r["s_ij_str"])
+        for r in covariance_grid(df).collect()
+    }
+    X = np.floor(np.array(rng) * 1_000_000).astype(np.int64)
+    G = X.T @ X
+    for i in range(64):
+        for j in range(64):
+            assert grid[(i + 1, j + 1)] == int(G[i, j]), (i, j)
