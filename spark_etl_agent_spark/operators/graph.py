@@ -129,3 +129,51 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_member"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal that separates "dense near-dup clique" from
+    "chain of borderline pairs" in a dedup graph (a clique's members
+    are safe to collapse; a long chain usually is not one document).
+
+    The classic scale-safe formulation: orient every edge low→high id,
+    join oriented edges on the middle vertex to enumerate wedges
+    (a<b<c with a−b and b−c), then ONE equi-join against the oriented
+    edge set to close each wedge — every triangle is found exactly
+    once, no direction is enumerated twice, and the wedge fan-out is
+    bounded by the ORIENTED degree (halved on average, and hub nodes
+    only fan out toward higher ids). All joins are equi-joins on node
+    ids; no cartesian anywhere.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = ab.join(bc, "b")
+    closer = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = wedges.join(closer, ["a", "c"])
+    per_corner = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(per_corner, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )

@@ -240,6 +240,8 @@ DRIVER_WINDOW = (
     "hard_negatives_embeddings",
     "streaming_drift_audit",
     "embedding_covariance",
+    "neardup_triangles",
+    "streaming_user_ewma",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -250,9 +252,7 @@ DRIVER_WINDOW = (
     # -- stalest prior passes: last green driver row was round 1 (16) --
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "ann_sign_bucket_pairs",
     "embedding_cosine_neardup",
-    "embedding_label_centroids",
     "kmeans_cell_profile",
     "minhash_near_duplicates",
     "minhash_signatures",

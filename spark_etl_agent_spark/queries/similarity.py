@@ -582,3 +582,63 @@ QUERIES["embedding_covariance"] = QuerySpec(
     "Exact covariance grid: int64 BLAS partials, DECIMAL reduce",
     ("similarity", "stats", "llm"),
 )
+
+
+def neardup_triangles(spark, sf_dir):
+    """Per-node triangle counts over the cosine near-dup pair graph —
+    the clique-vs-chain diagnostic for dedup clusters (oriented-wedge
+    enumeration + one closing equi-join; `operators/graph.py`)."""
+    from ..operators.graph import triangle_counts
+
+    pairs = sim.ann_bucketed_pairs(
+        load(spark, sf_dir, "embeddings"), min_cosine=0.2
+    ).select("id_a", "id_b")
+    return triangle_counts(pairs)
+
+
+NEARDUP_TRIANGLES_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq,
+    {_SIGN_BUCKET} AS bucket
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+e AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.svec, b.svec) / (sqrt(a.norm_sq) * sqrt(b.norm_sq))
+        >= 0.2
+),
+wedges AS (
+  SELECT ab.a, ab.b, bc.c
+  FROM (SELECT u AS a, v AS b FROM e) ab
+  JOIN (SELECT u AS b, v AS c FROM e) bc ON bc.b = ab.b
+),
+tris AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w
+  JOIN (SELECT u AS a, v AS c FROM e) cl ON cl.a = w.a AND cl.c = w.c
+),
+corners AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+),
+tcount AS (SELECT node, count(*) AS n FROM corners GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+)
+SELECT deg.node, deg.degree, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN tcount t ON t.node = deg.node
+"""
+
+
+QUERIES["neardup_triangles"] = QuerySpec(
+    "neardup_triangles",
+    neardup_triangles,
+    NEARDUP_TRIANGLES_SQL,
+    "Per-node triangles in the near-dup graph (oriented-wedge + close join)",
+    ("similarity", "graph", "llm"),
+)

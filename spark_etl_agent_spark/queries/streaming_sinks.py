@@ -417,3 +417,71 @@ QUERIES["streaming_drift_audit"] = QuerySpec(
     "Per-micro-batch PSI drift envelopes vs a frozen reference histogram",
     ("streaming", "quality", "llm"),
 )
+
+
+def streaming_user_ewma(spark, sf_dir) -> DataFrame:
+    """Second custom keyed-state operator
+    (``stateful.user_value_ewma``): per-user integer EWMA whose state
+    is a genuine recursion threaded across micro-batches in event-time
+    replay order. The three staged batches are TIME RANGES, so
+    (batch, ts, event_id) equals the global event-time order and the
+    oracle can replay the identical recursion as a recursive CTE."""
+    from ..streaming.pipeline import run_available_now
+    from ..streaming.stateful import user_value_ewma
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t1 = F.lit("2024-01-11").cast("timestamp")
+    t2 = F.lit("2024-01-21").cast("timestamp")
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_ewma_")
+    src = _stage_batches(
+        [
+            ev.filter(F.col("ts") < t1),
+            ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2)),
+            ev.filter(F.col("ts") >= t2),
+        ],
+        work,
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_available_now(user_value_ewma(stream), output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+STREAMING_USER_EWMA_SQL = """
+WITH RECURSIVE ord AS (
+  SELECT user_id, CAST(round(value * 10000) AS BIGINT) AS xm,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ew(user_id, rn, e) AS (
+  SELECT user_id, rn, xm FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, (ew.e + o.xm) // 2
+  FROM ew JOIN ord o ON o.user_id = ew.user_id AND o.rn = ew.rn + 1
+),
+fin AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events FROM ord GROUP BY user_id)
+SELECT f.user_id, f.n_events, e.e AS ewma_micros
+FROM fin f JOIN ew e ON e.user_id = f.user_id AND e.rn = f.n_events
+"""
+
+
+QUERIES["streaming_user_ewma"] = QuerySpec(
+    "streaming_user_ewma",
+    streaming_user_ewma,
+    STREAMING_USER_EWMA_SQL,
+    "Keyed-state integer EWMA recursion across micro-batches (recursive-CTE oracle)",
+    ("streaming", "stateful", "llm"),
+)

@@ -62,3 +62,51 @@ def user_running_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n_events long, ewma_micros long"
+EWMA_STATE_SCHEMA = "e long, n long"
+
+
+def _update_ewma_state(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    e, n = state.get if state.exists else (0, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # event-time replay order WITHIN the batch; the query stages
+    # micro-batches as time ranges, so (batch, ts, event_id) IS the
+    # global event-time order and the recursion is well-defined
+    pdf = pdf.sort_values(["ts", "event_id"])
+    xs = (pdf["value"] * 10_000).round().astype("int64")
+    for x in xs:
+        x = int(x)
+        e = x if n == 0 else (e + x) // 2
+        n += 1
+    state.update((e, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_micros": [e]}
+    )
+
+
+def user_value_ewma(stream: DataFrame) -> DataFrame:
+    """Per-user integer EWMA (α = 1/2) over the event-time-ordered
+    value stream — the second custom keyed-state operator: unlike the
+    running totals (an order-free sum), EWMA state is a genuine
+    RECURSION (eₜ = (eₜ₋₁ + xₜ) div 2, e₀ = x₀) that must thread
+    through micro-batch boundaries in replay order. Pure int64, so the
+    streamed fixpoint is bit-identical to the oracle's recursive-CTE
+    replay of the same order. Update mode; final state per user is the
+    max-n row."""
+    return (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma_state,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
