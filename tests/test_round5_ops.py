@@ -176,3 +176,66 @@ def test_gram_partials_match_numpy_direct(spark):
     for i in range(64):
         for j in range(64):
             assert grid[(i + 1, j + 1)] == int(G[i, j]), (i, j)
+
+
+def test_triangle_counts_all_equi_joins(spark, sf_dir):
+    """Wedge enumeration and the closing join must be equi-joins — a
+    nested-loop anywhere turns triangle counting quadratic+."""
+    from spark_etl_agent_spark.queries import registry
+
+    df = registry()["neardup_triangles"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge: nodes {1,2,3,4}, edges all pairs except
+    (1,4) → triangles {1,2,3} and {2,3,4}; per-node counts 1,2,2,1."""
+    from pyspark.sql import Row
+
+    from spark_etl_agent_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]]
+    )
+    out = {r["node"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(edges).collect()}
+    assert out == {1: (2, 1), 2: (3, 2), 3: (3, 2), 4: (2, 1)}
+
+
+def test_ewma_state_threads_across_batches(spark):
+    """The streamed EWMA must equal the single-pass recursion — pinned
+    directly in Python over a 2-user, order-sensitive sequence."""
+    import datetime as _dt
+
+    from spark_etl_agent_spark.streaming.stateful import user_value_ewma
+    from spark_etl_agent_spark.streaming.pipeline import run_available_now
+    import tempfile
+
+    rows = []
+    base = _dt.datetime(2024, 1, 1)
+    vals = {7: [1.0, 3.0, 5.0, 100.0], 8: [10.0, 0.0]}
+    eid = 0
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, base + _dt.timedelta(hours=i), uid, v))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    work = tempfile.mkdtemp(prefix="ewma_unit_")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src")
+    )
+    out = run_available_now(user_value_ewma(stream), output_mode="update")
+    got = {r["user_id"]: r["ewma_micros"] for r in out.collect()}
+
+    def ref(vs):
+        e = None
+        for v in vs:
+            x = round(v * 10_000)
+            e = x if e is None else (e + x) // 2
+        return e
+
+    assert got == {u: ref(vs) for u, vs in vals.items()}
