@@ -343,6 +343,7 @@ def word_pair_pmi(
     id_col: str = "doc_id",
     min_df: int = 5,
     top_n: int = 40,
+    max_vocab: int = 10_000,
 ) -> DataFrame:
     """Top co-occurring word pairs by PMI — the collocation / phrase
     mining primitive (corpus analytics for tokenizer design and
@@ -350,12 +351,18 @@ def word_pair_pmi(
 
     Shape: distinct words per doc (array_distinct before the explode —
     presence, not frequency) → document frequencies (one bounded-key
-    shuffle) → vocabulary gate ``df ≥ min_df`` broadcast back (at real
-    scale the vocabulary after a min-df/top-V gate is bounded by
-    construction — that broadcast is the standard collocation-mining
-    design, and it is what bounds the per-doc pair fan-out) → per-doc
-    pair self-join on the doc key → one (w1, w2) shuffle with map-side
-    combine → scalar doc-count broadcast.
+    shuffle) → vocabulary gate broadcast back → per-doc pair self-join
+    on the doc key → one (w1, w2) shuffle with map-side combine →
+    scalar doc-count broadcast.
+
+    The vocabulary gate is BOUNDED ABOVE by construction, not just
+    below: ``min_df`` trims the rare tail, and ``max_vocab`` keeps only
+    the top-V words by document frequency (ties broken on the word) —
+    at 100 TB a min-df filter alone still passes billions of distinct
+    tokens, which would sink the broadcast; the top-V cap is what makes
+    the broadcast and the per-doc pair fan-out O(V), the standard
+    collocation-mining design. The cap is a distributed
+    TakeOrderedAndProject, never a driver sort.
 
     Determinism: the ranking/score ``lift_ppm = (c12 · N · 1e6) div
     (c1 · c2)`` is pure int64 (exact in any order, both engines);
@@ -372,7 +379,11 @@ def word_pair_pmi(
         .filter(F.length("w") >= 1)
     )
     dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("wdf"))
-    vocab = dfreq.filter(F.col("wdf") >= min_df)
+    vocab = (
+        dfreq.filter(F.col("wdf") >= min_df)
+        .orderBy(F.desc("wdf"), F.asc("w"))
+        .limit(max_vocab)
+    )
     wv = words.join(F.broadcast(vocab), "w")
     a = wv.select("doc", F.col("w").alias("w1"), F.col("wdf").alias("c1"))
     b = wv.select(F.col("doc").alias("doc2"), F.col("w").alias("w2"), F.col("wdf").alias("c2"))

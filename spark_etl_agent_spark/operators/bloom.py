@@ -148,6 +148,13 @@ def bloom_antijoin(
     3. one exact anti-join between the two pruned sides seals
        correctness — bloom fp can only send extra rows into this join,
        never change its answer.
+
+    Cache lifetime: the probed batch stays persisted (it backs both
+    branches of the returned frame and cannot be released here); the
+    two sketch checkpoints are bitmap-sized. Callers that loop
+    antijoins in a long-lived session release them with their scoped
+    cache sweep (the bench/ingest-sink idiom) or a job-boundary
+    ``clearCache``.
     """
     # The sketch feeds n_hashes broadcast joins; without materializing
     # it, every join re-runs the index scan + bit_or aggregation (the

@@ -426,7 +426,10 @@ WITH words AS (
   WHERE length(w) >= 1
 ),
 dfreq AS (SELECT w, count(*) AS wdf FROM words GROUP BY w),
-vocab AS (SELECT w, wdf FROM dfreq WHERE wdf >= 5),
+vocab AS (
+  SELECT w, wdf FROM dfreq WHERE wdf >= 5
+  ORDER BY wdf DESC, w LIMIT 10000
+),
 wv AS (
   SELECT words.doc, words.w, vocab.wdf
   FROM words JOIN vocab ON vocab.w = words.w
