@@ -1,0 +1,87 @@
+"""Property-based invariants (hypothesis) for the round-5 operators —
+small randomized inputs, Spark-checked against mathematical or
+brute-force ground truth."""
+
+import datetime
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from spark_etl_agent_spark.operators.graph import triangle_counts
+from spark_etl_agent_spark.operators.pagerank import pagerank
+from spark_etl_agent_spark.operators.quality import drift_psi
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(edges=edges_strategy)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Distributed oriented-wedge counting equals the O(n³) itertools
+    enumeration on arbitrary small graphs (dups/reversed edges
+    included)."""
+    undirected = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in undirected for n in e})
+    expected = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            (a, b) in undirected
+            and (b, c) in undirected
+            and (a, c) in undirected
+        ):
+            for n in (a, b, c):
+                expected[n] += 1
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(edges=edges_strategy)
+def test_pagerank_mass_and_floor_invariants(spark, edges):
+    """After any number of integer rounds: every node's rank is at
+    least the teleport floor, and total mass never exceeds the initial
+    endowment (integer truncation only loses mass)."""
+    rows = [Row(src=a, dst=b) for a, b in edges] + [
+        Row(src=b, dst=a) for a, b in edges
+    ]
+    out = pagerank(spark.createDataFrame(rows), iters=3).collect()
+    n = len(out)
+    assert n == len({r["node"] for r in out})
+    for r in out:
+        assert r["rank_micro"] >= 150_000
+    assert sum(r["rank_micro"] for r in out) <= n * 1_000_000
+
+
+hist_strategy = st.lists(st.integers(0, 9), min_size=1, max_size=30)
+
+
+@settings(**_SETTINGS)
+@given(ref=hist_strategy, cur=hist_strategy)
+def test_psi_nonnegative_and_zero_iff_identical(spark, ref, cur):
+    """PSI is a sum of terms (p−q)·ln(p/q) whose factors share sign —
+    every integer term is ≥ 0, so psi_micro ≥ 0; identical bucket
+    multisets score exactly 0."""
+    ref_ts = datetime.datetime(2024, 1, 2)
+    cur_ts = datetime.datetime(2024, 1, 20)
+    rows = [
+        Row(ts=ref_ts, event_type="g", value=b * 25.0 + 1) for b in ref
+    ] + [Row(ts=cur_ts, event_type="g", value=b * 25.0 + 1) for b in cur]
+    r = drift_psi(spark.createDataFrame(rows)).collect()[0]
+    assert r["psi_micro"] >= 0
+    if sorted(ref) == sorted(cur):
+        assert r["psi_micro"] == 0
