@@ -362,3 +362,98 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
+
+
+def png_gray_pixels(raw: bytes):
+    """Full PNG decode to grayscale pixel bytes: reuse the validated
+    chunk walk of :func:`png_parse`, then strip the per-scanline filter
+    byte (the encoder writes filter 0 / None). Returns
+    ``(width, height, pixels)`` with ``len(pixels) == width·height``."""
+    width, height, _bd, _ct, ok = png_parse(raw)
+    if not ok:
+        raise ValueError("PNG pixel stream length mismatch")
+    # re-walk for the IDAT payload (png_parse validated all CRCs)
+    idat, pos = b"", 33
+    while pos + 8 <= len(raw):
+        (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += raw[pos + 8 : pos + 8 + clen]
+        if tag == b"IEND":
+            break
+        pos += 12 + clen
+    flat = zlib.decompress(idat)
+    rows = [
+        flat[r * (width + 1) + 1 : (r + 1) * (width + 1)]
+        for r in range(height)
+    ]
+    return width, height, b"".join(rows)
+
+
+AHASH_SCHEMA = (
+    "doc_id long, width int, height int, ahash_bits string, n_set_bits int"
+)
+
+
+def perceptual_ahash(df: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint over REAL
+    decoded pixels — the image-dedup primitive (near-identical images
+    land on nearby 64-bit hashes; pair with the SimHash chunk-blocked
+    Hamming pairing for the dedup join).
+
+    Per image: genuinely decode the PNG (CRC walk + inflate + filter
+    strip), map every pixel to one of 8×8 grid cells, per-cell integer
+    floor-mean, threshold each populated cell against the integer mean
+    of the populated cell values (ties → 0), empty cells (images
+    narrower/shorter than 8) → 0. Integer arithmetic end-to-end, so
+    the DuckDB oracle reproduces the 64-bit string exactly from its
+    analytic restatement of the synthetic pixel generator.
+
+    Arrow-batched ``mapInPandas`` — embarrassingly parallel, one scan,
+    no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "ahash_bits": [],
+                "n_set_bits": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = png_gray_pixels(bytes(payload))
+                a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+                idx = np.arange(w * h)
+                x, y = idx % w, idx // w
+                cell = (y * 8 // h) * 8 + (x * 8 // w)
+                sums = np.bincount(cell, weights=a, minlength=64).astype(
+                    np.int64
+                )
+                counts = np.bincount(cell, minlength=64)
+                pop = counts > 0
+                v = np.zeros(64, dtype=np.int64)
+                v[pop] = sums[pop] // counts[pop]
+                thresh = int(v[pop].sum()) // int(pop.sum())
+                bits = (v > thresh) & pop
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_bits"].append(
+                    "".join("1" if b else "0" for b in bits)
+                )
+                out["n_set_bits"].append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "ahash_bits": out["ahash_bits"],
+                    "n_set_bits": pd.Series(
+                        out["n_set_bits"], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, AHASH_SCHEMA)

@@ -242,6 +242,7 @@ DRIVER_WINDOW = (
     "embedding_covariance",
     "neardup_triangles",
     "streaming_user_ewma",
+    "image_ahash_report",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -256,7 +257,6 @@ DRIVER_WINDOW = (
     "kmeans_cell_profile",
     "minhash_near_duplicates",
     "minhash_signatures",
-    "multimodal_decode",
     "neardup_components",
     "ngram_jaccard_dedup",
 )

@@ -92,3 +92,66 @@ QUERIES = {
         ("multimodal", "llm", "agg"),
     ),
 }
+
+
+def image_ahash_report(spark, sf_dir):
+    """Perceptual image hashing over REAL decoded pixels: synthesize a
+    valid PNG per document, genuinely decode it (CRC walk + inflate +
+    filter strip), and compute the 8×8 integer average-hash. The
+    oracle reproduces the 64-bit string analytically from the
+    synthetic pixel generator (digest-tiled pixels)."""
+    return M.perceptual_ahash(
+        M.attach_png_payload(fan_out(load(spark, sf_dir, "documents")))
+    )
+
+
+IMAGE_AHASH_REPORT_SQL = """
+WITH dims AS (
+  SELECT doc_id, md5(text) AS hx,
+    CAST(1 + doc_id % 64 AS INT) AS w,
+    CAST(1 + (doc_id * 7) % 48 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, t.p,
+    (strpos('0123456789abcdef',
+            substring(hx, CAST(1 + 2 * (t.p % 16) AS INT), 1)) - 1) * 16
+    + (strpos('0123456789abcdef',
+              substring(hx, CAST(2 + 2 * (t.p % 16) AS INT), 1)) - 1) AS v,
+    ((t.p // w) * 8 // h) * 8 + ((t.p % w) * 8 // w) AS cell
+  FROM dims, range(0, 3072) t(p)
+  WHERE t.p < CAST(w AS BIGINT) * h
+),
+cells AS (
+  SELECT doc_id, cell, CAST(sum(v) AS BIGINT) // count(*) AS cv
+  FROM px GROUP BY doc_id, cell
+),
+th AS (
+  SELECT doc_id, CAST(sum(cv) AS BIGINT) // count(*) AS t
+  FROM cells GROUP BY doc_id
+),
+grid AS (
+  SELECT d.doc_id, d.w, d.h, CAST(g.i AS INT) AS i
+  FROM dims d, range(0, 64) g(i)
+),
+bitrows AS (
+  SELECT grid.doc_id, grid.w, grid.h, grid.i,
+    CASE WHEN c.cv IS NOT NULL AND c.cv > th.t THEN '1' ELSE '0' END AS b
+  FROM grid
+  LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.cell = grid.i
+  JOIN th ON th.doc_id = grid.doc_id
+)
+SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+  string_agg(b, '' ORDER BY i) AS ahash_bits,
+  CAST(sum(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS INT) AS n_set_bits
+FROM bitrows GROUP BY doc_id
+"""
+
+
+QUERIES["image_ahash_report"] = QuerySpec(
+    "image_ahash_report",
+    image_ahash_report,
+    IMAGE_AHASH_REPORT_SQL,
+    "Perceptual 8×8 average-hash over genuinely decoded PNG pixels",
+    ("multimodal", "dedup", "llm", "pandas-udf"),
+)
