@@ -15,6 +15,7 @@ from .corpus import CorpusDedupService
 from .etl import EtlService
 from .jcap import JcapPaEtlService
 from .monitor import QualityMonitorService
+from .release import CorpusReleaseService
 from .pretrain import CorpusPrepService
 from .sync import IncrementalSyncService
 
@@ -57,6 +58,16 @@ JOB_TYPE_INFO: Dict[str, Dict[str, Any]] = {
         ),
         "parameters": ["load_date"],
         "environment": "Warehouse",
+    },
+    "corpus_release_etl": {
+        "method": "run_corpus_release",
+        "description": (
+            "Corpus release ETL - contract gate, versioned publish "
+            "(crash-safe pointer), release diff vs previous version, "
+            "datacard"
+        ),
+        "parameters": ["load_date"],
+        "environment": "Corpus",
     },
     "quality_monitor_etl": {
         "method": "run_quality_monitor",
@@ -107,6 +118,7 @@ class JobService:
         self.quality_monitor_service = QualityMonitorService(
             catalog, alerter=alerter
         )
+        self.corpus_release_service = CorpusReleaseService(catalog)
         # registry shape mirrors services/job_service.py:23-38; the
         # static half lives in module-level JOB_TYPE_INFO
         services = {
@@ -114,6 +126,7 @@ class JobService:
             "corpus_dedup_etl": self.corpus_dedup_service,
             "corpus_prep_etl": self.corpus_prep_service,
             "incremental_sync_etl": self.incremental_sync_service,
+            "corpus_release_etl": self.corpus_release_service,
             "quality_monitor_etl": self.quality_monitor_service,
             "jcap_pa_etl": self.jcap_pa_etl_service,
         }

@@ -836,3 +836,64 @@ def test_quality_monitor_registered_and_dispatchable(spark, tmp_path, job_servic
     listing = job_service.list_supported_job_types()
     assert "quality_monitor_etl" in listing
     assert "Monitoring" in listing["quality_monitor_etl"]
+
+
+def test_corpus_release_etl_end_to_end(spark, sf_dir, tmp_path):
+    """Job 7: gate → versioned publish → diff vs previous → datacard.
+    v1 publishes cleanly; v2 reports the exact insert/update/delete
+    deltas; rollback flips the pointer back to v1; a poisoned
+    candidate aborts without publishing."""
+    from spark_etl_agent_spark.jobs.release import CorpusReleaseService
+    from spark_etl_agent_spark.sources.versioned import VersionedTable
+
+    cat = Catalog(spark, str(tmp_path / "release_wh"))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .filter("doc_id < 100")
+    )
+    cat.write_table(docs, "staging.corpus", mode="overwrite")
+    svc = CorpusReleaseService(cat)
+
+    env1 = svc.run_corpus_release(load_date="2024-02-01")
+    assert env1["status"] == "Success"
+    assert env1["version"] == 1 and env1["previous_version"] is None
+    assert env1["diff"] == {} and env1["n_docs"] == 100
+
+    # v2: drop 10 docs, modify 5, add 3
+    v2 = (
+        docs.filter("doc_id % 10 != 3")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 20 == 4, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.limit(3).select(
+                (F.col("doc_id") + 1000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    )
+    cat.write_table(v2, "staging.corpus", mode="overwrite")
+    env2 = svc.run_corpus_release(load_date="2024-02-02")
+    assert env2["status"] == "Success"
+    assert env2["version"] == 2 and env2["previous_version"] == 1
+    assert env2["diff"]["delete"] == 10
+    assert env2["diff"]["insert"] == 3
+    assert env2["diff"]["update"] == 5
+    assert env2["datacard_rows"] >= 3
+
+    vt = VersionedTable(spark, cat.root, "corpus")
+    assert vt.read().count() == 93  # 100 − 10 deleted + 3 inserted
+    svc.rollback(1)
+    assert vt.read().count() == 100  # pointer back to v1, no data move
+
+    # poisoned candidate: NULL doc ids must abort before publishing
+    bad = v2.withColumn(
+        "doc_id", F.when(F.col("doc_id") % 2 == 0, None).otherwise(F.col("doc_id"))
+    )
+    cat.write_table(bad, "staging.corpus", mode="overwrite")
+    env3 = svc.run_corpus_release(load_date="2024-02-03")
+    assert env3["status"] == "Failed"
+    assert vt.current_version() == 1  # nothing new was published
