@@ -91,6 +91,18 @@ def gram_partials(
     return df.select(vec_col).mapInPandas(batches, GRAM_PARTIAL_SCHEMA)
 
 
+def gram_sums(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Reduced Gram sums ``(dim_i, dim_j, s)`` — pair cells plus the
+    ``(i, 0)`` marginals and ``(0, 0)`` row count, DECIMAL-accumulated.
+    The single corpus scan both :func:`covariance_grid` and
+    :func:`pca_whiten` derive everything from."""
+    return gram_partials(df, vec_col, dim).groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s")
+    )
+
+
 def covariance_grid(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
@@ -100,10 +112,7 @@ def covariance_grid(
     covariance in ORIGINAL units is quantized to micro via one fixed
     IEEE expression — identical operand order in the oracle, so the
     floor matches bit-for-bit."""
-    parts = gram_partials(df, vec_col, dim)
-    sums = parts.groupBy("dim_i", "dim_j").agg(
-        F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s")
-    )
+    sums = gram_sums(df, vec_col, dim)
     pair = (
         sums.filter((F.col("dim_i") >= 1) & (F.col("dim_j") >= 1))
         .select("dim_i", "dim_j", F.col("s").alias("s_ij"))
@@ -160,22 +169,25 @@ def pca_whiten(
     import numpy as np
     import pandas as pd
 
-    grid = covariance_grid(df, vec_col, dim).collect()
-    n = grid[0]["n"]
-    C = np.zeros((dim, dim))
-    for r in grid:
-        C[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov_micro"] / 1e6
-    # centering vector from the exact marginals (dim rows — bounded)
-    mu = np.zeros(dim)
-    marg = (
-        gram_partials(df, vec_col, dim)
-        .filter((F.col("dim_i") >= 1) & (F.col("dim_j") == 0))
-        .groupBy("dim_i")
-        .agg(F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s"))
-        .collect()
+    # ONE corpus scan: the reduced Gram sums carry pair cells,
+    # marginals AND the row count (dim²+dim+1 rows — a bounded collect
+    # by construction, the k-means-codebook posture)
+    rows = gram_sums(df, vec_col, dim).collect()
+    cells = {(r["dim_i"], r["dim_j"]): r["s"] for r in rows}
+    n = int(cells[(0, 0)])
+    mu = np.array(
+        [float(cells[(i, 0)]) / n / SCALE for i in range(1, dim + 1)]
     )
-    for r in marg:
-        mu[r["dim_i"] - 1] = float(r["s"]) / n / SCALE
+    S = np.array(
+        [
+            [float(cells[(i, j)]) for j in range(1, dim + 1)]
+            for i in range(1, dim + 1)
+        ]
+    )
+    # covariance in original units from the exact sums (same algebra
+    # as covariance_grid, full double precision here — the whitening
+    # transform is the float path)
+    C = (S / n - np.outer(mu * SCALE, mu * SCALE)) / (SCALE * SCALE)
 
     vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
     W = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, eps))) @ vecs.T

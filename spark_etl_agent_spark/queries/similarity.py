@@ -392,7 +392,14 @@ def semantic_dedup_embeddings(spark, sf_dir):
     k=4) keeps cells ~100 wide — the SemDeDup contract is that k grows
     with the corpus so the within-cell quadratic stays bounded."""
     return sim.semantic_dedup(
-        load(spark, sf_dir, "embeddings"), k=16, iters=2, min_cosine=0.35
+        load(spark, sf_dir, "embeddings"),
+        k=16,
+        iters=2,
+        min_cosine=0.35,
+        # in-operator guard LIVE in the shipped query (the SimHash
+        # hot-bucket lesson): a boilerplate corpus that collapses into
+        # one cell must raise, not silently go quadratic
+        max_cell_width=10_000,
     )
 
 
