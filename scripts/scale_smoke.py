@@ -155,6 +155,12 @@ def llm_shapes(spark, d: str):
         # duplicated-hash side growing linearly, not quadratically)
         "bloom_ingest": specs["bloom_ingest_dedup"].spark(spark, d),
         "dup_spans": specs["duplicate_span_stats"].spark(spark, d),
+        # round-5 third wave: oriented-wedge triangles (fan-out bounded
+        # by oriented degree), exact Gram (sketch-sized map output),
+        # and the full-decode perceptual hash (scan-bound mapInPandas)
+        "triangles": specs["neardup_triangles"].spark(spark, d),
+        "covariance": specs["embedding_covariance"].spark(spark, d),
+        "image_ahash": specs["image_ahash_report"].spark(spark, d),
     }
 
 

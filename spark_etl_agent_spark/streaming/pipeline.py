@@ -489,6 +489,11 @@ def streaming_drift_sink(
     frozen = ref_hist.localCheckpoint()
 
     def drift_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # an empty micro-batch (rate-limited/idle stream tick) carries
+        # no distribution — scoring it against the reference would
+        # emit max-drift noise rows, so it is skipped, not scored
+        if batch_df.limit(1).count() == 0:
+            return
         cur = (
             batch_df.select(
                 F.col(group_col).alias("grp"),
