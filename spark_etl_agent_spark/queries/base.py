@@ -243,6 +243,7 @@ DRIVER_WINDOW = (
     "neardup_triangles",
     "streaming_user_ewma",
     "image_ahash_report",
+    "ann_recall_report",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -251,7 +252,9 @@ DRIVER_WINDOW = (
     "sessionization",
     "exact_dedup",
     # -- stalest prior passes: last green driver row was round 1 (16) --
-    "ann_bruteforce_topk",
+    # (ann_bruteforce_topk / ann_ivf_topk retired from the refresh
+    # block: ann_recall_report runs BOTH operators and fails if either
+    # drifts — one window slot now covers three components)
     "ann_ivf_topk",
     "embedding_cosine_neardup",
     "kmeans_cell_profile",

@@ -649,3 +649,73 @@ QUERIES["neardup_triangles"] = QuerySpec(
     "Per-node triangles in the near-dup graph (oriented-wedge + close join)",
     ("similarity", "graph", "llm"),
 )
+
+
+def ann_recall_report(spark, sf_dir):
+    """Index-quality evaluation: recall of the IVF (nprobe=2) index
+    against the exact brute-force top-5, per probe query — the
+    "measure, don't guess" report an ANN deployment tunes nprobe/k
+    with. Pure composition of the two existing operators; one
+    (query_id, neighbor_id) equi-join between two 40-row frames."""
+    emb = load(spark, sf_dir, "embeddings")
+    brute = sim.brute_force_topk(emb).select("query_id", "neighbor_id")
+    ivf = sim.ivf_topk(emb).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    common = (
+        brute.join(
+            ivf,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("n2")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    counts = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_brute"))
+    icounts = ivf.groupBy(F.col("q2").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_ivf")
+    )
+    return (
+        counts.join(icounts, "query_id")
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "n_brute",
+            "n_ivf",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr("(coalesce(n_common, 0L) * 1000000) div n_brute")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+from pyspark.sql import functions as F  # noqa: E402  (used above)
+
+ANN_RECALL_REPORT_SQL = f"""
+WITH brute AS (SELECT * FROM ({ANN_BRUTEFORCE_TOPK_SQL}) b),
+ivf AS (SELECT * FROM ({ANN_IVF_TOPK_SQL}) i),
+common AS (
+  SELECT b.query_id, count(*) AS n_common
+  FROM brute b JOIN ivf v
+    ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+),
+counts AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY query_id),
+icounts AS (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY query_id)
+SELECT c.query_id, c.n_brute, i.n_ivf,
+  CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+  (COALESCE(m.n_common, 0) * 1000000) // c.n_brute AS recall_ppm
+FROM counts c
+JOIN icounts i ON i.query_id = c.query_id
+LEFT JOIN common m ON m.query_id = c.query_id
+"""
+
+
+QUERIES["ann_recall_report"] = QuerySpec(
+    "ann_recall_report",
+    ann_recall_report,
+    ANN_RECALL_REPORT_SQL,
+    "IVF-vs-exact recall evaluation per probe query (index tuning report)",
+    ("similarity", "quality", "llm"),
+)
