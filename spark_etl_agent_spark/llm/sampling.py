@@ -185,3 +185,45 @@ def resample_epochs(
         < F.floor(frac * _HASH_SPACE).cast("long")
     )
     return exploded.filter(keep).drop("__eps")
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    temperature_pct: int = 50,
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-pretraining
+    standard: sample domain d with probability ∝ n_d^α, α<1, so
+    low-resource domains are upweighted without fixing weights by
+    hand — mBERT/XLM-R use α≈0.7, α=0.5 is √-sampling).
+
+    Integer-exact restatement so both engines agree bit-for-bit:
+    α = temperature_pct/100 restricted to {50, 100} — α=0.5 uses
+    ``floor(sqrt(n))`` (exact: ints < 2^52 are exactly representable,
+    IEEE sqrt is correctly rounded, perfect squares land exactly) and
+    α=1.0 degenerates to proportional sampling. Output per domain:
+    ``(domain, n_avail, w_int, share_ppm)`` with
+    ``share_ppm = w_int·1e6 div Σw`` — pure int64, no transcendental.
+
+    One map-side-partial count over the corpus; everything after is
+    metadata-sized (the Σw scalar broadcasts back).
+    """
+    if temperature_pct not in (50, 100):
+        raise ValueError(
+            "temperature_pct must be 50 (sqrt) or 100 (proportional) — "
+            "other α need a transcendental pow, which breaks the "
+            "exact-integer oracle contract"
+        )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_avail"))
+    if temperature_pct == 50:
+        w = F.floor(F.sqrt(F.col("n_avail").cast("double"))).cast("long")
+    else:
+        w = F.col("n_avail").cast("long")
+    weighted = counts.withColumn("w_int", w)
+    total = weighted.agg(F.sum("w_int").alias("__tw"))
+    return weighted.crossJoin(F.broadcast(total)).select(
+        F.col(domain_col),
+        "n_avail",
+        "w_int",
+        F.expr("(w_int * 1000000) div __tw").cast("long").alias("share_ppm"),
+    )

@@ -244,6 +244,7 @@ DRIVER_WINDOW = (
     "streaming_user_ewma",
     "image_ahash_report",
     "ann_recall_report",
+    "mixture_temperature_langs",
     # -- cross-family regression canaries (6) --
     "pricing_summary",
     "jcap_pa_extract",
@@ -257,7 +258,6 @@ DRIVER_WINDOW = (
     # drifts — one window slot now covers three components)
     "ann_ivf_topk",
     "embedding_cosine_neardup",
-    "kmeans_cell_profile",
     "minhash_near_duplicates",
     "minhash_signatures",
     "neardup_components",

@@ -165,3 +165,39 @@ QUERIES = {
         ("sampling", "llm", "agg"),
     ),
 }
+
+
+def mixture_temperature_langs(spark, sf_dir):
+    """√-temperature language mixture (α=0.5): low-resource languages
+    upweighted ∝ √n — the multilingual-pretraining sampling standard,
+    integer-exact (`llm/sampling.py::temperature_mixture_plan`)."""
+    from ..llm.sampling import temperature_mixture_plan
+
+    return temperature_mixture_plan(
+        load(spark, sf_dir, "documents"), "lang", temperature_pct=50
+    )
+
+
+MIXTURE_TEMPERATURE_LANGS_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, n_avail,
+    CAST(floor(sqrt(CAST(n_avail AS DOUBLE))) AS BIGINT) AS w_int
+  FROM counts
+),
+total AS (SELECT CAST(sum(w_int) AS BIGINT) AS tw FROM weighted)
+SELECT w.lang, w.n_avail, w.w_int,
+  (w.w_int * 1000000) // t.tw AS share_ppm
+FROM weighted w, total t
+"""
+
+
+QUERIES["mixture_temperature_langs"] = QuerySpec(
+    "mixture_temperature_langs",
+    mixture_temperature_langs,
+    MIXTURE_TEMPERATURE_LANGS_SQL,
+    "√-temperature (α=0.5) language mixture shares, integer-exact",
+    ("sampling", "llm", "agg"),
+)
