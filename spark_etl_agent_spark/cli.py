@@ -1,7 +1,7 @@
 """CLI (reference parity: ``app.py:35-382``): the same flag surface —
 ``--job-type/--job-id/--job-name/--job-config/--job-config-file/
 --list-job-types/--load-date/--limit/--continuous/--interval/--local/
---log-level`` — config validation requiring ``type`` + ``id``
+--k8s/--log-level`` — config validation requiring ``type`` + ``id``
 (``app.py:324-330``), sensitive-key redaction in logs (:333-335), and
 exit codes (single: success=0; continuous: 0 iff >=50% runs succeed,
 ``app.py:340-341``).
@@ -49,6 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--interval", type=int, default=60)
     p.add_argument("--local", action="store_true", default=True)
+    # reference app.py:92-94 — k8s mode switch; the conf payload comes
+    # from core.session.k8s_conf (manifest parity) and is validated
+    # here like the per-job settings (image is mandatory)
+    p.add_argument("--k8s", action="store_true", default=False)
+    p.add_argument("--k8s-namespace", default="spark")
+    p.add_argument("--k8s-image", help="container image (required with --k8s)")
+    p.add_argument("--k8s-service-account", default="spark")
+    p.add_argument("--k8s-executors", type=int, default=2)
+    p.add_argument("--k8s-executor-memory", default="2g")
+    p.add_argument("--k8s-driver-memory", default="2g")
     p.add_argument("--log-level", default="INFO")
     p.add_argument(
         "--warehouse",
@@ -89,6 +99,30 @@ def validate_job_config(config: Dict[str, Any]) -> None:
         raise ValueError(f"job config missing required keys: {missing}")
 
 
+def resolve_session_args(args: argparse.Namespace) -> Dict[str, Any]:
+    """Map CLI mode flags → SparkManager kwargs. ``--k8s`` wins over
+    the default ``--local`` (reference ``app.py:92-94``) and merges
+    the spark-on-k8s conf into ``extra_conf``; a missing image is a
+    config error surfaced before any JVM boots."""
+    if not args.k8s:
+        return {"local_mode": True, "extra_conf": None}
+    if not args.k8s_image:
+        raise ValueError("--k8s requires --k8s-image")
+    from .core.session import k8s_conf
+
+    return {
+        "local_mode": False,
+        "extra_conf": k8s_conf(
+            namespace=args.k8s_namespace,
+            image=args.k8s_image,
+            service_account=args.k8s_service_account,
+            executor_instances=args.k8s_executors,
+            executor_memory=args.k8s_executor_memory,
+            driver_memory=args.k8s_driver_memory,
+        ),
+    }
+
+
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -105,7 +139,12 @@ def main(argv: Optional[list] = None) -> int:
             print(f"{name}: {desc}")
         return 0
 
-    manager = SparkManager(app_name="spark_etl_agent_spark", local_mode=args.local)
+    try:
+        session_args = resolve_session_args(args)
+    except ValueError as e:
+        logger.error("invalid session config: %s", e)
+        return 2
+    manager = SparkManager(app_name="spark_etl_agent_spark", **session_args)
     try:
         catalog = Catalog(manager.spark, args.warehouse)
         job_service = JobService(catalog, stage_path=args.stage_path)

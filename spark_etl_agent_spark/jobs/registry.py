@@ -202,7 +202,12 @@ class JobService:
                     load_date=job_config.get("load_date")
                 )
             else:
-                result = self._execute_generic_job(service, method_name, job_config)
+                result = self._execute_generic_job(
+                    service,
+                    method_name,
+                    job_config,
+                    job_info.get("parameters") or [],
+                )
             result.update(
                 {
                     "job_id": job_id,
@@ -226,20 +231,34 @@ class JobService:
             )
 
     def _execute_generic_job(
-        self, service: Any, method_name: str, job_config: Dict[str, Any]
+        self,
+        service: Any,
+        method_name: str,
+        job_config: Dict[str, Any],
+        parameters: Optional[list] = None,
     ) -> Dict[str, Any]:
-        """TypeError-probing fallback (reference :147-164)."""
+        """TypeError-probing fallback (reference :147-164), widened to
+        forward every DECLARED parameter present in the job_config —
+        the declared-parameter list is the contract (e.g.
+        quality_monitor_etl's ``as_of`` backfill pin), so a config key
+        matching it must reach the service rather than being silently
+        dropped by a load_date-only call."""
         method = getattr(service, method_name)
+        declared = [p for p in (parameters or []) if p != "load_date"]
+        kwargs: Dict[str, Any] = {"load_date": job_config.get("load_date")}
+        for p in declared:
+            if p in job_config:
+                kwargs[p] = job_config[p]
         try:
-            return method(
-                load_date=job_config.get("load_date"),
-                limit=job_config.get("limit", 10),
-            )
+            return method(limit=job_config.get("limit", 10), **kwargs)
         except TypeError:
             try:
-                return method(load_date=job_config.get("load_date"))
+                return method(**kwargs)
             except TypeError:
-                return method()
+                try:
+                    return method(load_date=job_config.get("load_date"))
+                except TypeError:
+                    return method()
 
     def _create_error_result(
         self,

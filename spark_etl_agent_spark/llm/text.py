@@ -337,6 +337,15 @@ def linear_quality_score(
     )
 
 
+# decimal(38,0) intermediate: c12·N·1e6 overflows int64 once c12·n_docs
+# exceeds ~9.2e12 (a frequent pair in a ≥3M-doc corpus) and non-ANSI
+# Spark would wrap silently; the widened multiply matches DuckDB's
+# hugeint arithmetic exactly, keeping the ranking sound at 100 TB.
+LIFT_PPM_EXPR = (
+    "(cast(c12 as decimal(38,0)) * _n * 1000000) div (c1 * c2)"
+)
+
+
 def word_pair_pmi(
     df: DataFrame,
     text_col: str = "text",
@@ -399,7 +408,7 @@ def word_pair_pmi(
         "c12",
         "c1",
         "c2",
-        F.expr("(c12 * _n * 1000000) div (c1 * c2)").cast("long").alias("lift_ppm"),
+        F.expr(LIFT_PPM_EXPR).cast("long").alias("lift_ppm"),
         F.floor(
             F.log(
                 F.col("c12").cast("double")

@@ -174,6 +174,12 @@ def pca_whiten(
     # by construction, the k-means-codebook posture)
     rows = gram_sums(df, vec_col, dim).collect()
     cells = {(r["dim_i"], r["dim_j"]): r["s"] for r in rows}
+    # empty input → no gram rows: return an empty frame with the
+    # contract schema instead of KeyError/ZeroDivisionError
+    if (0, 0) not in cells or int(cells[(0, 0)]) == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, whitened array<double>"
+        )
     n = int(cells[(0, 0)])
     mu = np.array(
         [float(cells[(i, 0)]) / n / SCALE for i in range(1, dim + 1)]

@@ -17,9 +17,12 @@ Scale design (the 100 TB story):
 - Per-source contributions are computed on the node-sized rank frame
   (one join with the degree table, both node-keyed), THEN joined to
   edges — the rank÷degree division happens N times, not E times.
-- Each round ends in ``localCheckpoint()`` — round k's plan is O(E),
-  not a re-derivation of rounds 0..k-1 (the lineage blow-up that makes
-  naive iterative DataFrame loops recompile exponentially).
+- Each round ends in a checkpoint — round k's plan is O(E), not a
+  re-derivation of rounds 0..k-1 (the lineage blow-up that makes naive
+  iterative DataFrame loops recompile exponentially). The primitive is
+  mode-selected: ``localCheckpoint`` (executor block storage — the
+  local-mode fast path) or reliable FS ``checkpoint`` (the cluster
+  posture: survives executor loss; see :func:`_resolve_checkpointer`).
 - The driver never sees a data row; the loop is a fixed ``iters``
   count with no convergence collect (rank deltas at a fixed iteration
   count are deterministic, so there is nothing to poll).
@@ -43,9 +46,57 @@ centrality order, just not a probability simplex.
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _resolve_checkpointer(
+    spark: SparkSession,
+    checkpoint_mode: str,
+    checkpoint_dir: Optional[str],
+) -> Callable[..., DataFrame]:
+    """Pick the lineage-truncation primitive for the loop.
+
+    ``local`` — ``localCheckpoint``: blocks live in executor block
+    storage. Fast (no FS round-trip) but NOT fault-tolerant: on a real
+    cluster a single lost executor drops its blocks and the truncated
+    lineage cannot recompute them — the job dies mid-iteration. Only
+    safe where executors can't die independently of the app (local
+    mode's single JVM).
+
+    ``reliable`` — ``DataFrame.checkpoint``: blocks go to the
+    SparkContext checkpoint directory (warehouse/HDFS/S3 FS), so a
+    round survives any executor loss and recovery re-reads the files.
+    This is the 1000-executor posture; it pays one FS write per
+    checkpointed round, amortized over the O(E) work of each round.
+
+    ``auto`` — ``reliable`` when the master is a real cluster,
+    ``local`` on ``local[*]``.
+    """
+    master = spark.sparkContext.master
+    if checkpoint_mode == "auto":
+        checkpoint_mode = "local" if master.startswith("local") else "reliable"
+    if checkpoint_mode == "local":
+        return lambda df, eager=True: df.localCheckpoint(eager=eager)
+    if checkpoint_mode != "reliable":
+        raise ValueError(
+            f"checkpoint_mode must be auto|local|reliable, got {checkpoint_mode!r}"
+        )
+    sc = spark.sparkContext
+    if checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif sc._jsc.sc().getCheckpointDir().isEmpty():
+        raise ValueError(
+            "pagerank(checkpoint_mode='reliable') needs a checkpoint "
+            "directory: pass checkpoint_dir= or call "
+            "spark.sparkContext.setCheckpointDir() with a warehouse-FS "
+            "path first (executor-local checkpoints are not "
+            "fault-tolerant at cluster scale)"
+        )
+    return lambda df, eager=True: df.checkpoint(eager=eager)
 
 
 def pagerank(
@@ -56,6 +107,8 @@ def pagerank(
     teleport_micro: int = 150_000,
     damping_pm: int = 850,
     checkpoint_every: int = 2,
+    checkpoint_mode: str = "auto",
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Run ``iters`` integer PageRank rounds over the directed edge
     list and return ``(node, degree, rank_micro)`` for every node that
@@ -70,9 +123,16 @@ def pagerank(
     released here); callers that loop pagerank in a long-lived session
     release it with their scoped cache sweep (the bench harness idiom)
     or ``spark.catalog.clearCache()`` at a job boundary.
+
+    Fault tolerance: ``checkpoint_mode`` picks between the local-mode
+    fast path (``localCheckpoint``, executor block storage) and the
+    cluster posture (``reliable``: FS checkpoints under
+    ``checkpoint_dir`` that survive executor loss). The default
+    ``auto`` resolves by master — see :func:`_resolve_checkpointer`.
     """
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
+    ckpt = _resolve_checkpointer(spark, checkpoint_mode, checkpoint_dir)
 
     # One shuffle of the big table, reused by every round: persist the
     # edge list hash-partitioned on src so the per-round join against
@@ -81,12 +141,13 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .repartition(npart, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
-        # collapse the (possibly deep) upstream plan to an RDD leaf:
-        # every round's compile re-traverses e's full analyzed plan
-        # otherwise — measured as the dominant driver cost of the loop
-        # (~1.5 s/round at a join+distinct+union upstream)
-        .localCheckpoint()
     )
+    # collapse the (possibly deep) upstream plan to an RDD leaf: every
+    # round's compile re-traverses e's full analyzed plan otherwise —
+    # measured as the dominant driver cost of the loop (~1.5 s/round at
+    # a join+distinct+union upstream). persist-before-checkpoint keeps
+    # the reliable mode from computing the edge shuffle twice.
+    e = ckpt(e, eager=True)
 
     # Checkpoint semantics under AQE (measured, not assumed): even
     # localCheckpoint(eager=False) materializes the subplan's query
@@ -101,8 +162,8 @@ def pagerank(
     deg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=False)
     )
+    deg = ckpt(deg, eager=False)
 
     # the rank frame CARRIES the (static) degree so each round needs no
     # ranks⋈deg join — per round: one node-sized projection (rank ÷
@@ -110,9 +171,14 @@ def pagerank(
     # persist), one groupBy(dst), and one deg⋈inbound join to rebuild
     # the carried degree. That is one join fewer per round than the
     # naive formulation — 6 fewer shuffles at iters=6.
-    ranks = deg.select(
-        "node", "degree", F.lit(int(1_000_000)).cast("long").alias("rank_micro")
-    ).localCheckpoint(eager=False)
+    ranks = ckpt(
+        deg.select(
+            "node",
+            "degree",
+            F.lit(int(1_000_000)).cast("long").alias("rank_micro"),
+        ),
+        eager=False,
+    )
 
     for it in range(iters):
         # node-sized: rank ÷ degree once per node, not once per edge
@@ -141,6 +207,6 @@ def pagerank(
         # rounds; every-other-round halves the compiles while keeping
         # lineage depth (and thus each compile) bounded at k rounds
         if (it + 1) % max(1, checkpoint_every) == 0 or it == iters - 1:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ckpt(ranks, eager=False)
 
     return ranks.select("node", "degree", "rank_micro")

@@ -15,9 +15,21 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _to_micros(values: pd.Series) -> np.ndarray:
+    """Quantize value → value·10⁴ with explicit HALF-AWAY-FROM-ZERO
+    rounding (int64). pandas ``.round()`` is banker's (half-to-even)
+    while the DuckDB oracle's ``round()`` is half-away-from-zero; a
+    value landing exactly on .5 micro-units would diverge between the
+    engines and break the bit-identical-replay contract, so both sides
+    pin the same rule here."""
+    x = values.to_numpy(dtype="float64") * 10_000.0
+    return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype("int64")
 
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, sum_value_micros long, last_ts timestamp"
@@ -34,7 +46,7 @@ def _update_user_state(
     for pdf in pdfs:
         n += len(pdf)
         # exact integer accumulation of value·1e4 (micro-unit cents)
-        sv += int((pdf["value"] * 10_000).round().astype("int64").sum())
+        sv += int(_to_micros(pdf["value"]).sum())
         batch_last = pdf["ts"].max()
         last = max(last, int(batch_last.value // 1000))  # ns → µs
     state.update((n, sv, last))
@@ -79,7 +91,7 @@ def _update_ewma_state(
     # micro-batches as time ranges, so (batch, ts, event_id) IS the
     # global event-time order and the recursion is well-defined
     pdf = pdf.sort_values(["ts", "event_id"])
-    xs = (pdf["value"] * 10_000).round().astype("int64")
+    xs = _to_micros(pdf["value"])
     for x in xs:
         x = int(x)
         e = x if n == 0 else (e + x) // 2

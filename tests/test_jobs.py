@@ -838,6 +838,37 @@ def test_quality_monitor_registered_and_dispatchable(spark, tmp_path, job_servic
     assert "Monitoring" in listing["quality_monitor_etl"]
 
 
+def test_generic_dispatch_forwards_declared_as_of(job_service):
+    """execute_job must forward a declared non-load_date parameter
+    (quality_monitor_etl's as_of backfill pin) through the generic
+    prober — a dropped as_of silently gates backfills against max(ts)
+    instead of the requested logical time."""
+    captured = {}
+
+    class _Probe:
+        def run(self, load_date=None, as_of=None):
+            captured["load_date"] = load_date
+            captured["as_of"] = as_of
+            return {"status": "Success", "rows_processed": 0}
+
+    job_service.register_job_type(
+        "probe_etl", _Probe(), "run",
+        description="as_of forwarding probe",
+        parameters=["load_date", "as_of"],
+    )
+    env = job_service.execute_job(
+        {"id": 1, "type": "probe_etl",
+         "load_date": "2024-01-21", "as_of": "2024-01-20T06:00:00"}
+    )
+    assert env["status"] == "Success"
+    assert captured == {
+        "load_date": "2024-01-21", "as_of": "2024-01-20T06:00:00"
+    }
+    # quality_monitor itself declares as_of, so the same path applies
+    assert "as_of" in job_service.supported_job_types[
+        "quality_monitor_etl"]["parameters"]
+
+
 def test_corpus_release_etl_end_to_end(spark, sf_dir, tmp_path):
     """Job 7: gate → versioned publish → diff vs previous → datacard.
     v1 publishes cleanly; v2 reports the exact insert/update/delete

@@ -155,6 +155,18 @@ def test_pca_whiten_identity_covariance(spark, sf_dir):
     assert np.abs(C - np.eye(64)).max() < 0.05
 
 
+def test_pca_whiten_empty_input(spark, sf_dir):
+    """An empty frame must come back as an empty frame with the
+    contract schema — not a KeyError on the missing (0,0) gram cell."""
+    from spark_etl_agent_spark.llm.whiten import pca_whiten
+    from spark_etl_agent_spark.queries.base import load
+
+    emb = load(spark, sf_dir, "embeddings").filter("vec_id < 0")
+    out = pca_whiten(emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "whitened"]
+
+
 def test_gram_partials_match_numpy_direct(spark):
     """The distributed exact Gram must equal a single-process numpy
     computation on the same scaled integers."""

@@ -1,0 +1,110 @@
+"""Round-6 fixes: ADVICE items (PMI int64 overflow, half-away-from-zero
+streaming quantization) plus new round-6 operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_lift_ppm_survives_int64_overflow(spark):
+    """c12·N·1e6 beyond int64: the decimal(38,0) path must give the
+    exact quotient where the old raw-int64 multiply silently wraps.
+    c12=1e7, n=1e6 → product 1e19 > 2⁶³-1 ≈ 9.22e18."""
+    from spark_etl_agent_spark.llm.text import LIFT_PPM_EXPR
+
+    df = spark.createDataFrame(
+        [(10_000_000, 20_000_000, 30_000_000, 1_000_000)],
+        "c12 long, c1 long, c2 long, _n long",
+    )
+    got = df.select(
+        F.expr(LIFT_PPM_EXPR).cast("long").alias("lift_ppm")
+    ).collect()[0]["lift_ppm"]
+    exact = (10_000_000 * 1_000_000 * 1_000_000) // (
+        20_000_000 * 30_000_000
+    )
+    assert got == exact == 16_666
+    # the raw int64 expression the old code used either wraps
+    # (non-ANSI) or dies with ARITHMETIC_OVERFLOW (ANSI, Spark 4
+    # default) — pin that it cannot produce the exact quotient
+    from pyspark.errors import ArithmeticException
+
+    with pytest.raises(ArithmeticException):
+        df.select(
+            F.expr("(c12 * _n * 1000000) div (c1 * c2)").alias("x")
+        ).collect()
+
+
+def _sym_edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.union(df.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+
+
+def test_pagerank_reliable_requires_checkpoint_dir(spark):
+    """Cluster posture must refuse to run on executor-local state: no
+    checkpoint dir → a clear error, not a silent localCheckpoint."""
+    from spark_etl_agent_spark.operators.pagerank import pagerank
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3)])
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        with pytest.raises(ValueError, match="checkpoint"):
+            pagerank(edges, iters=1, checkpoint_mode="reliable")
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """Reliable (FS) checkpointing: bit-identical ranks to the local
+    fast path, with the round state written to the checkpoint dir —
+    i.e. lineage truncation holds WITHOUT executor-local blocks, the
+    survive-executor-death posture for 1000-executor runs."""
+    import glob
+
+    from spark_etl_agent_spark.operators.pagerank import pagerank
+
+    pairs = [(i, (i * 7 + 1) % 50) for i in range(200)]
+    edges = _sym_edges(spark, [(a, b) for a, b in pairs if a != b])
+    local = {
+        (r["node"]): (r["degree"], r["rank_micro"])
+        for r in pagerank(edges, iters=4, checkpoint_mode="local").collect()
+    }
+    ckdir = str(tmp_path / "pr_ck")
+    rel = pagerank(
+        edges, iters=4, checkpoint_mode="reliable", checkpoint_dir=ckdir
+    )
+    got = {
+        (r["node"]): (r["degree"], r["rank_micro"]) for r in rel.collect()
+    }
+    assert got == local
+    # the truncated lineage is backed by warehouse-FS files, not
+    # executor block storage
+    files = glob.glob(f"{ckdir}/**/rdd-*", recursive=True)
+    assert files, "no reliable checkpoint RDDs written under checkpoint_dir"
+
+
+def test_pagerank_auto_mode_is_local_on_local_master(spark):
+    """auto → localCheckpoint on local[*]: runs without any checkpoint
+    dir and matches the explicit local mode."""
+    from spark_etl_agent_spark.operators.pagerank import pagerank
+
+    edges = _sym_edges(spark, [(1, 2), (2, 3), (3, 1)])
+    a = sorted(map(tuple, pagerank(edges, iters=2).collect()))
+    b = sorted(map(tuple, pagerank(
+        edges, iters=2, checkpoint_mode="local").collect()))
+    assert a == b
+
+
+def test_to_micros_half_away_from_zero():
+    """Quantization rule must be half-away-from-zero (DuckDB round()),
+    not pandas banker's rounding: 0.00005 → 1 micro-unit, 0.00015 → 2,
+    -0.00005 → -1."""
+    from spark_etl_agent_spark.streaming.stateful import _to_micros
+
+    # 0.00005/0.00025 multiply to exactly 0.5/2.5 in float64 — true
+    # half cases where the two rounding rules disagree
+    s = pd.Series([0.00005, 0.00025, -0.00005, 1.0, 0.0])
+    got = _to_micros(s).tolist()
+    assert got == [1, 3, -1, 10_000, 0]
+    # banker's rounding gives [0, 2, 0, ...] — the divergence the fix
+    # removes
+    bankers = (s * 10_000).round().astype("int64").tolist()
+    assert bankers[:3] == [0, 2, 0]

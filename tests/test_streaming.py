@@ -609,6 +609,108 @@ def test_streaming_packing_spans_continue_across_batches(spark, tmp_path):
     assert spark.read.parquet(str(manifest_dir / "batch=*")).count() == 5
 
 
+def test_kill_and_resume_packing_sink_exactly_once(spark, tmp_path):
+    """Crash-recovery e2e for a foreachBatch sink: the query is KILLED
+    mid-batch in the worst at-least-once window — after the manifest
+    write succeeded but before the sink's state commit — then restarted
+    from the same checkpoint. Spark replays the failed epoch with the
+    SAME batch id; the sink recomputes identical spans from the
+    unadvanced offset state and the idempotent writer overwrites its
+    own partition, so the union manifest is exactly-once and gap-free."""
+    import os
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+
+    from spark_etl_agent_spark.streaming.pipeline import (
+        streaming_packing_sink,
+    )
+
+    batches = [
+        [(1, 4), (2, 8)],      # cum 12
+        [(3, 9), (4, 9)],      # cum 30
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    stage0 = tmp_path / "stage0"
+    spark.createDataFrame(batches[0], "doc_id long, n_tokens long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(stage0))
+    f0 = src / "f0.parquet"
+    shutil.copy(next(stage0.glob("*.parquet")), f0)
+    os.utime(f0, (1_000_000, 1_000_000))
+
+    manifest_dir = tmp_path / "manifest"
+    state_dir = tmp_path / "state"
+    ckpt = str(tmp_path / "ckpt")
+    crash = {"after_batch_id": None}
+
+    def writer(df, batch_id):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(manifest_dir / f"batch={batch_id}")
+        )
+        if crash["after_batch_id"] == batch_id:
+            raise RuntimeError("injected crash after manifest write")
+
+    audit: list = []
+    sink = streaming_packing_sink(
+        str(state_dir), writer, budget=10, audit=audit
+    )
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # clean run over batch 0
+    run_once()
+    assert [a[:2] for a in audit] == [(0, 2)]
+
+    # batch 1 arrives; the sink dies AFTER writing its manifest but
+    # BEFORE committing the offset state — the kill
+    stage1 = tmp_path / "stage1"
+    spark.createDataFrame(batches[1], "doc_id long, n_tokens long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(stage1))
+    f1 = src / "f1.parquet"
+    shutil.copy(next(stage1.glob("*.parquet")), f1)
+    os.utime(f1, (1_001_000, 1_001_000))
+
+    crash["after_batch_id"] = 1
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_once()
+    assert [a[0] for a in audit] == [0]  # state never advanced past 0
+
+    # resume from the same checkpoint: epoch 1 replays under the same
+    # batch id, spans recompute from end_off=12, writer overwrites
+    crash["after_batch_id"] = None
+    run_once()
+    assert [a[:2] for a in audit] == [(0, 2), (1, 2)]
+
+    rows = spark.read.parquet(str(manifest_dir / "batch=*")).collect()
+    got = {
+        r["doc_id"]: (r["start_off"], r["end_off"]) for r in rows
+    }
+    # exactly-once: every doc once, spans gap-free across the crash
+    assert len(rows) == 4
+    assert got == {1: (0, 4), 2: (4, 12), 3: (12, 21), 4: (21, 30)}
+
+    # a third run with no new input replays nothing
+    run_once()
+    assert [a[:2] for a in audit] == [(0, 2), (1, 2)]
+
+
 def test_streaming_dedup_ingest_rejects_short_doc_exact_dup(spark, tmp_path):
     """Documents too short to shingle are invisible to the LSH probe;
     the sink's exact-hash anti-join must still reject their verbatim
