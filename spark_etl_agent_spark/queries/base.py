@@ -204,64 +204,62 @@ def _collect_modules():
 # so a rename or removal fails loudly instead of silently shrinking
 # coverage.
 DRIVER_WINDOW = (
-    # -- never driver-checked through round 4 (16) --
-    "approx_distinct_parts",
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "join_skew_report",
-    "simhash_near_duplicates",
-    "incremental_neardup_probe",
-    "embedding_label_medoids",
-    "per_domain_holdout",
-    "chunk_documents",
-    "corpus_cluster_quality",
-    "corpus_shuffle_order",
-    "decontaminate_corpus",
-    "pack_documents",
-    "packing_audit",
-    "mixture_plan_langs",
-    "mixture_resample_counts",
-    # -- new round-5 queries (7): driver rows land the same round they
-    #    were written, so nothing joins the never-checked backlog --
-    "streaming_pack_manifest",
-    "streaming_ingest_dedup_audit",
-    "bloom_ingest_dedup",
-    "duplicate_span_stats",
-    "streaming_running_totals",
-    "embedding_quantize_int8",
-    "quality_linear_score",
-    "streaming_stream_join",
-    "supplier_pagerank",
-    "semantic_dedup_embeddings",
-    "pmi_word_pairs",
-    "drift_psi_report",
-    "pq_encode_cells",
-    "corpus_datacard",
-    "hard_negatives_embeddings",
-    "streaming_drift_audit",
-    "embedding_covariance",
-    "neardup_triangles",
-    "streaming_user_ewma",
-    "image_ahash_report",
+    # -- round 6 rotation: new/schema-changed queries first (2), then
+    #    the 48 stalest driver rows (10 last-checked r01, 38 r03 —
+    #    computed from the CORRECTNESS_r01..r05 union; the 3 remaining
+    #    r03-era rows roll into round 7's window) --
+    "ann_ivf_kmeans_topk",
     "ann_recall_report",
-    "mixture_temperature_langs",
-    # -- cross-family regression canaries (6) --
-    "pricing_summary",
-    "jcap_pa_extract",
-    "window_topk_per_group",
-    "set_operations",
-    "sessionization",
-    "exact_dedup",
-    # -- stalest prior passes: last green driver row was round 1 (16) --
-    # (ann_bruteforce_topk / ann_ivf_topk retired from the refresh
-    # block: ann_recall_report runs BOTH operators and fails if either
-    # drifts — one window slot now covers three components)
-    "ann_ivf_topk",
-    "embedding_cosine_neardup",
-    "minhash_near_duplicates",
-    "minhash_signatures",
-    "neardup_components",
-    "ngram_jaccard_dedup",
+    # stalest: last green driver row round 1 (10) --
+    "ann_bruteforce_topk",
+    "ann_sign_bucket_pairs",
+    "doc_fingerprints",
+    "embedding_label_centroids",
+    "kmeans_cell_profile",
+    "multimodal_decode",
+    "multimodal_source_stats",
+    "normalized_dedup",
+    "simhash_fingerprints",
+    "streaming_tumbling_agg",
+    # stalest: last green driver row round 3 (38) --
+    "above_nation_average",
+    "bpe_pair_counts",
+    "case_when_classifier",
+    "conversion_funnel",
+    "count_distinct_customers",
+    "cube_part_inventory",
+    "customer_order_counts",
+    "date_function_gallery",
+    "distinct_projection",
+    "event_type_daily_pivot",
+    "events_tumbling_agg",
+    "filter_in_upper",
+    "fk_integrity_audit",
+    "forecast_revenue",
+    "gap_fill_daily",
+    "having_big_spenders",
+    "incremental_revenue_agg",
+    "json_extraction",
+    "key_skew_report",
+    "language_id",
+    "local_supplier_volume",
+    "multiset_operations",
+    "pivot_linestatus",
+    "poc_projection",
+    "retailprice_histogram",
+    "revenue_concentration",
+    "rolling_active_users",
+    "rollup_returns",
+    "scalar_function_gallery",
+    "scd2_temporal_join",
+    "semi_anti_join",
+    "stat_moments_gallery",
+    "text_stats",
+    "timestamp_parse_roundtrip",
+    "token_counts",
+    "top_accounts_global_sort",
+    "top_revenue_orders",
+    "unigram_doc_logprob",
 )
 
 

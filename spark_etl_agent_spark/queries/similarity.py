@@ -237,6 +237,76 @@ FROM assign1 GROUP BY cell
 """
 
 
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with TRAINED cells: the Lloyd's k-means assignment
+    (k=4, 2 rounds — the same deterministic trainer the
+    ``kmeans_cell_profile`` oracle replays) replaces the label column
+    as the IVF partition, so the index quality comes from the data's
+    own geometry rather than a metadata column. At 100 TB the chain is
+    trainer (one scan/round, broadcast codebook) → one vec_id-keyed
+    join to attach cells → the IVF probe (broadcast centroids, one
+    cell-id shuffle)."""
+    from ..llm import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = kmeans.train_cells(emb, k=4, iters=2)
+    return sim.ivf_topk(emb.join(cells, "vec_id"), cell_col="cell")
+
+
+ANN_IVF_KMEANS_TOPK_SQL = f"""
+WITH base AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+cent0 AS (
+  SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
+  FROM base ORDER BY vec_id LIMIT 4
+),
+{_kmeans_round_sql(0)},
+{_kmeans_round_sql(1)},
+normed AS (
+  SELECT vec_id, cell, svec, norm_sq FROM assign1
+),
+cent_long AS (
+  SELECT cell, dim, floor(sum(svec[CAST(dim AS INT)]) / 1024) AS c
+  FROM normed, range(1, 65) t(dim) GROUP BY cell, dim
+),
+centk AS (
+  SELECT cell AS cent_cell, list(c ORDER BY dim) AS cvec
+  FROM cent_long GROUP BY cell
+),
+centk_n AS (
+  SELECT cent_cell, cvec, list_dot_product(cvec, cvec) AS cnorm FROM centk
+),
+q AS (
+  SELECT vec_id AS query_id, svec AS q_svec, norm_sq AS q_norm
+  FROM normed WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, q_svec, q_norm, cent_cell AS cell FROM (
+    SELECT q.query_id, q.q_svec, q.q_norm, c.cent_cell,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.q_svec, c.cvec)
+                 / (sqrt(q.q_norm) * sqrt(c.cnorm)) DESC, c.cent_cell
+      ) AS pr
+    FROM q, centk_n c
+  ) WHERE pr <= 2
+),
+pairs AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+    list_dot_product(p.q_svec, n.svec) / (sqrt(p.q_norm) * sqrt(n.norm_sq))
+      AS cosine_sim
+  FROM probes p JOIN normed n ON n.cell = p.cell AND n.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, rnk, cosine_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= 5
+"""
+
+
 def embedding_label_centroids(spark, sf_dir):
     return sim.label_centroids(load(spark, sf_dir, "embeddings"))
 
@@ -374,6 +444,11 @@ QUERIES = {
     "kmeans_cell_profile": QuerySpec(
         "kmeans_cell_profile", kmeans_cell_profile, KMEANS_CELL_PROFILE_SQL,
         "Deterministic Lloyd's k-means cells (k=4, 2 rounds)",
+        ("similarity", "iterative", "llm"),
+    ),
+    "ann_ivf_kmeans_topk": QuerySpec(
+        "ann_ivf_kmeans_topk", ann_ivf_kmeans_topk, ANN_IVF_KMEANS_TOPK_SQL,
+        "IVF ANN over trained k-means cells (trainer → index chain)",
         ("similarity", "iterative", "llm"),
     ),
     "embedding_label_centroids": QuerySpec(
@@ -652,32 +727,49 @@ QUERIES["neardup_triangles"] = QuerySpec(
 
 
 def ann_recall_report(spark, sf_dir):
-    """Index-quality evaluation: recall of the IVF (nprobe=2) index
-    against the exact brute-force top-5, per probe query — the
-    "measure, don't guess" report an ANN deployment tunes nprobe/k
-    with. Pure composition of the two existing operators; one
-    (query_id, neighbor_id) equi-join between two 40-row frames."""
+    """Index-quality evaluation: recall of BOTH IVF variants (label
+    cells and trained k-means cells, nprobe=2) against the exact
+    brute-force top-5, per probe query — the "measure, don't guess"
+    report an ANN deployment tunes cells/nprobe/k with. Pure
+    composition of existing operators; the joins are between 40-row
+    frames."""
+    from ..llm import kmeans
+
     emb = load(spark, sf_dir, "embeddings")
     brute = sim.brute_force_topk(emb).select("query_id", "neighbor_id")
     ivf = sim.ivf_topk(emb).select(
         F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
     )
-    common = (
-        brute.join(
-            ivf,
-            (F.col("query_id") == F.col("q2"))
-            & (F.col("neighbor_id") == F.col("n2")),
+    kivf = sim.ivf_topk(
+        emb.join(kmeans.train_cells(emb, k=4, iters=2), "vec_id"),
+        cell_col="cell",
+    ).select(F.col("query_id").alias("q3"), F.col("neighbor_id").alias("n3"))
+
+    def overlap(approx, qc, nc, out):
+        return (
+            brute.join(
+                approx,
+                (F.col("query_id") == F.col(qc))
+                & (F.col("neighbor_id") == F.col(nc)),
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(out))
         )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+
+    common = overlap(ivf, "q2", "n2", "n_common")
+    kcommon = overlap(kivf, "q3", "n3", "n_common_kmeans")
     counts = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_brute"))
     icounts = ivf.groupBy(F.col("q2").alias("query_id")).agg(
         F.count(F.lit(1)).alias("n_ivf")
     )
+    kcounts = kivf.groupBy(F.col("q3").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_ivf_kmeans")
+    )
     return (
         counts.join(icounts, "query_id")
+        .join(kcounts, "query_id")
         .join(common, "query_id", "left")
+        .join(kcommon, "query_id", "left")
         .select(
             "query_id",
             "n_brute",
@@ -686,6 +778,13 @@ def ann_recall_report(spark, sf_dir):
             F.expr("(coalesce(n_common, 0L) * 1000000) div n_brute")
             .cast("long")
             .alias("recall_ppm"),
+            "n_ivf_kmeans",
+            F.coalesce("n_common_kmeans", F.lit(0))
+            .cast("long")
+            .alias("n_common_kmeans"),
+            F.expr("(coalesce(n_common_kmeans, 0L) * 1000000) div n_brute")
+            .cast("long")
+            .alias("recall_kmeans_ppm"),
         )
     )
 
@@ -695,20 +794,36 @@ from pyspark.sql import functions as F  # noqa: E402  (used above)
 ANN_RECALL_REPORT_SQL = f"""
 WITH brute AS (SELECT * FROM ({ANN_BRUTEFORCE_TOPK_SQL}) b),
 ivf AS (SELECT * FROM ({ANN_IVF_TOPK_SQL}) i),
+kivf AS (SELECT * FROM ({ANN_IVF_KMEANS_TOPK_SQL}) ki),
 common AS (
   SELECT b.query_id, count(*) AS n_common
   FROM brute b JOIN ivf v
     ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
   GROUP BY b.query_id
 ),
+kcommon AS (
+  SELECT b.query_id, count(*) AS n_common_kmeans
+  FROM brute b JOIN kivf v
+    ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+),
 counts AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY query_id),
-icounts AS (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY query_id)
+icounts AS (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY query_id),
+kcounts AS (
+  SELECT query_id, count(*) AS n_ivf_kmeans FROM kivf GROUP BY query_id
+)
 SELECT c.query_id, c.n_brute, i.n_ivf,
   CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
-  (COALESCE(m.n_common, 0) * 1000000) // c.n_brute AS recall_ppm
+  (COALESCE(m.n_common, 0) * 1000000) // c.n_brute AS recall_ppm,
+  k.n_ivf_kmeans,
+  CAST(COALESCE(km.n_common_kmeans, 0) AS BIGINT) AS n_common_kmeans,
+  (COALESCE(km.n_common_kmeans, 0) * 1000000) // c.n_brute
+    AS recall_kmeans_ppm
 FROM counts c
 JOIN icounts i ON i.query_id = c.query_id
+JOIN kcounts k ON k.query_id = c.query_id
 LEFT JOIN common m ON m.query_id = c.query_id
+LEFT JOIN kcommon km ON km.query_id = c.query_id
 """
 
 
