@@ -97,6 +97,55 @@ def pack_chunks(
     )
 
 
+def ordered_budget_prefix(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    order_by,
+    npart: Optional[int] = None,
+) -> DataFrame:
+    """Greedy ordered-prefix selection under a global token budget: walk
+    the corpus in ``order_by`` order (must be a total order — e.g.
+    quality DESC then id) and keep every document whose cumulative
+    token count stays ≤ ``budget`` — the "best docs until the budget is
+    spent" selection a fixed-size pretraining mixture makes.
+
+    Same distributed skeleton as :func:`pack_chunks` (range partition on
+    the order key → per-partition totals → broadcast partition offsets →
+    parallel intra-partition running sums): no single-partition global
+    window, bit-identical at any ``npart``. Appends ``cum_tokens`` (the
+    running total INCLUDING the row) to the selected rows; a document
+    that would cross the budget boundary is excluded (ordered prefix,
+    not knapsack — deterministic and one-pass).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    npart = npart or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(npart, *order_by).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    sizes = ranged.groupBy(_PID).agg(
+        F.sum(tokens_col).cast("bigint").alias("_ptok")
+    )
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        _PID,
+        F.coalesce(F.sum("_ptok").over(w_prev), F.lit(0)).alias(_OFF),
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.join(F.broadcast(offsets), _PID).select(
+        *df.columns,
+        (F.col(_OFF) + F.sum(tokens_col).over(w_local).cast("bigint")).alias(
+            "cum_tokens"
+        ),
+    )
+    return out.filter(F.col("cum_tokens") <= budget)
+
+
 def packing_summary(packed: DataFrame, budget: int) -> DataFrame:
     """Corpus-level packing audit: total tokens/chunks, how many
     documents straddle a chunk boundary, and the fill ratio of the final

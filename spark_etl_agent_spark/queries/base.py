@@ -184,32 +184,22 @@ def _collect_modules():
 
 
 # The driver's per-round correctness harness oracles only the FIRST 50
-# registry entries (insertion order).  After round 4 the union of
-# driver-verified queries reached 109/123; the 16 listed first below are
-# the only names that have never had a green driver CORRECTNESS row
-# (the 14 round-4 corpus-pipeline queries, plus approx_distinct_parts
-# and bpe_train_merges whose real oracles landed in round 4 but were
-# never driver-exercised).  Round 5 front-loads those 16, adds the 7
-# queries written THIS round (so they are driver-verified in the same
-# round and the never-checked backlog stays empty), keeps 6
-# cross-family regression canaries, and fills the remaining slots with
-# the STALEST previously-passed names (last driver row round 1) so
-# coverage recency stays fresh across the whole inventory. The round-5
-# second-half additions (supplier_pagerank, semantic_dedup_embeddings,
-# pmi_word_pairs, drift_psi_report, pq_encode_cells, corpus_datacard)
-# displaced the two newest round-1 refreshers and the four round-3
-# refreshers — new queries always get a driver row the round they are
-# written; refresh slots absorb the cost.
-# Every name is validated against the merged inventory at registry() time
-# so a rename or removal fails loudly instead of silently shrinking
-# coverage.
+# registry entries (insertion order). Window policy (established rounds
+# 4-5, judge-ratified): (1) queries written or schema-changed THIS round
+# lead, so they get a driver row the same round; (2) the remaining
+# slots go to the STALEST previously-green names so no query's latest
+# driver row ages past ~3 rounds; (3) every name is validated against
+# the merged inventory at registry() time so a rename or removal fails
+# loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (2), then
-    #    the 48 stalest driver rows (10 last-checked r01, 38 r03 —
-    #    computed from the CORRECTNESS_r01..r05 union; the 3 remaining
+    # -- round 6 rotation: new/schema-changed queries first (4), then
+    #    the 46 stalest driver rows (10 last-checked r01, 36 r03 —
+    #    computed from the CORRECTNESS_r01..r05 union; the 5 remaining
     #    r03-era rows roll into round 7's window) --
     "ann_ivf_kmeans_topk",
     "ann_recall_report",
+    "corpus_select_budget",
+    "neardup_cluster_keepers",
     # stalest: last green driver row round 1 (10) --
     "ann_bruteforce_topk",
     "ann_sign_bucket_pairs",
@@ -257,8 +247,6 @@ DRIVER_WINDOW = (
     "text_stats",
     "timestamp_parse_roundtrip",
     "token_counts",
-    "top_accounts_global_sort",
-    "top_revenue_orders",
     "unigram_doc_logprob",
 )
 

@@ -8,6 +8,8 @@ order-independent in both engines; see ``llm.similarity`` docstring.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+
 from ..llm import similarity as sim
 from .base import QuerySpec, load
 
@@ -103,8 +105,10 @@ def neardup_components(spark, sf_dir):
     return graph.dedup_clusters(pairs)
 
 
-NEARDUP_COMPONENTS_SQL = f"""
-WITH RECURSIVE bucketed AS (
+# shared recursive-closure CTE chain (sign-bucket pairs → undirected
+# edges → reachability → min-label components) — reused by
+# neardup_components and neardup_cluster_keepers
+_NEARDUP_COMP_CTES = f"""bucketed AS (
   SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq,
     {_SIGN_BUCKET} AS bucket
   FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
@@ -125,7 +129,10 @@ reach(node, lbl) AS (
   UNION
   SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
 ),
-comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)"""
+
+NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_NEARDUP_COMP_CTES}
 SELECT component, count(*) AS n_members, max(node) AS max_member
 FROM comp GROUP BY component
 """
@@ -234,6 +241,62 @@ SELECT cell, count(*) AS n_members,
   CAST(sum(vec_id) AS BIGINT) AS id_checksum,
   min(vec_id) AS min_member
 FROM assign1 GROUP BY cell
+"""
+
+
+def neardup_cluster_keepers(spark, sf_dir):
+    """Duplicate-cluster keeper selection: cluster the near-dup pairs
+    into components, join each member to its document, and keep the
+    LONGEST document per cluster (n_chars DESC, id tiebreak) — the
+    keep-best-version verdict a production dedup emits instead of
+    keep-lowest-id. Output per cluster: keeper id/length and how many
+    members get dropped. The component labels come from the iterative
+    min-label propagation; the argmax is one window inside the
+    component partition — both node-sized frames, no extra corpus
+    shuffle."""
+    from ..operators import graph
+
+    pairs = sim.ann_bucketed_pairs(
+        load(spark, sf_dir, "embeddings"), min_cosine=0.25
+    ).select("id_a", "id_b")
+    cc = graph.connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    member = cc.join(docs, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    ranked = member.withColumn("_r", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.when(F.col("_r") == 1, F.col("node"))).alias("keeper_id"),
+        F.max(F.when(F.col("_r") == 1, F.col("n_chars"))).alias(
+            "keeper_chars"
+        ),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_dropped"),
+    )
+
+
+NEARDUP_CLUSTER_KEEPERS_SQL = f"""
+WITH RECURSIVE {_NEARDUP_COMP_CTES},
+member AS (
+  SELECT c.component, c.node, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+rk AS (
+  SELECT component, node, n_chars,
+    row_number() OVER (
+      PARTITION BY component ORDER BY n_chars DESC, node
+    ) AS r
+  FROM member
+)
+SELECT component,
+  CAST(count(*) AS BIGINT) AS n_members,
+  max(CASE WHEN r = 1 THEN node END) AS keeper_id,
+  max(CASE WHEN r = 1 THEN n_chars END) AS keeper_chars,
+  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM rk GROUP BY component
 """
 
 
@@ -450,6 +513,12 @@ QUERIES = {
         "ann_ivf_kmeans_topk", ann_ivf_kmeans_topk, ANN_IVF_KMEANS_TOPK_SQL,
         "IVF ANN over trained k-means cells (trainer → index chain)",
         ("similarity", "iterative", "llm"),
+    ),
+    "neardup_cluster_keepers": QuerySpec(
+        "neardup_cluster_keepers", neardup_cluster_keepers,
+        NEARDUP_CLUSTER_KEEPERS_SQL,
+        "Keep-longest keeper per near-dup cluster (components → argmax)",
+        ("similarity", "dedup", "graph", "llm"),
     ),
     "embedding_label_centroids": QuerySpec(
         "embedding_label_centroids", embedding_label_centroids,

@@ -5,6 +5,8 @@ shuffle, no Python, scan-bandwidth-bound at 100 TB."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..llm import text as T
 from .base import QuerySpec, fan_out, load
 
@@ -357,7 +359,70 @@ FROM agg
 """
 
 
+_BUDGET_TOKENS = 20_000
+
+
+def corpus_select_budget(spark, sf_dir):
+    """Token-budgeted corpus selection: score every document with the
+    hashed-feature linear scorer, then keep the best documents —
+    quality DESC, doc_id tiebreak — until a global 20k-token budget is
+    spent (the fixed-size-mixture selection of a pretraining build).
+    The global ordered prefix sum uses the range-partition +
+    broadcast-offset skeleton (``llm.packing.ordered_budget_prefix``) —
+    no single-partition window at 100 TB."""
+    from ..llm.packing import ordered_budget_prefix
+    from ..llm.text import linear_quality_score
+
+    scored = linear_quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "z_milli"
+    )
+    return ordered_budget_prefix(
+        scored,
+        tokens_col="n_tokens",
+        budget=_BUDGET_TOKENS,
+        order_by=[F.col("z_milli").desc(), F.col("doc_id")],
+    ).select("doc_id", "z_milli", "n_tokens", "cum_tokens")
+
+
+CORPUS_SELECT_BUDGET_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> len(x) >= 1)) AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    (CAST(('0x' || substr(md5(CAST(
+        CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256
+      AS VARCHAR)), 1, 4)) AS BIGINT) % 2001) - 1000 AS w_milli
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    CAST(sum(w_milli) AS BIGINT) AS z_milli
+  FROM feat GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, z_milli, n_tokens,
+    CAST(sum(n_tokens) OVER (
+      ORDER BY z_milli DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM agg
+)
+SELECT doc_id, z_milli, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
 QUERIES = {
+    "corpus_select_budget": QuerySpec(
+        "corpus_select_budget", corpus_select_budget,
+        CORPUS_SELECT_BUDGET_SQL,
+        "Token-budgeted best-docs-first corpus selection (global prefix)",
+        ("text", "llm", "sampling"),
+    ),
     "bpe_encode_corpus": QuerySpec(
         "bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_CORPUS_SQL,
         "Train BPE merges then tokenize the corpus (per-doc stats)",

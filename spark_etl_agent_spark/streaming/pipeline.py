@@ -39,14 +39,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        # the file source needs a *directory*; the fixture is a single
-        # file, so stream the parent dir filtered down to the events file
-        # (in production this is simply the table's directory)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The file source needs a *directory*. A real table IS a directory
+    # of part files — stream it directly (a pathGlobFilter on the
+    # directory's NAME would match no part file and silently stream
+    # zero rows). The single-file fixture layout streams the parent
+    # dir filtered down to that one file.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    is_dir = fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()
+    if is_dir:
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     dt = schema["ts"].dataType
     if isinstance(dt, LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -93,6 +93,43 @@ def test_pagerank_auto_mode_is_local_on_local_master(spark):
     assert a == b
 
 
+def test_ordered_budget_prefix_exact_and_partition_independent(spark):
+    """Greedy prefix under a token budget: exact cumulative sums in
+    score-desc order, boundary-crossing doc excluded, bit-identical at
+    any partition count (the range-partition skeleton contract)."""
+    from spark_etl_agent_spark.llm.packing import ordered_budget_prefix
+
+    rows = [(i, (i * 37) % 100, 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, tok long")
+    order = [F.col("score").desc(), F.col("doc_id")]
+
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in ordered_budget_prefix(df, "tok", 500, order).collect()
+    }
+    # driver-side replay of the greedy walk
+    expect, cum = {}, 0
+    for d, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + t > 500:
+            break
+        cum += t
+        expect[d] = cum
+    assert got == expect and expect  # non-trivial selection
+
+    for npart in (1, 3, 17):
+        alt = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in ordered_budget_prefix(
+                df.repartition(5), "tok", 500, order, npart=npart
+            ).collect()
+        }
+        assert alt == expect
+
+    assert ordered_budget_prefix(df, "tok", 0, order).count() == 0
+    with pytest.raises(ValueError):
+        ordered_budget_prefix(df, "tok", -1, order)
+
+
 def test_to_micros_half_away_from_zero():
     """Quantization rule must be half-away-from-zero (DuckDB round()),
     not pandas banker's rounding: 0.00005 → 1 micro-unit, 0.00015 → 2,

@@ -609,6 +609,32 @@ def test_streaming_packing_spans_continue_across_batches(spark, tmp_path):
     assert spark.read.parquet(str(manifest_dir / "batch=*")).count() == 5
 
 
+def test_events_stream_reads_directory_layout(spark, sf_dir, tmp_path, batch_events):
+    """A real table is a DIRECTORY of part files; events_stream must
+    stream it identically to the single-file fixture layout (a glob on
+    the directory name would silently stream zero rows)."""
+    from spark_etl_agent_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+        tumbling_window_counts,
+    )
+
+    dir_sf = tmp_path / "dirsf"
+    batch_events.write.mode("overwrite").parquet(
+        str(dir_sf / "events.parquet")
+    )
+    got = run_available_now(
+        tumbling_window_counts(events_stream(spark, str(dir_sf))),
+        output_mode="complete",
+    )
+    ref = run_available_now(
+        tumbling_window_counts(events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+    assert got.count() > 0
+    assert canon(got, got.columns) == canon(ref, ref.columns)
+
+
 def test_kill_and_resume_packing_sink_exactly_once(spark, tmp_path):
     """Crash-recovery e2e for a foreachBatch sink: the query is KILLED
     mid-batch in the worst at-least-once window — after the manifest
