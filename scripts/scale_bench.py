@@ -91,6 +91,7 @@ def blow_up_events(spark, out_dir: str) -> None:
         .withColumn("event_id", F.col("event_id") + F.col("_rep") * maxe)
         .withColumn("user_id", F.col("user_id") + F.col("_rep") * maxu)
         .drop("_rep")
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/events.parquet")
     )

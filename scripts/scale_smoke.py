@@ -39,10 +39,15 @@ def blow_up(spark, out_dir: str) -> None:
     od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     reps = spark.range(BLOWUP).select(F.col("id").alias("_rep"))
     max_ok = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    # write with cluster-width part files: a real 10x table has many
+    # splits; a single part file would serialize every downstream scan
+    # into 1-2 tasks and measure the writer's layout, not the plan
+    npart = spark.sparkContext.defaultParallelism
     (
         li.crossJoin(F.broadcast(reps))
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_rep") * max_ok)
         .drop("_rep")
+        .repartition(npart)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/lineitem.parquet")
     )
@@ -50,6 +55,7 @@ def blow_up(spark, out_dir: str) -> None:
         od.crossJoin(F.broadcast(reps))
         .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_rep") * max_ok)
         .drop("_rep")
+        .repartition(npart)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/orders.parquet")
     )
@@ -101,12 +107,13 @@ def blow_up_llm(spark, out_dir: str) -> None:
                 ),
             )
         )
-    reduce(lambda a, b: a.unionAll(b), doc_parts).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
-    reduce(lambda a, b: a.unionAll(b), emb_parts).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
+    npart = spark.sparkContext.defaultParallelism
+    reduce(lambda a, b: a.unionAll(b), doc_parts).repartition(npart).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents.parquet")
+    reduce(lambda a, b: a.unionAll(b), emb_parts).repartition(npart).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
 
 
 def shapes(spark, d: str):
