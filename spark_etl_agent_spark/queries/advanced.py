@@ -253,7 +253,94 @@ WHERE change_type IS NOT NULL
 """
 
 
+_Z_BITS = 8  # 256 buckets per dimension → 16-bit Morton codes
+
+
+def zorder_curve_stats(spark, sf_dir):
+    """Z-order (Morton-curve) clustering made driver-checkable: bucket
+    both part dimensions (price, size) to 8 bits, interleave into the
+    16-bit curve code, and profile 64 curve segments — per segment the
+    bounding box of BOTH dimensions, the property that lets parquet
+    footer stats prune files for predicates on EITHER column after an
+    OPTIMIZE-ZORDER-style rewrite (``operators/layout.py::zorder_write``
+    does the actual write; the quantitative footer-stats gate lives in
+    tests). All shift/mask integer algebra inside whole-stage codegen;
+    one broadcast of the scalar bounds; one bounded-key groupBy."""
+    from ..operators.layout import bucketize, morton_code
+
+    part = load(spark, sf_dir, "part")
+    bounds = part.agg(
+        F.min("p_retailprice").alias("xlo"),
+        F.max("p_retailprice").alias("xhi"),
+        F.min("p_size").cast("double").alias("ylo"),
+        F.max("p_size").cast("double").alias("yhi"),
+    )
+    df = part.crossJoin(F.broadcast(bounds))
+    xb = bucketize(
+        F.col("p_retailprice"), F.col("xlo"), F.col("xhi"), _Z_BITS
+    )
+    yb = bucketize(
+        F.col("p_size").cast("double"), F.col("ylo"), F.col("yhi"), _Z_BITS
+    )
+    z = morton_code(xb, yb, bits=_Z_BITS)
+    return (
+        df.select(z.alias("zc"), "p_retailprice", "p_size")
+        .select(
+            F.expr("zc div 1024").alias("z_bucket"),
+            "p_retailprice",
+            "p_size",
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("x_min"),
+            F.max("p_retailprice").alias("x_max"),
+            F.min("p_size").cast("long").alias("size_min"),
+            F.max("p_size").cast("long").alias("size_max"),
+        )
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+ZORDER_CURVE_STATS_SQL = f"""
+WITH b AS (
+  SELECT min(p_retailprice) AS xlo, max(p_retailprice) AS xhi,
+    CAST(min(p_size) AS DOUBLE) AS ylo, CAST(max(p_size) AS DOUBLE) AS yhi
+  FROM part
+),
+coded AS (
+  SELECT p_retailprice, p_size,
+    least(CAST(floor((p_retailprice - xlo) / (xhi - xlo) * 256) AS BIGINT),
+          255) AS xb,
+    least(CAST(floor((CAST(p_size AS DOUBLE) - ylo) / (yhi - ylo) * 256)
+          AS BIGINT), 255) AS yb
+  FROM part, b
+),
+z AS (
+  SELECT p_retailprice, p_size, ({_morton_sql('xb', 'yb', _Z_BITS)}) AS zc
+  FROM coded
+)
+SELECT zc // 1024 AS z_bucket, count(*) AS n_parts,
+  min(p_retailprice) AS x_min, max(p_retailprice) AS x_max,
+  CAST(min(p_size) AS BIGINT) AS size_min,
+  CAST(max(p_size) AS BIGINT) AS size_max
+FROM z GROUP BY 1
+"""
+
+
 QUERIES = {
+    "zorder_curve_stats": QuerySpec(
+        "zorder_curve_stats", zorder_curve_stats, ZORDER_CURVE_STATS_SQL,
+        "Morton-curve segment profile: both-dimension bounding boxes",
+        ("advanced", "layout"),
+    ),
     "snapshot_diff_orders": QuerySpec(
         "snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORDERS_SQL,
         "CDC snapshot diff: insert/delete/update rows between table states",

@@ -192,14 +192,15 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (4), then
-    #    the 46 stalest driver rows (10 last-checked r01, 36 r03 —
-    #    computed from the CORRECTNESS_r01..r05 union; the 5 remaining
+    # -- round 6 rotation: new/schema-changed queries first (5), then
+    #    the 45 stalest driver rows (10 last-checked r01, 35 r03 —
+    #    computed from the CORRECTNESS_r01..r05 union; the 6 remaining
     #    r03-era rows roll into round 7's window) --
     "ann_ivf_kmeans_topk",
     "ann_recall_report",
     "corpus_select_budget",
     "neardup_cluster_keepers",
+    "zorder_curve_stats",
     # stalest: last green driver row round 1 (10) --
     "ann_bruteforce_topk",
     "ann_sign_bucket_pairs",
@@ -247,7 +248,6 @@ DRIVER_WINDOW = (
     "text_stats",
     "timestamp_parse_roundtrip",
     "token_counts",
-    "unigram_doc_logprob",
 )
 
 
