@@ -532,12 +532,20 @@ QUERIES = {
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup: k-means cells bound the pairwise compare; every vector
     with a lower-id cell-mate above the cosine threshold is dropped and
-    mapped to its most-similar keeper. k=16 (vs the profile query's
-    k=4) keeps cells ~100 wide — the SemDeDup contract is that k grows
-    with the corpus so the within-cell quadratic stays bounded."""
+    mapped to its most-similar keeper.
+
+    k SCALES WITH THE CORPUS — ``clamp(n/125, 16, 128)`` — which IS the
+    SemDeDup contract: cells stay ~125 wide so the within-cell
+    quadratic is bounded at any data size instead of growing as
+    (n/k)² under a pinned k (the one super-linear row of the first 10x
+    scale A/B). The count is one cheap metadata-sized job; the oracle
+    computes the identical k via a scalar-subquery LIMIT, so results
+    stay bit-matched at every SF (k = 16 at all test fixtures)."""
+    emb = load(spark, sf_dir, "embeddings")
+    k = max(16, min(128, emb.count() // 125))
     return sim.semantic_dedup(
-        load(spark, sf_dir, "embeddings"),
-        k=16,
+        emb,
+        k=k,
         iters=2,
         min_cosine=0.35,
         # in-operator guard LIVE in the shipped query (the SimHash
@@ -554,7 +562,8 @@ WITH base AS (
 ),
 cent0 AS (
   SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
-  FROM base ORDER BY vec_id LIMIT 16
+  FROM base ORDER BY vec_id
+  LIMIT (SELECT greatest(16, least(128, count(*) // 125)) FROM embeddings)
 ),
 {_kmeans_round_sql(0)},
 {_kmeans_round_sql(1)},
