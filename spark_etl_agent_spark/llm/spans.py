@@ -37,6 +37,103 @@ from pyspark.sql import functions as F
 DEFAULT_K = 8
 
 
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """ExactSubstr-style corpus rewrite: REMOVE duplicated ``k``-gram
+    spans, keeping one canonical occurrence (the fix counterpart to
+    :func:`duplicate_span_stats`, which only measures).
+
+    Semantics (deterministic in both engines):
+
+    - a span *occurrence* ``(doc, pos)`` is removable iff its text
+      occurs at more than one position corpus-wide AND it is not the
+      canonical occurrence — the globally first by ``(doc_id, pos)``;
+    - every token position covered by ANY removable occurrence is
+      dropped (overlap with a canonical span does not protect a token —
+      the rule is coverage, not ownership, so the output is independent
+      of evaluation order);
+    - surviving tokens are re-joined in document order.
+
+    Output: ``(id_col, n_tokens, n_kept, n_removed, scrubbed_text)``.
+
+    Scale shape mirrors the stats operator: one uniform groupBy on the
+    span hash (map-side partial ``min(struct(doc, pos))`` picks the
+    canonical without a second pass), only duplicated hashes re-join
+    the position table, and the reassembly groupBy is document-bounded
+    (``collect_list`` holds at most one document's tokens — the same
+    bound a parquet row already has).
+    """
+    words = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), w -> length(w) >= 1)"
+    )
+    base = docs.select(F.col(id_col), words.alias("__words"))
+    toks = base.select(
+        id_col, F.posexplode("__words").alias("tpos", "w")
+    )
+    spans = base.filter(F.size("__words") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__words) - {k}), "
+                f"i -> md5(array_join(slice(__words, i + 1, {k}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("canon"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("h", "canon")
+    )
+    removable = (
+        spans.join(dup, "h", "inner")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("canon.d"))
+                & (F.col("pos") == F.col("canon.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    covered = removable.select(
+        id_col,
+        F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("tpos"),
+    ).distinct()
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(tpos, w))), "
+                "x -> x.w)"
+            ),
+            " ",
+        ).alias("__scrubbed"),
+    )
+    return (
+        base.select(id_col, F.size("__words").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("__n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("__scrubbed", F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     text_col: str = "text",

@@ -426,3 +426,56 @@ def word_pair_pmi(
     return top.withColumn("pair_rank", F.row_number().over(w)).select(
         "pair_rank", "w1", "w2", "c12", "c1", "c2", "lift_ppm", "pmi_micro"
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Zipf coverage curve for tokenizer-vocabulary sizing: how much of
+    the corpus the ``top_n`` most frequent tokens cover.
+
+    Output per rank: ``(tok_rank, token, tok_count, cum_count,
+    cum_share_ppm)`` with the cumulative share as an exact integer ppm
+    (``decimal(38,0)`` intermediate — ``cum_count * 1e6`` passes int64
+    around ~9.2e12 corpus tokens, well inside a 100 TB corpus).
+
+    Scale shape: ONE uniform token groupBy (map-side combine), a scalar
+    total broadcast, and a ``TakeOrderedAndProject`` top-N — the rank /
+    prefix-sum window only ever sees ``top_n`` rows, never the vocab.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '\\\\s+'), "
+                "w -> length(w) >= 1)"
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tok_count")
+    )
+    total = counts.agg(F.sum("tok_count").cast("long").alias("_total"))
+    top = counts.orderBy(F.desc("tok_count"), F.asc("token")).limit(top_n)
+    order = [F.desc("tok_count"), F.asc("token")]
+    w_cum = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("tok_rank", F.row_number().over(Window.orderBy(*order)))
+        .withColumn("cum_count", F.sum("tok_count").over(w_cum).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_rank",
+            "token",
+            "tok_count",
+            "cum_count",
+            F.expr(
+                "(cast(cum_count as decimal(38,0)) * 1000000) div _total"
+            )
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+    )

@@ -416,6 +416,64 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def scrub_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style rewrite: drop every non-canonical duplicated
+    8-gram span occurrence and re-join the surviving tokens — the fix
+    counterpart to `duplicate_span_stats` (`llm/spans.py`)."""
+    from ..llm.spans import scrub_duplicate_spans as scrub
+
+    return scrub(fan_out(load(spark, sf_dir, "documents")))
+
+
+SCRUB_DUPLICATE_SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) >= 1) AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS tpos, words[i] AS tok
+  FROM w, LATERAL unnest(generate_series(1, len(words))) AS u(i)
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+    md5(array_to_string(words[i + 1:i + 8], ' ')) AS h
+  FROM w, LATERAL unnest(generate_series(0, len(words) - 8)) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos,
+    count(*) OVER (PARTITION BY h) AS n_occ,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM spans
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + u.i AS tpos
+  FROM ranked, LATERAL unnest(generate_series(0, 7)) AS u(i)
+  WHERE n_occ > 1 AND rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c
+    WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos
+  )
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(tok, ' ' ORDER BY tpos) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+  CAST(len(w.words) AS BIGINT) AS n_tokens,
+  coalesce(r.n_kept, 0) AS n_kept,
+  CAST(len(w.words) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed,
+  coalesce(r.scrubbed_text, '') AS scrubbed_text
+FROM w LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "exact_dedup": QuerySpec(
         "exact_dedup", exact_dedup, EXACT_DEDUP_SQL,
@@ -466,6 +524,12 @@ QUERIES = {
         "duplicate_span_stats", duplicate_span_stats,
         DUPLICATE_SPAN_STATS_SQL,
         "Token 8-gram duplicated-span profile (ExactSubstr-lite)",
+        ("dedup", "llm", "text"),
+    ),
+    "scrub_duplicate_spans": QuerySpec(
+        "scrub_duplicate_spans", scrub_duplicate_spans,
+        SCRUB_DUPLICATE_SPANS_SQL,
+        "ExactSubstr rewrite: remove non-canonical duplicated 8-gram spans",
         ("dedup", "llm", "text"),
     ),
 }

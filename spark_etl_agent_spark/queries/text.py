@@ -522,6 +522,54 @@ SELECT * FROM (
 """
 
 
+def vocab_coverage_curve(spark, sf_dir):
+    """Zipf coverage of the top-50 tokens (tokenizer-vocab sizing):
+    one uniform token groupBy, scalar-total broadcast, top-N bounded
+    reduction — the rank window never sees the vocabulary."""
+    return T.vocab_coverage_curve(
+        fan_out(load(spark, sf_dir, "documents")), top_n=50
+    )
+
+
+VOCAB_COVERAGE_CURVE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) >= 1)) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tok_count
+  FROM toks GROUP BY token
+),
+total AS (SELECT CAST(sum(tok_count) AS BIGINT) AS _total FROM counts),
+top AS (
+  SELECT token, tok_count FROM counts
+  ORDER BY tok_count DESC, token LIMIT 50
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY tok_count DESC, token) AS tok_rank,
+    token, tok_count,
+    CAST(sum(tok_count) OVER (
+      ORDER BY tok_count DESC, token
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_count
+  FROM top
+)
+SELECT tok_rank, token, tok_count, cum_count,
+  CAST((CAST(cum_count AS HUGEINT) * 1000000) // _total AS BIGINT)
+    AS cum_share_ppm
+FROM ranked, total
+"""
+
+
+QUERIES["vocab_coverage_curve"] = QuerySpec(
+    "vocab_coverage_curve",
+    vocab_coverage_curve,
+    VOCAB_COVERAGE_CURVE_SQL,
+    "Zipf coverage curve of the top-50 tokens (exact integer ppm)",
+    ("text", "agg", "llm"),
+)
+
 QUERIES["pmi_word_pairs"] = QuerySpec(
     "pmi_word_pairs",
     pmi_word_pairs,

@@ -145,3 +145,74 @@ def test_to_micros_half_away_from_zero():
     # removes
     bankers = (s * 10_000).round().astype("int64").tolist()
     assert bankers[:3] == [0, 2, 0]
+
+
+def test_scrub_duplicate_spans_removes_non_canonical(spark):
+    """k=3 worked example: 'a b c' appears in docs 1 and 2 — the
+    canonical (globally first) occurrence survives, the other loses
+    its covered tokens; intra-doc repetition collapses to one copy;
+    sub-k docs pass through untouched."""
+    from spark_etl_agent_spark.llm.spans import scrub_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c z"),
+            (3, "p q r p q r p q"),
+            (4, "u v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_spans(docs, k=3).collect()
+    }
+    assert got[1]["scrubbed_text"] == "a b c d e f"
+    assert got[1]["n_removed"] == 0
+    # doc 2: removable occurrence at pos 2 covers tokens 2..4
+    assert got[2]["scrubbed_text"] == "x y z"
+    assert (got[2]["n_tokens"], got[2]["n_kept"], got[2]["n_removed"]) == (
+        6, 3, 3,
+    )
+    # doc 3 'p q r p q r p q': every span repeats; non-canonical
+    # occurrences cover positions 3..7 → one period survives
+    assert got[3]["scrubbed_text"] == "p q r"
+    assert got[3]["n_removed"] == 5
+    # shorter than k: no spans, nothing to scrub
+    assert got[4]["scrubbed_text"] == "u v"
+    assert got[4]["n_removed"] == 0
+
+
+def test_scrub_partition_count_independent(spark):
+    """Canonical-occurrence choice is a global min, not a partition
+    accident — 1-partition and 13-partition runs must agree exactly."""
+    from spark_etl_agent_spark.llm.spans import scrub_duplicate_spans
+
+    rows = [(i, f"w{i} common run of words here tail{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(
+        map(tuple, scrub_duplicate_spans(docs.coalesce(1), k=4).collect())
+    )
+    many = sorted(
+        map(tuple, scrub_duplicate_spans(docs.repartition(13), k=4).collect())
+    )
+    assert one == many
+
+
+def test_vocab_coverage_curve_exact_ppm(spark):
+    """a=4 b=3 c=1 over 8 corpus tokens: exact integer ppm shares."""
+    from spark_etl_agent_spark.llm.text import vocab_coverage_curve
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a a")], "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in vocab_coverage_curve(docs, top_n=2)
+        .orderBy("tok_rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "a", 4, 4, 500000),
+        (2, "b", 3, 7, 875000),
+    ]
