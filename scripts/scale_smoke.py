@@ -162,6 +162,11 @@ def llm_shapes(spark, d: str):
         # duplicated-hash side growing linearly, not quadratically)
         "bloom_ingest": specs["bloom_ingest_dedup"].spark(spark, d),
         "dup_spans": specs["duplicate_span_stats"].spark(spark, d),
+        # round-6: the ExactSubstr REWRITE (same span-hash shuffle as
+        # dup_spans plus a document-bounded reassembly groupBy) and the
+        # vocab coverage curve (one uniform token groupBy + top-N)
+        "scrub_spans": specs["scrub_duplicate_spans"].spark(spark, d),
+        "vocab_curve": specs["vocab_coverage_curve"].spark(spark, d),
         # round-5 third wave: oriented-wedge triangles (fan-out bounded
         # by oriented degree), exact Gram (sketch-sized map output),
         # and the full-decode perceptual hash (scan-bound mapInPandas)

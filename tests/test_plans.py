@@ -382,3 +382,27 @@ def test_medoids_broadcast_centroid_table(spark, sf_dir):
     plan = plan_of(embedding_label_medoids(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scrub_spans_no_cartesian(spark, sf_dir):
+    """ExactSubstr scrub: candidate pruning joins on the span hash /
+    (doc, position) equi-keys — never all-pairs; the reassembly window
+    stays document-partitioned."""
+    plan = plan_of(SPECS["scrub_duplicate_spans"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_curve_window_after_limit(spark, sf_dir):
+    """The rank/prefix window must sit above the top-N bounded
+    reduction (TakeOrderedAndProject), never over the full vocabulary
+    — an unpartitioned window under the limit would single-thread the
+    whole token count at 100 TB."""
+    plan = plan_of(SPECS["vocab_coverage_curve"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    w = tree.index("Window")
+    t = tree.index("TakeOrderedAndProject")
+    # formatted plans print consumers above producers: the window node
+    # must appear ABOVE (before) the bounded top-N that feeds it
+    assert w < t, tree
