@@ -85,3 +85,54 @@ def test_psi_nonnegative_and_zero_iff_identical(spark, ref, cur):
     assert r["psi_micro"] >= 0
     if sorted(ref) == sorted(cur):
         assert r["psi_micro"] == 0
+
+
+def _scrub_reference(docs: dict, k: int) -> dict:
+    """Pure-python ExactSubstr scrub mirror: same canonical-occurrence
+    and coverage semantics as llm.spans.scrub_duplicate_spans."""
+    spans = {}  # text -> list[(doc_id, pos)]
+    words = {d: t.lower().split() for d, t in docs.items()}
+    words = {d: [w for w in ws if w] for d, ws in words.items()}
+    for d in sorted(words):
+        ws = words[d]
+        for i in range(len(ws) - k + 1):
+            spans.setdefault(" ".join(ws[i : i + k]), []).append((d, i))
+    covered = {d: set() for d in words}
+    for occs in spans.values():
+        if len(occs) < 2:
+            continue
+        for d, p in sorted(occs)[1:]:  # canonical = global min survives
+            covered[d].update(range(p, p + k))
+    out = {}
+    for d, ws in words.items():
+        kept = [w for i, w in enumerate(ws) if i not in covered[d]]
+        out[d] = (len(ws), len(kept), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+word_strategy = st.text(alphabet="abc", min_size=1, max_size=2)
+doc_strategy = st.lists(word_strategy, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(doc_strategy, min_size=1, max_size=6))
+def test_scrub_duplicate_spans_matches_reference(spark, texts):
+    """Random tiny-alphabet corpora (duplication-dense by construction):
+    the distributed scrub must agree exactly with the brute-force
+    single-process reference on counts AND reassembled text."""
+    from spark_etl_agent_spark.llm.spans import scrub_duplicate_spans
+
+    k = 3
+    docs = {i: t for i, t in enumerate(texts)}
+    expect = _scrub_reference(docs, k)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_kept"], r["n_removed"], r["scrubbed_text"]
+        )
+        for r in scrub_duplicate_spans(df, k=k).collect()
+    }
+    assert got == expect
