@@ -74,6 +74,8 @@ TOP_QUERIES = [
     "neardup_components",
     "streaming_session_agg",
     "agg_topk_quantities",
+    # round-6 addition: the ExactSubstr rewrite enters the top-cost set
+    "scrub_duplicate_spans",
 ]
 
 
