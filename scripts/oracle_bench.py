@@ -40,6 +40,24 @@ def main() -> None:
         con.execute(spec.oracle).fetchall()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    # full per-query detail for the committed paired artifact (the
+    # stdout line below carries only the 10 slowest to stay inside the
+    # driver's stdout tail, mirroring bench.py's convention)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "ORACLE_SUMMARY_sf0.1.json"), "w") as f:
+        json.dump(
+            {
+                "metric": "oracle_total_wall",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_dir,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(
         json.dumps(
             {
