@@ -1,0 +1,95 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+— the MOSS algorithm).
+
+Third fingerprinting family next to MinHash (``llm.dedup``) and
+SimHash: winnowing selects, from every window of ``w`` consecutive
+``k``-gram hashes, the window's minimum hash — guaranteeing that any
+shared substring of length ``w + k - 1`` tokens contributes at least
+one IDENTICAL selected fingerprint in both documents (the paper's
+local-match guarantee, which MinHash's whole-document sketches cannot
+give). Downstream, fingerprint equality joins find local overlap.
+
+Scale shape: ``k``-gram hashing is a per-row projection; the window
+minima partition by document (no partition ever exceeds one document's
+span count); candidate selection is an explode(×w) plus one
+(doc, pos) equi-join — no all-pairs step anywhere. Selected density is
+~2/(w+1) of spans, so the fingerprint table SHRINKS relative to the
+corpus as w grows.
+
+Hashes are the first 8 md5 hex digits as int64 — the repo's standard
+cross-engine integer-hash idiom (``llm.text.linear_quality_score``),
+bit-identical in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 4  # tokens per gram
+DEFAULT_W = 4  # grams per winnowing window
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+) -> DataFrame:
+    """Selected fingerprints per document: ``(id_col, pos, fp)``.
+
+    A span position ``p`` is selected iff its hash equals the minimum
+    of SOME valid window covering it (valid starts: ``s ∈ [0,
+    max(n_spans - w, 0)]`` — a document with fewer than ``w`` spans
+    gets one truncated window over all of them). Hash ties select
+    every tied position in the window — a pure set definition with no
+    order-of-evaluation dependence, so Spark and the SQL oracle agree
+    exactly.
+    """
+    words = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) >= 1)"
+    )
+    spans = (
+        docs.select(F.col(id_col), words.alias("__words"))
+        .filter(F.size("__words") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(__words) - {k}), "
+                    f"i -> array_join(slice(__words, i + 1, {k}), ' '))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w_doc = Window.partitionBy(id_col)
+    w_frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    starts = (
+        spans.withColumn("win_min", F.min("h").over(w_frame))
+        .withColumn("n_spans", F.count(F.lit(1)).over(w_doc))
+        .filter(
+            F.col("pos") <= F.greatest(F.col("n_spans") - w, F.lit(0))
+        )
+    )
+    covered = starts.select(
+        id_col,
+        F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("pos"),
+        F.col("win_min").alias("h"),
+    ).distinct()
+    return (
+        spans.join(covered, [id_col, "pos", "h"], "left_semi")
+        .select(id_col, "pos", F.col("h").alias("fp"))
+    )

@@ -192,11 +192,12 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (7), then
-    #    the 43 stalest driver rows (10 last-checked r01, 33 r03 —
-    #    computed from the CORRECTNESS_r01..r05 union; the 8 remaining
-    #    r03-era rows, incl. timestamp_parse_roundtrip and token_counts
-    #    displaced here, roll into round 7's window) --
+    # -- round 6 rotation: new/schema-changed queries first (8), then
+    #    the 42 stalest driver rows (10 last-checked r01, 32 r03 —
+    #    computed from the CORRECTNESS_r01..r05 union; the 9 remaining
+    #    r03-era rows, incl. timestamp_parse_roundtrip, token_counts
+    #    and text_stats displaced here, roll into round 7's window) --
+    "winnowing_fingerprints",
     "scrub_duplicate_spans",
     "vocab_coverage_curve",
     "ann_ivf_kmeans_topk",
@@ -248,7 +249,6 @@ DRIVER_WINDOW = (
     "scd2_temporal_join",
     "semi_anti_join",
     "stat_moments_gallery",
-    "text_stats",
 )
 
 

@@ -474,6 +474,49 @@ FROM w LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def winnowing_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (`llm/winnow.py`): per-window
+    minimum of token 4-gram hashes, guaranteeing any shared ≥7-token
+    substring yields an identical selected fingerprint in both docs."""
+    from ..llm.winnow import winnowing_fingerprints as winnow
+
+    return winnow(fan_out(load(spark, sf_dir, "documents")))
+
+
+WINNOWING_FINGERPRINTS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) >= 1) AS words
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+    CAST(('0x' || substr(md5(array_to_string(words[i + 1:i + 4], ' ')),
+                         1, 8)) AS BIGINT) AS h
+  FROM w, LATERAL unnest(generate_series(0, len(words) - 4)) AS u(i)
+),
+m AS (
+  SELECT doc_id, pos, h,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+    count(*) OVER (PARTITION BY doc_id) AS n_spans
+  FROM spans
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + u.i AS cpos, win_min
+  FROM m, LATERAL unnest(generate_series(0, 3)) AS u(i)
+  WHERE pos <= greatest(n_spans - 4, 0)
+)
+SELECT s.doc_id, s.pos, s.h AS fp
+FROM spans s
+WHERE EXISTS (
+  SELECT 1 FROM covered c
+  WHERE c.doc_id = s.doc_id AND c.cpos = s.pos AND c.win_min = s.h
+)
+"""
+
+
 QUERIES = {
     "exact_dedup": QuerySpec(
         "exact_dedup", exact_dedup, EXACT_DEDUP_SQL,
@@ -530,6 +573,12 @@ QUERIES = {
         "scrub_duplicate_spans", scrub_duplicate_spans,
         SCRUB_DUPLICATE_SPANS_SQL,
         "ExactSubstr rewrite: remove non-canonical duplicated 8-gram spans",
+        ("dedup", "llm", "text"),
+    ),
+    "winnowing_fingerprints": QuerySpec(
+        "winnowing_fingerprints", winnowing_fingerprints,
+        WINNOWING_FINGERPRINTS_SQL,
+        "MOSS winnowing: per-window minimum 4-gram fingerprints",
         ("dedup", "llm", "text"),
     ),
 }

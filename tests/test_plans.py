@@ -406,3 +406,12 @@ def test_vocab_curve_window_after_limit(spark, sf_dir):
     # formatted plans print consumers above producers: the window node
     # must appear ABOVE (before) the bounded top-N that feeds it
     assert w < t, tree
+
+
+def test_winnowing_no_cartesian_doc_bounded_windows(spark, sf_dir):
+    """Winnowing: candidate selection is an explode + (doc, pos, hash)
+    equi-join; every window partitions by document — no all-pairs step,
+    no global window."""
+    plan = plan_of(SPECS["winnowing_fingerprints"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -216,3 +216,73 @@ def test_vocab_coverage_curve_exact_ppm(spark):
         (1, "a", 4, 4, 500000),
         (2, "b", 3, 7, 875000),
     ]
+
+
+def _winnow_reference(texts, k, w):
+    """Brute-force winnowing mirror: a span is selected iff its hash is
+    the minimum of some valid window covering it (ties select all)."""
+    import hashlib
+
+    out = set()
+    for doc_id, text in texts:
+        ws = [x for x in text.lower().split() if x]
+        hs = [
+            int(hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()[:8], 16)
+            for i in range(len(ws) - k + 1)
+        ]
+        n = len(hs)
+        if n == 0:
+            continue
+        for s in range(max(n - w, 0) + 1):
+            win = hs[s : s + w]
+            lo = min(win)
+            for j, h in enumerate(win):
+                if h == lo:
+                    out.add((doc_id, s + j, h))
+    return out
+
+
+def test_winnowing_matches_bruteforce(spark):
+    """Fixed corpus incl. short docs, ties, and shared substrings:
+    the distributed selection must equal the brute-force set."""
+    from spark_etl_agent_spark.llm.winnow import winnowing_fingerprints
+
+    texts = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z a b c d e f q"),
+        (3, "p q"),                      # shorter than k: no spans
+        (4, "m m m m m m"),              # all-tie hashes
+        (5, "u v w x y"),                # fewer spans than w
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnowing_fingerprints(df, k=3, w=3).collect()
+    }
+    assert got == _winnow_reference(texts, 3, 3)
+    # the paper's local-match guarantee: docs 1 and 2 share the 7-token
+    # substring 'a b c d e f' (≥ w + k - 1 = 5), so they must share at
+    # least one selected fingerprint VALUE
+    fp1 = {fp for d, _, fp in got if d == 1}
+    fp2 = {fp for d, _, fp in got if d == 2}
+    assert fp1 & fp2
+
+
+def test_winnowing_random_corpora(spark):
+    """Randomized differential vs the brute-force reference (seeded,
+    tiny alphabet so windows are tie-dense)."""
+    import random
+
+    from spark_etl_agent_spark.llm.winnow import winnowing_fingerprints
+
+    rng = random.Random(42)
+    texts = [
+        (i, " ".join(rng.choice("ab cd ef".split()) for _ in range(rng.randint(0, 12))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnowing_fingerprints(df, k=2, w=3).collect()
+    }
+    assert got == _winnow_reference(texts, 2, 3)
