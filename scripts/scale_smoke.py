@@ -168,6 +168,7 @@ def llm_shapes(spark, d: str):
         "scrub_spans": specs["scrub_duplicate_spans"].spark(spark, d),
         "vocab_curve": specs["vocab_coverage_curve"].spark(spark, d),
         "winnowing": specs["winnowing_fingerprints"].spark(spark, d),
+        "winnow_pairs": specs["winnowing_overlap_pairs"].spark(spark, d),
         # round-5 third wave: oriented-wedge triangles (fan-out bounded
         # by oriented degree), exact Gram (sketch-sized map output),
         # and the full-decode perceptual hash (scan-bound mapInPandas)

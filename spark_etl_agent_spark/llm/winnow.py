@@ -93,3 +93,74 @@ def winnowing_fingerprints(
         spans.join(covered, [id_col, "pos", "h"], "left_semi")
         .select(id_col, "pos", F.col("h").alias("fp"))
     )
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Local-overlap detection on winnowing fingerprints: pairs of
+    documents sharing ``min_shared``+ selected fingerprints, scored by
+    ``overlap_ppm = shared_fp·1e6 / min(n_fp_a, n_fp_b)`` (exact
+    integer ppm). The local-match guarantee makes shared fingerprints
+    EVIDENCE of a shared ≥ ``w + k - 1``-token substring — plagiarism /
+    boilerplate-overlap semantics, not whole-document similarity.
+
+    Scale shape (the inverted-index blocking of ``ngram_jaccard``):
+    pairing joins only on fingerprints with ``2 ≤ df ≤ max_df`` — the
+    df cap is part of the operator contract (a fingerprint shared by
+    half the corpus is boilerplate, not overlap evidence) and bounds
+    the self-join fan-out at ``max_df²`` per fingerprint. Per-doc
+    fingerprint sets and df counts are one uniform shuffle each.
+    """
+    fps = (
+        winnowing_fingerprints(docs, text_col, id_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    doc_sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    pairable = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp"),
+        "fp",
+    )
+    a = pairable.select(F.col(id_col).alias("doc_a"), "fp")
+    b = pairable.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    return (
+        pairs.join(
+            doc_sizes.select(
+                F.col(id_col).alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sizes.select(
+                F.col(id_col).alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr("(shared_fp * 1000000) div least(n_fp_a, n_fp_b)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )

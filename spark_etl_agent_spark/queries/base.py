@@ -192,11 +192,13 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (8), then
-    #    the 42 stalest driver rows (10 last-checked r01, 32 r03 —
-    #    computed from the CORRECTNESS_r01..r05 union; the 9 remaining
-    #    r03-era rows, incl. timestamp_parse_roundtrip, token_counts
-    #    and text_stats displaced here, roll into round 7's window) --
+    # -- round 6 rotation: new/schema-changed queries first (9), then
+    #    the 41 stalest driver rows (10 last-checked r01, 31 r03 —
+    #    computed from the CORRECTNESS_r01..r05 union; the 10 remaining
+    #    r03-era rows, incl. timestamp_parse_roundtrip, token_counts,
+    #    text_stats and stat_moments_gallery displaced here, roll into
+    #    round 7's window) --
+    "winnowing_overlap_pairs",
     "winnowing_fingerprints",
     "scrub_duplicate_spans",
     "vocab_coverage_curve",
@@ -248,7 +250,6 @@ DRIVER_WINDOW = (
     "scalar_function_gallery",
     "scd2_temporal_join",
     "semi_anti_join",
-    "stat_moments_gallery",
 )
 
 

@@ -517,6 +517,72 @@ WHERE EXISTS (
 """
 
 
+def winnowing_overlap_pairs(spark, sf_dir):
+    """Local-overlap pairs on winnowing fingerprints: df-capped
+    fingerprint inverted index → shared-count per pair → exact
+    integer-ppm overlap score (`llm/winnow.py`)."""
+    from ..llm.winnow import winnowing_overlap_pairs as overlap
+
+    return overlap(fan_out(load(spark, sf_dir, "documents")))
+
+
+WINNOWING_OVERLAP_PAIRS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) >= 1) AS words
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+    CAST(('0x' || substr(md5(array_to_string(words[i + 1:i + 4], ' ')),
+                         1, 8)) AS BIGINT) AS h
+  FROM w, LATERAL unnest(generate_series(0, len(words) - 4)) AS u(i)
+),
+m AS (
+  SELECT doc_id, pos, h,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+    count(*) OVER (PARTITION BY doc_id) AS n_spans
+  FROM spans
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + u.i AS cpos, win_min
+  FROM m, LATERAL unnest(generate_series(0, 3)) AS u(i)
+  WHERE pos <= greatest(n_spans - 4, 0)
+),
+fps AS (
+  SELECT DISTINCT s.doc_id, s.h AS fp
+  FROM spans s
+  WHERE EXISTS (
+    SELECT 1 FROM covered c
+    WHERE c.doc_id = s.doc_id AND c.cpos = s.pos AND c.win_min = s.h
+  )
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+),
+pairable AS (
+  SELECT f.doc_id, f.fp FROM fps f
+  JOIN (SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND 20) d USING (fp)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(count(*) AS BIGINT) AS shared_fp
+  FROM pairable a JOIN pairable b
+    ON b.fp = a.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+  (p.shared_fp * 1000000) // least(sa.n_fp, sb.n_fp) AS overlap_ppm
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 QUERIES = {
     "exact_dedup": QuerySpec(
         "exact_dedup", exact_dedup, EXACT_DEDUP_SQL,
@@ -580,5 +646,11 @@ QUERIES = {
         WINNOWING_FINGERPRINTS_SQL,
         "MOSS winnowing: per-window minimum 4-gram fingerprints",
         ("dedup", "llm", "text"),
+    ),
+    "winnowing_overlap_pairs": QuerySpec(
+        "winnowing_overlap_pairs", winnowing_overlap_pairs,
+        WINNOWING_OVERLAP_PAIRS_SQL,
+        "Local-overlap pairs via df-capped winnowing-fingerprint index",
+        ("dedup", "llm", "text", "join"),
     ),
 }

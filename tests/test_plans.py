@@ -415,3 +415,11 @@ def test_winnowing_no_cartesian_doc_bounded_windows(spark, sf_dir):
     plan = plan_of(SPECS["winnowing_fingerprints"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_overlap_joins_on_fingerprints(spark, sf_dir):
+    """Overlap pairing must join on the fingerprint equi-key (df-capped
+    inverted index) — never all-pairs."""
+    plan = plan_of(SPECS["winnowing_overlap_pairs"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

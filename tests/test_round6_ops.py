@@ -286,3 +286,32 @@ def test_winnowing_random_corpora(spark):
         for r in winnowing_fingerprints(df, k=2, w=3).collect()
     }
     assert got == _winnow_reference(texts, 2, 3)
+
+
+def test_winnowing_overlap_pairs_semantics(spark):
+    """Two docs sharing a long substring must pair with an exact
+    integer-ppm score; an unrelated doc pairs with nobody; a
+    corpus-wide boilerplate fingerprint (df > max_df) is excluded
+    from pairing evidence."""
+    from spark_etl_agent_spark.llm.winnow import winnowing_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [(1, shared + " one two"), (2, "x y " + shared)]
+    texts += [(i, "common boiler plate text here " + f"u{i} v{i} w{i}")
+              for i in range(3, 10)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in winnowing_overlap_pairs(
+            df, k=3, w=3, max_df=3, min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["shared_fp"] >= 2
+    assert r["overlap_ppm"] == r["shared_fp"] * 1_000_000 // min(
+        r["n_fp_a"], r["n_fp_b"]
+    )
+    # the boilerplate block shares a prefix across 7 docs: its
+    # fingerprints have df=7 > max_df=3, so no pair may rest on them
+    assert not any(a >= 3 and b >= 3 for a, b in got)
