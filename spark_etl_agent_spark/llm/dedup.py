@@ -602,3 +602,93 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def lsh_band_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    configs=((8, 1), (4, 2), (2, 4), (1, 8)),
+    max_width: int = 64,
+) -> DataFrame:
+    """LSH band-configuration calibration: for each candidate
+    ``(n_bands, band_size)`` split of the same MinHash signatures,
+    measure the candidate volume the config would generate — the
+    observed side of the LSH s-curve, which is how you SIZE a dedup
+    run before launching it on 100 TB (more, narrower bands = higher
+    recall but more candidate pairs to verify; this report gives the
+    exact pair counts for each trade-off on the actual corpus).
+
+    Per config row: colliding buckets, candidate multiplicity
+    (Σ width·(width−1)/2 — computed from bucket WIDTHS, no join), the
+    distinct candidate pair count, and the max bucket width. The
+    distinct-pair materialization only touches buckets with
+    ``2 ≤ width ≤ max_width`` — the df-cap contract every pairing
+    operator in this module carries; the multiplicity column still
+    counts the capped buckets, so a hot-bucket config is visible
+    rather than silently truncated.
+
+    Shape: signatures computed once and persisted (they feed every
+    config); per config one bucket-width aggregation plus one
+    width-capped self-join; each config's report is a handful of
+    scalar rows unioned together.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes).persist()
+    rows = []
+    for n_bands, band_size in configs:
+        if n_bands * band_size != n_hashes:
+            raise ValueError(
+                f"config ({n_bands},{band_size}) != {n_hashes} hashes"
+            )
+        banded = _banded(sigs, id_col, n_hashes, band_size)
+        buckets = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("width")
+        )
+        coll = buckets.filter(F.col("width") >= 2)
+        stats = coll.agg(
+            F.count(F.lit(1)).cast("long").alias("n_colliding_buckets"),
+            F.coalesce(
+                F.sum(F.expr("(width * (width - 1)) div 2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("candidate_multiplicity"),
+            F.coalesce(F.max("width"), F.lit(0))
+            .cast("long")
+            .alias("max_bucket_width"),
+        )
+        capped = coll.filter(F.col("width") <= max_width).select(
+            "band_idx", "band_key"
+        )
+        pairable = banded.join(capped, ["band_idx", "band_key"])
+        a = pairable.select(
+            "band_idx", "band_key", F.col(id_col).alias("_ida")
+        )
+        b = pairable.select(
+            "band_idx", "band_key", F.col(id_col).alias("_idb")
+        )
+        npairs = (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb")
+            .distinct()
+            .agg(
+                F.count(F.lit(1))
+                .cast("long")
+                .alias("distinct_candidate_pairs")
+            )
+        )
+        rows.append(
+            stats.crossJoin(npairs).select(
+                F.lit(n_bands).cast("int").alias("n_bands"),
+                F.lit(band_size).cast("int").alias("band_size"),
+                "n_colliding_buckets",
+                "candidate_multiplicity",
+                "distinct_candidate_pairs",
+                "max_bucket_width",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -479,3 +479,161 @@ def vocab_coverage_curve(
             .alias("cum_share_ppm"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every document by how much its hashed-unigram distribution looks
+    like a TARGET subset's distribution vs the raw corpus —
+    ``score = Σ_tokens [ln p_target(bucket(w)) − ln p_raw(bucket(w))]``
+    with add-one smoothing over ``n_buckets`` hash buckets. High-score
+    documents are the ones importance resampling keeps when curating
+    pretraining data toward the target domain.
+
+    ``target`` is a boolean Column marking the target subset (e.g.
+    ``F.col("lang") == "en"``); target membership is a per-document
+    attribute, so the same scan feeds both distributions.
+
+    Shape: one token explode → one compact ``(doc, bucket)`` count
+    aggregation (≤ docs × n_buckets rows, persisted and reused for
+    BOTH distributions and the scoring join) → the two bucket
+    distributions are ≤ n_buckets rows each, joined and broadcast back.
+    One uniform shuffle over the corpus; everything downstream of it is
+    sketch-sized. At 100 TB the per-bucket counts stay < 2^53, so the
+    int64→double quotients are exact in both engines.
+
+    Determinism: each ``ln`` is quantized to micro-units independently
+    (``FLOOR(ln(p)·1e6)``) and the per-doc score is an exact int64 sum
+    of those integers — the repo's tfidf/unigram-LM idiom, so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.alias("_tgt"),
+        F.explode(words_of(F.col(text_col))).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    dbc = (
+        toks.select(id_col, "_tgt", bucket)
+        .groupBy(id_col, "_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    raw = dbc.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt = dbc.filter(F.col("_tgt")).groupBy("bucket").agg(
+        F.sum("c").alias("ct")
+    )
+    dists = raw.join(tgt, "bucket", "left").na.fill({"ct": 0})
+    totals = dists.agg(
+        F.sum("cr").cast("long").alias("_rtot"),
+        F.sum("ct").cast("long").alias("_ttot"),
+    )
+    b = F.lit(n_buckets).cast("long")
+    weights = dists.join(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.floor(
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("_ttot") + b).cast("double")
+                )
+                * 1e6
+            )
+            - F.floor(
+                F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("_rtot") + b).cast("double")
+                )
+                * 1e6
+            )
+        )
+        .cast("long")
+        .alias("lw_micro"),
+    )
+    return (
+        dbc.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lw_micro"))
+            .cast("long")
+            .alias("dsir_score_micro"),
+        )
+    )
+
+
+def bigram_doc_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram (Markov) language-model score per document — the
+    next LM family up from ``unigram_doc_logprob``: fluency now depends
+    on token ORDER, so shuffled or templated word soup scores below
+    natural word sequences even when the unigram mix is identical.
+
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)`` — add-one smoothing
+    over the context vocabulary ``V`` (distinct observed context
+    words). Documents with fewer than 2 tokens have no bigrams and are
+    excluded (same on both engines: empty explode).
+
+    Shape: one bigram explode → bigram counts and context counts (two
+    map-side-combined shuffles over the same exploded frame) → join the
+    bigrams back to their counts (co-partitioned with the count
+    shuffles; the Zipf-head context key is AQE skew-join territory,
+    same contract as ``unigram_doc_logprob``'s count join) → per-doc
+    int64 sum of micro-quantized log-probs. V is a scalar broadcast.
+    """
+    # materialize the token array once so the per-position transform
+    # references it as a bound column (no split re-evaluation per
+    # element — the minhash recompute lesson, llm/dedup.py:82)
+    bg = (
+        df.select(F.col(id_col), words_of(F.col(text_col)).alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1), i -> struct("
+                    "element_at(__ws, i) as w1,"
+                    " element_at(__ws, i + 1) as w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(v))
+        .withColumn(
+            "lp_micro",
+            F.floor(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("_v")).cast("double")
+                )
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp_micro").cast("long").alias("logprob_micro_sum"),
+        F.floor(
+            F.sum("lp_micro").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("avg_logprob_micro"),
+    )

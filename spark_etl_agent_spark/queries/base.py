@@ -192,12 +192,17 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (9), then
-    #    the 41 stalest driver rows (10 last-checked r01, 31 r03 —
-    #    computed from the CORRECTNESS_r01..r05 union; the 10 remaining
+    # -- round 6 rotation: new/schema-changed queries first (12), then
+    #    the 38 stalest driver rows (10 last-checked r01, 28 r03 —
+    #    computed from the CORRECTNESS_r01..r05 union; the 13 remaining
     #    r03-era rows, incl. timestamp_parse_roundtrip, token_counts,
-    #    text_stats and stat_moments_gallery displaced here, roll into
-    #    round 7's window) --
+    #    text_stats, stat_moments_gallery and the three displaced from
+    #    this window's tail by the late additions
+    #    (scalar_function_gallery, scd2_temporal_join, semi_anti_join),
+    #    roll into round 7's window) --
+    "dsir_importance_weights",
+    "bigram_doc_logprob",
+    "lsh_band_calibration",
     "winnowing_overlap_pairs",
     "winnowing_fingerprints",
     "scrub_duplicate_spans",
@@ -247,9 +252,6 @@ DRIVER_WINDOW = (
     "revenue_concentration",
     "rolling_active_users",
     "rollup_returns",
-    "scalar_function_gallery",
-    "scd2_temporal_join",
-    "semi_anti_join",
 )
 
 

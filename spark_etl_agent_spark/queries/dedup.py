@@ -654,3 +654,74 @@ QUERIES = {
         ("dedup", "llm", "text", "join"),
     ),
 }
+
+
+def lsh_band_calibration(spark, sf_dir):
+    """Observed LSH s-curve: candidate volume per (n_bands, band_size)
+    split of the same 8 MinHash signatures — the report that sizes a
+    100 TB dedup run's verify stage before launching it."""
+    return D.lsh_band_profile(fan_out(load(spark, sf_dir, "documents")))
+
+
+def _lsh_band_calibration_sql(
+    configs=((8, 1), (4, 2), (2, 4), (1, 8)), max_width: int = 64
+) -> str:
+    """DuckDB oracle for ``lsh_band_calibration``: the per-config
+    banding unrolled — each config gets its own banded/bucket CTE chain
+    over the shared ``sig`` CTE, mirroring llm.dedup.lsh_band_profile's
+    Python loop."""
+    ctes = [f"WITH {_SHINGLES_CTE},", "sig AS (", f"  SELECT doc_id,\n    {_MH}", "  FROM sh", ")"]
+    rows = []
+    for ci, (n_bands, band_size) in enumerate(configs):
+        bands_union = "\n  UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', "
+            + ", ".join(
+                f"mh{b * band_size + j}" for j in range(band_size)
+            )
+            + ")) AS band_key FROM sig WHERE mh0 IS NOT NULL"
+            for b in range(n_bands)
+        )
+        ctes.append(
+            f""", banded_{ci} AS (
+  {bands_union}
+), buckets_{ci} AS (
+  SELECT band_idx, band_key, count(*) AS width
+  FROM banded_{ci} GROUP BY 1, 2
+), coll_{ci} AS (SELECT * FROM buckets_{ci} WHERE width >= 2),
+stats_{ci} AS (
+  SELECT count(*) AS nb,
+    CAST(COALESCE(sum((width * (width - 1)) // 2), 0) AS BIGINT) AS mult,
+    CAST(COALESCE(max(width), 0) AS BIGINT) AS mw
+  FROM coll_{ci}
+), pp_{ci} AS (
+  SELECT count(*) AS np FROM (
+    SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+    FROM banded_{ci} a
+    JOIN banded_{ci} b USING (band_idx, band_key)
+    JOIN coll_{ci} c USING (band_idx, band_key)
+    WHERE a.doc_id < b.doc_id AND c.width <= {max_width}
+  )
+)"""
+        )
+        rows.append(
+            f"SELECT CAST({n_bands} AS INT) AS n_bands, "
+            f"CAST({band_size} AS INT) AS band_size, "
+            f"CAST(nb AS BIGINT) AS n_colliding_buckets, "
+            f"mult AS candidate_multiplicity, "
+            f"CAST(np AS BIGINT) AS distinct_candidate_pairs, "
+            f"mw AS max_bucket_width "
+            f"FROM stats_{ci}, pp_{ci}"
+        )
+    return "\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+LSH_BAND_CALIBRATION_SQL = _lsh_band_calibration_sql()
+
+
+QUERIES["lsh_band_calibration"] = QuerySpec(
+    "lsh_band_calibration",
+    lsh_band_calibration,
+    LSH_BAND_CALIBRATION_SQL,
+    "LSH band-config calibration: candidate volume per (bands, rows)",
+    ("dedup", "llm", "agg"),
+)

@@ -607,3 +607,96 @@ QUERIES["corpus_datacard"] = QuerySpec(
     "Dataset-card rollup: per-lang / per-source / total corpus stats",
     ("text", "agg", "llm"),
 )
+
+
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data-selection scores (Xie et al. 2023): hashed-unigram
+    log-likelihood-ratio of the English subset vs the raw corpus, per
+    document. Exact int64 micro-unit sums; bucket tables broadcast."""
+    return T.dsir_importance(
+        fan_out(load(spark, sf_dir, "documents")),
+        target=F.col("lang") == "en",
+        n_buckets=256,
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt, unnest({_WORDS}) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tgt,
+    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM toks
+),
+dbc AS (
+  SELECT doc_id, tgt, bucket, count(*) AS c FROM b GROUP BY 1, 2, 3
+),
+raw AS (SELECT bucket, sum(c) AS cr FROM dbc GROUP BY 1),
+tgt AS (SELECT bucket, sum(c) AS ct FROM dbc WHERE tgt GROUP BY 1),
+dists AS (
+  SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct
+  FROM raw r LEFT JOIN tgt t USING (bucket)
+),
+tot AS (SELECT sum(cr) AS rtot, sum(ct) AS ttot FROM dists),
+lw AS (
+  SELECT bucket,
+    CAST(FLOOR(ln(CAST(ct + 1 AS DOUBLE) / CAST(ttot + 256 AS DOUBLE))
+               * 1e6) AS BIGINT)
+    - CAST(FLOOR(ln(CAST(cr + 1 AS DOUBLE) / CAST(rtot + 256 AS DOUBLE))
+                 * 1e6) AS BIGINT) AS lw_micro
+  FROM dists, tot
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(sum(c * lw_micro) AS BIGINT) AS dsir_score_micro
+FROM dbc JOIN lw USING (bucket)
+GROUP BY doc_id
+"""
+
+
+QUERIES["dsir_importance_weights"] = QuerySpec(
+    "dsir_importance_weights",
+    dsir_importance_weights,
+    DSIR_IMPORTANCE_WEIGHTS_SQL,
+    "DSIR importance resampling scores (hashed-unigram LLR vs target)",
+    ("text", "llm", "sampling"),
+)
+
+
+def bigram_doc_logprob(spark, sf_dir):
+    return T.bigram_doc_logprob(fan_out(load(spark, sf_dir, "documents")))
+
+
+BIGRAM_DOC_LOGPROB_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(*) AS vv FROM c1),
+scored AS (
+  SELECT bg.doc_id,
+    CAST(FLOOR(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vv AS DOUBLE))
+               * 1e6) AS BIGINT) AS lp_micro
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+)
+SELECT doc_id,
+  count(*) AS n_bigrams,
+  CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro_sum,
+  CAST(FLOOR(CAST(SUM(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+    AS avg_logprob_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+QUERIES["bigram_doc_logprob"] = QuerySpec(
+    "bigram_doc_logprob",
+    bigram_doc_logprob,
+    BIGRAM_DOC_LOGPROB_SQL,
+    "Bigram Markov-LM doc score (order-aware fluency signal)",
+    ("text", "llm", "agg"),
+)

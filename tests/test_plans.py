@@ -423,3 +423,34 @@ def test_winnowing_overlap_joins_on_fingerprints(spark, sf_dir):
     plan = plan_of(SPECS["winnowing_overlap_pairs"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_bucket_tables_broadcast(spark, sf_dir):
+    """DSIR: the ≤256-row bucket weight table must broadcast back onto
+    the (doc, bucket) counts — the corpus-sized side never re-shuffles
+    for the scoring join, and nothing is all-pairs."""
+    plan = plan_of(SPECS["dsir_importance_weights"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_logprob_count_joins_are_equi(spark, sf_dir):
+    """Bigram LM: count joins are equi-joins on (w1, w2) / w1; the only
+    nested-loop site is the 1-row V scalar broadcast."""
+    import re
+
+    plan = plan_of(SPECS["bigram_doc_logprob"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # one BNLJ node only (the 1-row V scalar); formatted explain prints
+    # each node in both the tree and the detail section, so count the
+    # detail headers
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_lsh_band_calibration_no_cartesian(spark, sf_dir):
+    """Band calibration: every pairing join is an equi-join on
+    (band_idx, band_key); the per-config scalar stats rows may
+    broadcast-nested-loop only as 1×1 crossJoins."""
+    df = SPECS["lsh_band_calibration"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,241 @@
+"""Round-6 late additions: DSIR importance weights, bigram Markov-LM
+doc scoring, LSH band-configuration calibration — each pinned against
+a pure-Python brute-force reference plus a semantic property."""
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(w: str, n_buckets: int = 256) -> int:
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _dsir_reference(docs, target_ids, n_buckets=256):
+    """Pure-Python DSIR: hashed-unigram add-one LLR, micro-quantized
+    per bucket exactly like the Spark/DuckDB pair."""
+    raw = Counter()
+    tgt = Counter()
+    for doc_id, text in docs:
+        for w in text.lower().split():
+            b = _md5_bucket(w, n_buckets)
+            raw[b] += 1
+            if doc_id in target_ids:
+                tgt[b] += 1
+    rtot, ttot = sum(raw.values()), sum(tgt.values())
+    lw = {
+        b: math.floor(math.log((tgt[b] + 1) / (ttot + n_buckets)) * 1e6)
+        - math.floor(math.log((raw[b] + 1) / (rtot + n_buckets)) * 1e6)
+        for b in raw
+    }
+    out = {}
+    for doc_id, text in docs:
+        words = text.lower().split()
+        score = sum(lw[_md5_bucket(w, n_buckets)] for w in words)
+        out[doc_id] = (len(words), score)
+    return out
+
+
+def test_dsir_matches_pure_python(spark):
+    from spark_etl_agent_spark.llm.text import dsir_importance
+
+    docs = [
+        (1, "alpha beta gamma alpha", "en"),
+        (2, "alpha beta beta", "en"),
+        (3, "delta epsilon zeta", "de"),
+        (4, "delta delta epsilon", "de"),
+        (5, "alpha delta beta epsilon", "fr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score_micro"])
+        for r in dsir_importance(df, target=F.col("lang") == "en").collect()
+    }
+    ref = _dsir_reference([(i, t) for i, t, _ in docs], target_ids={1, 2})
+    assert got == ref
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """The semantic contract: a document whose vocabulary matches the
+    target subset's must outscore one drawn from the out-of-target
+    vocabulary — that ordering is what importance resampling selects
+    on."""
+    from spark_etl_agent_spark.llm.text import dsir_importance
+
+    rows = [(i, "alpha beta gamma", "en") for i in range(10)]
+    rows += [(100 + i, "delta epsilon zeta", "de") for i in range(10)]
+    # two probe docs OUTSIDE the target subset
+    rows += [(200, "alpha beta gamma", "fr"), (201, "delta epsilon zeta", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scores = {
+        r["doc_id"]: r["dsir_score_micro"]
+        for r in dsir_importance(df, target=F.col("lang") == "en").collect()
+    }
+    assert scores[200] > scores[201]
+
+
+def test_dsir_partition_count_independent(spark):
+    from spark_etl_agent_spark.llm.text import dsir_importance
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} tok{i % 5} shared", "en" if i % 2 else "de")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tgt = F.col("lang") == "en"
+    one = sorted(
+        map(tuple, dsir_importance(df.coalesce(1), target=tgt).collect())
+    )
+    many = sorted(
+        map(tuple, dsir_importance(df.repartition(13), target=tgt).collect())
+    )
+    assert one == many
+
+
+def _bigram_reference(docs):
+    bigrams = []
+    per_doc = {}
+    for doc_id, text in docs:
+        ws = text.lower().split()
+        bg = list(zip(ws, ws[1:]))
+        per_doc[doc_id] = bg
+        bigrams.extend(bg)
+    c2 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    v = len(c1)
+    out = {}
+    for doc_id, bg in per_doc.items():
+        if not bg:
+            continue
+        lps = [
+            math.floor(math.log((c2[p] + 1) / (c1[p[0]] + v)) * 1e6)
+            for p in bg
+        ]
+        out[doc_id] = (
+            len(bg),
+            sum(lps),
+            math.floor(sum(lps) / len(bg)),
+        )
+    return out
+
+
+def test_bigram_logprob_matches_pure_python(spark):
+    from spark_etl_agent_spark.llm.text import bigram_doc_logprob
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "mat the on sat cat the"),
+        (4, "solo"),  # < 2 tokens: no bigrams, excluded
+        (5, "the cat sat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["logprob_micro_sum"],
+            r["avg_logprob_micro"],
+        )
+        for r in bigram_doc_logprob(df).collect()
+    }
+    ref = _bigram_reference(docs)
+    assert got == ref
+    assert 4 not in got
+
+
+def test_bigram_logprob_is_order_aware(spark):
+    """Same unigram multiset, different order: the document made of the
+    corpus's dominant bigram must outscore its reversal — exactly the
+    signal unigram_doc_logprob cannot see."""
+    from spark_etl_agent_spark.llm.text import bigram_doc_logprob
+
+    rows = [(i, "x y x y x y") for i in range(10)]
+    rows += [(100, "x y x y"), (101, "y y x x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["avg_logprob_micro"]
+        for r in bigram_doc_logprob(df).collect()
+    }
+    assert scores[100] > scores[101]
+
+
+def _band_profile_reference(sigs, configs, max_width):
+    """Brute-force band profile from collected signature rows."""
+    out = {}
+    for n_bands, band_size in configs:
+        buckets = Counter()
+        members = {}
+        for row in sigs:
+            if row["mh0"] is None:
+                continue
+            for b in range(n_bands):
+                key = (
+                    b,
+                    hashlib.md5(
+                        "|".join(
+                            row[f"mh{b * band_size + j}"]
+                            for j in range(band_size)
+                        ).encode()
+                    ).hexdigest(),
+                )
+                buckets[key] += 1
+                members.setdefault(key, []).append(row["doc_id"])
+        coll = {k: n for k, n in buckets.items() if n >= 2}
+        pairs = set()
+        for k, n in coll.items():
+            if n > max_width:
+                continue
+            ms = sorted(members[k])
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    pairs.add((ms[i], ms[j]))
+        out[(n_bands, band_size)] = (
+            len(coll),
+            sum(n * (n - 1) // 2 for n in coll.values()),
+            len(pairs),
+            max(coll.values()) if coll else 0,
+        )
+    return out
+
+
+def test_lsh_band_profile_matches_bruteforce(spark):
+    from spark_etl_agent_spark.llm.dedup import (
+        lsh_band_profile,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base) for i in range(3)]  # exact clique
+    docs += [(10, base + " extra tail tokens here"), (11, "zz")]  # near + short
+    docs += [(20 + i, f"unique doc {i} with words w{i} v{i} u{i} t{i}")
+             for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    configs = ((8, 1), (4, 2), (2, 4), (1, 8))
+    got = {
+        (r["n_bands"], r["band_size"]): (
+            r["n_colliding_buckets"],
+            r["candidate_multiplicity"],
+            r["distinct_candidate_pairs"],
+            r["max_bucket_width"],
+        )
+        for r in lsh_band_profile(df, configs=configs).collect()
+    }
+    sigs = [r.asDict() for r in minhash_signatures(df).collect()]
+    ref = _band_profile_reference(sigs, configs, max_width=64)
+    assert got == ref
+    # wider bands = stricter collisions: distinct candidate pairs are
+    # monotone non-increasing in band_size (a (4,2) collision implies
+    # both (8,1) collisions)
+    by_rows = [got[c][2] for c in configs]
+    assert by_rows == sorted(by_rows, reverse=True)
+
+
+def test_lsh_band_profile_rejects_bad_config(spark):
+    from spark_etl_agent_spark.llm.dedup import lsh_band_profile
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="config"):
+        lsh_band_profile(df, configs=((3, 2),)).collect()
