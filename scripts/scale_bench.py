@@ -76,6 +76,9 @@ TOP_QUERIES = [
     "agg_topk_quantities",
     # round-6 addition: the ExactSubstr rewrite enters the top-cost set
     "scrub_duplicate_spans",
+    # round-6 late wave: the 4-config band profile re-minhashes and
+    # self-joins per config — top-cost by the sf0.1 bench
+    "lsh_band_calibration",
 ]
 
 

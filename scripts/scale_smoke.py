@@ -169,6 +169,12 @@ def llm_shapes(spark, d: str):
         "vocab_curve": specs["vocab_coverage_curve"].spark(spark, d),
         "winnowing": specs["winnowing_fingerprints"].spark(spark, d),
         "winnow_pairs": specs["winnowing_overlap_pairs"].spark(spark, d),
+        # round-6 late wave: DSIR scoring (one corpus shuffle + 256-row
+        # broadcast) and the 4-config LSH band profile (signatures
+        # persisted once; per-config df-capped bucket self-joins — the
+        # blow-up's char rotations keep collision growth linear)
+        "dsir": specs["dsir_importance_weights"].spark(spark, d),
+        "band_calib": specs["lsh_band_calibration"].spark(spark, d),
         # round-5 third wave: oriented-wedge triangles (fan-out bounded
         # by oriented degree), exact Gram (sketch-sized map output),
         # and the full-decode perceptual hash (scan-bound mapInPandas)
