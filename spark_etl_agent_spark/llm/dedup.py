@@ -692,3 +692,58 @@ def lsh_band_profile(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights=(0.8, 0.1, 0.1),
+    salt: str = "split1",
+) -> DataFrame:
+    """Train/val/test contamination audit: every verified near-duplicate
+    pair (full LSH pipeline, exact Jaccard ≥ 0.5 checked as the
+    integer-exact ``2·n_common ≥ union``) labeled with both documents'
+    stable hash-split assignments and an ``is_leak`` flag for pairs
+    that CROSS splits — the eval-hygiene failure ``decontaminate_corpus``
+    (benchmark n-grams) cannot see, because the leak is between a
+    corpus and itself.
+
+    Shape: the minhash/LSH candidate generation and Jaccard
+    verification are the proven ``minhash_near_duplicates`` pipeline;
+    the split table adds one projection of the corpus keys and two
+    equi-joins on doc id (uniform). No new shuffle class.
+    """
+    from .sampling import train_val_test_split
+
+    pairs = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col))
+    verified = jaccard_verify(df, pairs, text_col, id_col)
+    neardup = verified.filter(
+        F.expr("n_common * 2 >= (n_a + n_b - n_common)")
+    )
+    splits = train_val_test_split(
+        df.select(id_col), key_col=id_col, weights=weights, salt=salt
+    ).select(id_col, "split")
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        neardup.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "split_a",
+            "split_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("(n_common * 1000000) div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )

@@ -637,3 +637,47 @@ def bigram_doc_logprob(
         .cast("long")
         .alias("avg_logprob_micro"),
     )
+
+
+def perplexity_prune_band(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lo: float = 0.1,
+    hi: float = 0.9,
+) -> DataFrame:
+    """Perplexity-band pruning (the CCNet/Gopher practice): keep only
+    documents whose unigram-LM score sits INSIDE the per-language
+    [P10, P90] band — the low tail is gibberish/noise, the high tail
+    is degenerate high-probability boilerplate (repeated stopwords,
+    templates). Grouping by language matters because LM scores are not
+    comparable across languages.
+
+    The per-language thresholds come from
+    ``operators.ranks.grouped_quantile_cont`` — exact rank-based
+    quantiles with NO whole-group buffering, so a language covering
+    half of a 100 TB corpus cannot OOM a reducer the way Spark's
+    ``percentile()`` aggregate would. The threshold table (one row per
+    language) broadcasts back onto the scored corpus.
+    """
+    from ..operators.ranks import grouped_quantile_cont
+
+    scores = unigram_doc_logprob(df, text_col, id_col)
+    scored = df.select(F.col(id_col), F.col(lang_col)).join(scores, id_col)
+    q_lo = f"q_{int(lo * 100)}"
+    q_hi = f"q_{int(hi * 100)}"
+    qs = grouped_quantile_cont(
+        scored.select(lang_col, "avg_logprob_micro"),
+        [lang_col],
+        "avg_logprob_micro",
+        [lo, hi],
+    )
+    return (
+        scored.join(F.broadcast(qs), lang_col)
+        .filter(
+            (F.col("avg_logprob_micro") >= F.col(q_lo))
+            & (F.col("avg_logprob_micro") <= F.col(q_hi))
+        )
+        .select(id_col, lang_col, "n_tokens", "avg_logprob_micro")
+    )

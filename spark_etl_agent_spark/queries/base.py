@@ -192,14 +192,17 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (12), then
-    #    the 38 stalest driver rows (10 last-checked r01, 28 r03 —
-    #    computed from the CORRECTNESS_r01..r05 union; the 13 remaining
+    # -- round 6 rotation: new/schema-changed queries first (14), then
+    #    the 36 stalest driver rows (10 last-checked r01, 26 r03 —
+    #    computed from the CORRECTNESS_r01..r05 union; the 15 remaining
     #    r03-era rows, incl. timestamp_parse_roundtrip, token_counts,
-    #    text_stats, stat_moments_gallery and the three displaced from
+    #    text_stats, stat_moments_gallery and the five displaced from
     #    this window's tail by the late additions
-    #    (scalar_function_gallery, scd2_temporal_join, semi_anti_join),
-    #    roll into round 7's window) --
+    #    (scalar_function_gallery, scd2_temporal_join, semi_anti_join,
+    #    rolling_active_users, rollup_returns), roll into round 7's
+    #    window) --
+    "split_leakage_audit",
+    "perplexity_prune_band",
     "dsir_importance_weights",
     "bigram_doc_logprob",
     "lsh_band_calibration",
@@ -250,8 +253,6 @@ DRIVER_WINDOW = (
     "poc_projection",
     "retailprice_histogram",
     "revenue_concentration",
-    "rolling_active_users",
-    "rollup_returns",
 )
 
 

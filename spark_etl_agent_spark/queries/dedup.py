@@ -725,3 +725,80 @@ QUERIES["lsh_band_calibration"] = QuerySpec(
     "LSH band-config calibration: candidate volume per (bands, rows)",
     ("dedup", "llm", "agg"),
 )
+
+
+def split_leakage_audit(spark, sf_dir):
+    """Near-duplicate contamination across the stable train/val/test
+    hash split: verified near-dup pairs (exact Jaccard >= 0.5, checked
+    in exact integers) labeled with both ends' splits and an is_leak
+    flag — the self-contamination decontaminate_corpus can't see."""
+    return D.split_leakage_audit(fan_out(load(spark, sf_dir, "documents")))
+
+
+_SPLIT_BUCKET = (
+    "CAST('0x' || substr(md5('split1' || CAST({col} AS VARCHAR)), 1, 8) "
+    "AS BIGINT)"
+)
+
+SPLIT_LEAKAGE_AUDIT_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    {_MH}
+  FROM sh
+),
+banded AS (
+  {_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+verified AS (
+  SELECT p.id_a, p.id_b,
+    coalesce(c.n_common, 0) AS n_common,
+    na.n_shingles AS n_a, nb.n_shingles AS n_b
+  FROM pairs p
+  LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+  JOIN sizes na ON na.doc_id = p.id_a
+  JOIN sizes nb ON nb.doc_id = p.id_b
+  WHERE coalesce(c.n_common, 0) * 2 >= (na.n_shingles + nb.n_shingles
+                                        - coalesce(c.n_common, 0))
+),
+splits AS (
+  SELECT doc_id,
+    CASE WHEN {_SPLIT_BUCKET.format(col='doc_id')}
+           < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+         WHEN {_SPLIT_BUCKET.format(col='doc_id')}
+           < CAST((0.8 + 0.1) * 4294967296 AS BIGINT) THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT v.id_a, v.id_b, sa.split AS split_a, sb.split AS split_b,
+  v.n_common, v.n_a, v.n_b,
+  (v.n_common * 1000000) // (v.n_a + v.n_b - v.n_common) AS jaccard_ppm,
+  sa.split <> sb.split AS is_leak
+FROM verified v
+JOIN splits sa ON sa.doc_id = v.id_a
+JOIN splits sb ON sb.doc_id = v.id_b
+"""
+
+
+QUERIES["split_leakage_audit"] = QuerySpec(
+    "split_leakage_audit",
+    split_leakage_audit,
+    SPLIT_LEAKAGE_AUDIT_SQL,
+    "Near-dup contamination across train/val/test splits (is_leak)",
+    ("dedup", "llm", "join"),
+)

@@ -700,3 +700,55 @@ QUERIES["bigram_doc_logprob"] = QuerySpec(
     "Bigram Markov-LM doc score (order-aware fluency signal)",
     ("text", "llm", "agg"),
 )
+
+
+def perplexity_prune_band(spark, sf_dir):
+    """Per-language [P10, P90] unigram-LM score band filter — the
+    CCNet-style perplexity pruning pass (drop gibberish AND degenerate
+    boilerplate), thresholds via the rank-based exact grouped quantile
+    (no whole-group buffering)."""
+    return T.perplexity_prune_band(fan_out(load(spark, sf_dir, "documents")))
+
+
+PERPLEXITY_PRUNE_BAND_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+total AS (SELECT sum(wc) AS tot FROM counts),
+tok_scored AS (
+  SELECT doc_id,
+    CAST(FLOOR(ln(CAST(wc AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT)
+      AS lp_micro
+  FROM toks JOIN counts USING (w), total
+),
+scores AS (
+  SELECT doc_id,
+    count(*) AS n_tokens,
+    CAST(FLOOR(CAST(SUM(lp_micro) AS DOUBLE) / count(*)) AS BIGINT)
+      AS avg_logprob_micro
+  FROM tok_scored GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, s.n_tokens, s.avg_logprob_micro
+  FROM documents d JOIN scores s USING (doc_id)
+),
+qs AS (
+  SELECT lang,
+    quantile_cont(avg_logprob_micro, 0.1) AS q_lo,
+    quantile_cont(avg_logprob_micro, 0.9) AS q_hi
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob_micro
+FROM scored s JOIN qs USING (lang)
+WHERE s.avg_logprob_micro >= qs.q_lo AND s.avg_logprob_micro <= qs.q_hi
+"""
+
+
+QUERIES["perplexity_prune_band"] = QuerySpec(
+    "perplexity_prune_band",
+    perplexity_prune_band,
+    PERPLEXITY_PRUNE_BAND_SQL,
+    "Per-lang [P10,P90] LM-score band pruning (CCNet-style)",
+    ("text", "llm", "window"),
+)

@@ -454,3 +454,23 @@ def test_lsh_band_calibration_no_cartesian(spark, sf_dir):
     df = SPECS["lsh_band_calibration"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_no_cartesian(spark, sf_dir):
+    """Leakage audit rides the proven LSH band equi-join; split labels
+    join on the doc id — nothing all-pairs."""
+    plan = plan_of(SPECS["split_leakage_audit"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_band_thresholds_broadcast_no_percentile_buffer(
+    spark, sf_dir
+):
+    """Band pruning: thresholds come from the rank-based grouped
+    quantile (no whole-group percentile() buffering) and the per-lang
+    threshold table broadcasts back onto the scored corpus."""
+    plan = plan_of(SPECS["perplexity_prune_band"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "percentile" not in plan.lower().replace("percent_rank", "")
+    assert "BroadcastHashJoin" in plan

@@ -239,3 +239,110 @@ def test_lsh_band_profile_rejects_bad_config(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="config"):
         lsh_band_profile(df, configs=((3, 2),)).collect()
+
+
+def test_split_leakage_audit_flags_cross_split_neardups(spark):
+    """Near-identical docs whose ids hash into different splits must
+    surface with is_leak=true; a low-Jaccard candidate pair must be
+    excluded by the integer 2·common ≥ union threshold."""
+    from spark_etl_agent_spark.llm.dedup import split_leakage_audit
+    from spark_etl_agent_spark.llm.sampling import hash_bucket, _HASH_SPACE
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # find two doc ids in different splits (stable md5 hash split)
+    rows = [(i, base) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage_audit(df).collect()
+    assert len(out) > 0
+    splits = {}
+    from pyspark.sql import functions as F2
+    for r in df.select(
+        "doc_id",
+        F2.when(
+            hash_bucket(F2.col("doc_id"), "split1") < int(0.8 * _HASH_SPACE),
+            "train",
+        )
+        .when(
+            hash_bucket(F2.col("doc_id"), "split1") < int(0.9 * _HASH_SPACE),
+            "val",
+        )
+        .otherwise("test")
+        .alias("split"),
+    ).collect():
+        splits[r["doc_id"]] = r["split"]
+    for r in out:
+        assert r["split_a"] == splits[r["id_a"]]
+        assert r["split_b"] == splits[r["id_b"]]
+        assert r["is_leak"] == (r["split_a"] != r["split_b"])
+        # identical docs: full overlap
+        assert r["jaccard_ppm"] == 1_000_000
+    assert any(r["is_leak"] for r in out)
+    assert any(not r["is_leak"] for r in out)
+
+
+def test_split_leakage_excludes_sub_half_jaccard(spark):
+    """A candidate pair below Jaccard 0.5 (e.g. one doc a strict
+    extension of the other beyond 2x) must not appear, even though LSH
+    banding proposes it."""
+    from spark_etl_agent_spark.llm.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        split_leakage_audit,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = a + " " + " ".join(f"extra{i} pad{i} fill{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    cands = jaccard_verify(
+        df, lsh_candidate_pairs(minhash_signatures(df))
+    ).collect()
+    if cands:  # banding did propose the pair
+        assert all(c["jaccard"] < 0.5 for c in cands)
+        assert split_leakage_audit(df).count() == 0
+
+
+def test_perplexity_prune_band_matches_numpy(spark):
+    """Band membership vs a pure numpy/python reference: same unigram
+    micro scores, same linear-interpolated per-lang percentiles."""
+    import numpy as np
+
+    from spark_etl_agent_spark.llm.text import perplexity_prune_band
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"common common word{i % 5} tail{i}", "en"))
+    for i in range(30, 45):
+        rows.append((i, f"rare{i} rare{i} unique{i}", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["avg_logprob_micro"]
+        for r in perplexity_prune_band(df).collect()
+    }
+    # reference
+    corpus = Counter()
+    toks = {}
+    for i, t, _ in rows:
+        ws = t.lower().split()
+        toks[i] = ws
+        corpus.update(ws)
+    tot = sum(corpus.values())
+    scores = {}
+    for i, t, lang in rows:
+        lps = [
+            math.floor(math.log(corpus[w] / tot) * 1e6) for w in toks[i]
+        ]
+        scores[i] = (lang, math.floor(sum(lps) / len(lps)))
+    keep = {}
+    for lang in {l for l, _ in scores.values()}:
+        vals = np.array(
+            sorted(s for l, s in scores.values() if l == lang), dtype=float
+        )
+        lo = np.percentile(vals, 10, method="linear")
+        hi = np.percentile(vals, 90, method="linear")
+        for i, (l, s) in scores.items():
+            if l == lang and lo <= s <= hi:
+                keep[i] = s
+    assert got == keep
