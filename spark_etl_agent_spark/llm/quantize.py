@@ -137,24 +137,27 @@ def pq_encode_stats(
         base.orderBy("vec_id").limit(k).select("vec_id", "svec").collect()
     )
 
-    # one literal-codebook argmin per subspace, all in a single projection
+    # one literal-codebook argmin per subspace, all in a single
+    # projection — rendered as SQL text and parsed once per subspace
+    # (m·k·d_sub individual F.lit Columns cost one py4j round-trip
+    # each; the kmeans._assign_literal lesson)
+    from .kmeans import _dlit
+
     sub_assignments = []
     for j in range(m):
-        sub = F.slice(F.col("svec"), j * d_sub + 1, d_sub)
+        sub_sql = f"slice(svec, {j * d_sub + 1}, {d_sub})"
         structs = []
         for cell, row in enumerate(seeds):
-            cvec = F.array(
-                *[F.lit(float(x)) for x in row.svec[j * d_sub : (j + 1) * d_sub]]
+            cvec_sql = "array(" + ",".join(
+                _dlit(x) for x in row.svec[j * d_sub : (j + 1) * d_sub]
+            ) + ")"
+            dist_sql = (
+                f"aggregate(zip_with({sub_sql}, {cvec_sql}, "
+                f"(x, c) -> (x - c) * (x - c)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             )
-            dist = F.aggregate(
-                F.zip_with(sub, cvec, lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            structs.append(
-                F.struct(dist.alias("d"), F.lit(cell).alias("cell"))
-            )
-        best = F.array_min(F.array(*structs))
+            structs.append(f"named_struct('d', {dist_sql}, 'cell', {cell})")
+        best = F.expr(f"array_min(array({', '.join(structs)}))")
         sub_assignments.append(best["cell"].alias(f"c{j}"))
 
     coded = base.select("vec_id", "svec", *sub_assignments)
