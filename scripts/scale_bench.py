@@ -79,6 +79,10 @@ TOP_QUERIES = [
     # round-6 late wave: the 4-config band profile re-minhashes and
     # self-joins per config — top-cost by the sf0.1 bench
     "lsh_band_calibration",
+    # round-6 final wave: three-family agreement (runs all three
+    # fingerprinting pipelines) and the near-dup split-leakage audit
+    "dedup_family_agreement",
+    "split_leakage_audit",
 ]
 
 

@@ -175,6 +175,10 @@ def llm_shapes(spark, d: str):
         # blow-up's char rotations keep collision growth linear)
         "dsir": specs["dsir_importance_weights"].spark(spark, d),
         "band_calib": specs["lsh_band_calibration"].spark(spark, d),
+        # round-6 final wave: three proven pipelines + one uniform
+        # pair-key union agg; near-dup pairs + two doc-id equi-joins
+        "family_agree": specs["dedup_family_agreement"].spark(spark, d),
+        "split_leakage": specs["split_leakage_audit"].spark(spark, d),
         # round-5 third wave: oriented-wedge triangles (fan-out bounded
         # by oriented degree), exact Gram (sketch-sized map output),
         # and the full-decode perceptual hash (scan-bound mapInPandas)

@@ -747,3 +747,63 @@ def split_leakage_audit(
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+def dedup_family_agreement(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-family dedup agreement: which near-duplicate pairs are
+    found by MinHash-Jaccard (whole-document set overlap, ≥ 0.5
+    integer-exact), SimHash (weighted-token Hamming ≤ 3), and
+    winnowing local overlap (≥ 2 shared selected fingerprints) — and
+    which by more than one. The report that picks a family (or a
+    union of families) for a 100 TB dedup run: a large
+    'winnowing'-only bucket means local/boilerplate overlap the
+    whole-document sketches cannot see; a large 'minhash+simhash'
+    bucket means the cheap families agree and the expensive union
+    adds little.
+
+    Shape: the three proven pipelines run as-is (each df-capped /
+    bucket-guarded as documented on its operator), then one uniform
+    (a, b) pair-key aggregation over their tagged union. Output is
+    family-combination buckets with exact pair counts — sketch-sized.
+    """
+    from .winnow import winnowing_overlap_pairs as _winnow_pairs
+
+    m = (
+        jaccard_verify(
+            df,
+            lsh_candidate_pairs(minhash_signatures(df, text_col, id_col)),
+            text_col,
+            id_col,
+        )
+        .filter(F.expr("n_common * 2 >= (n_a + n_b - n_common)"))
+        .select(
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.lit("minhash").alias("fam"),
+        )
+    )
+    s = simhash_near_pairs(df, text_col, id_col).select(
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit("simhash").alias("fam"),
+    )
+    w = _winnow_pairs(df, text_col, id_col).select(
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.lit("winnowing").alias("fam"),
+    )
+    per_pair = (
+        m.unionByName(s)
+        .unionByName(w)
+        .groupBy("a", "b")
+        .agg(
+            F.concat_ws("+", F.array_sort(F.collect_set("fam"))).alias(
+                "families"
+            )
+        )
+    )
+    return per_pair.groupBy("families").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

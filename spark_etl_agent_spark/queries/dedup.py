@@ -802,3 +802,47 @@ QUERIES["split_leakage_audit"] = QuerySpec(
     "Near-dup contamination across train/val/test splits (is_leak)",
     ("dedup", "llm", "join"),
 )
+
+
+def dedup_family_agreement(spark, sf_dir):
+    """Agreement report across the three fingerprinting families
+    (MinHash-Jaccard >= 0.5, SimHash Hamming <= 3, winnowing local
+    overlap) — exact pair counts per family combination."""
+    return D.dedup_family_agreement(fan_out(load(spark, sf_dir, "documents")))
+
+
+DEDUP_FAMILY_AGREEMENT_SQL = f"""
+WITH fam_m AS (
+  SELECT id_a AS a, id_b AS b, 'minhash' AS fam
+  FROM ({MINHASH_NEAR_DUPLICATES_SQL})
+  WHERE n_common * 2 >= (n_a + n_b - n_common)
+),
+fam_s AS (
+  SELECT id_a AS a, id_b AS b, 'simhash' AS fam
+  FROM ({SIMHASH_NEAR_DUPLICATES_SQL})
+),
+fam_w AS (
+  SELECT doc_a AS a, doc_b AS b, 'winnowing' AS fam
+  FROM ({WINNOWING_OVERLAP_PAIRS_SQL})
+),
+tagged AS (
+  SELECT * FROM fam_m
+  UNION ALL SELECT * FROM fam_s
+  UNION ALL SELECT * FROM fam_w
+),
+per_pair AS (
+  SELECT a, b,
+    array_to_string(list_sort(list(DISTINCT fam)), '+') AS families
+  FROM tagged GROUP BY a, b
+)
+SELECT families, count(*) AS n_pairs FROM per_pair GROUP BY families
+"""
+
+
+QUERIES["dedup_family_agreement"] = QuerySpec(
+    "dedup_family_agreement",
+    dedup_family_agreement,
+    DEDUP_FAMILY_AGREEMENT_SQL,
+    "Cross-family near-dup agreement (minhash/simhash/winnowing)",
+    ("dedup", "llm", "agg"),
+)

@@ -752,3 +752,65 @@ QUERIES["perplexity_prune_band"] = QuerySpec(
     "Per-lang [P10,P90] LM-score band pruning (CCNet-style)",
     ("text", "llm", "window"),
 )
+
+
+def bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility audit: train 6 BPE merges on the corpus,
+    encode every document, and report per-language tokens-per-word and
+    chars-per-token in exact integer ppm — the metric that decides
+    whether a tokenizer under-serves a language (high fertility =
+    more tokens per word = higher serving/training cost for that
+    language)."""
+    from ..llm.bpe import bpe_encode_stats, bpe_train
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    _, merges = bpe_train(docs, n_merges=6)
+    stats = bpe_encode_stats(docs, merges)
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("words_sum"),
+            F.sum("n_chars_m").cast("long").alias("chars_sum"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens_sum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "words_sum",
+            "chars_sum",
+            "bpe_tokens_sum",
+            F.expr("(bpe_tokens_sum * 1000000) div words_sum")
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr("(chars_sum * 1000000) div bpe_tokens_sum")
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+        )
+    )
+
+
+BPE_FERTILITY_BY_LANG_SQL = f"""
+SELECT d.lang,
+  count(*) AS n_docs,
+  CAST(sum(e.n_words) AS BIGINT) AS words_sum,
+  CAST(sum(e.n_chars_m) AS BIGINT) AS chars_sum,
+  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS bpe_tokens_sum,
+  (CAST(sum(e.n_bpe_tokens) AS BIGINT) * 1000000)
+    // CAST(sum(e.n_words) AS BIGINT) AS fertility_ppm,
+  (CAST(sum(e.n_chars_m) AS BIGINT) * 1000000)
+    // CAST(sum(e.n_bpe_tokens) AS BIGINT) AS chars_per_token_ppm
+FROM ({_bpe_encode_oracle_sql(6)}) e
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+QUERIES["bpe_fertility_by_lang"] = QuerySpec(
+    "bpe_fertility_by_lang",
+    bpe_fertility_by_lang,
+    BPE_FERTILITY_BY_LANG_SQL,
+    "Per-language BPE fertility (tokens/word ppm) after 6 merges",
+    ("text", "llm", "agg"),
+)

@@ -346,3 +346,89 @@ def test_perplexity_prune_band_matches_numpy(spark):
             if l == lang and lo <= s <= hi:
                 keep[i] = s
     assert got == keep
+
+
+def test_dedup_family_agreement_buckets(spark):
+    """Composition vs components: bucket counts must equal the
+    families computed by running the three pipelines independently;
+    a local-overlap-only pair (shared 7+-token run inside otherwise
+    different docs) must land in a winnowing-only bucket."""
+    from spark_etl_agent_spark.llm.dedup import (
+        dedup_family_agreement,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_near_pairs,
+    )
+    from spark_etl_agent_spark.llm.winnow import winnowing_overlap_pairs
+
+    shared_run = "one two three four five six seven eight"
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, shared_run + " " + " ".join(f"left{i} l{i} m{i}" for i in range(12))),
+        (4, " ".join(f"right{i} r{i} s{i}" for i in range(12)) + " " + shared_run),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["families"]: r["n_pairs"]
+        for r in dedup_family_agreement(df).collect()
+    }
+    # independent components
+    fams = {}
+    m = jaccard_verify(df, lsh_candidate_pairs(minhash_signatures(df)))
+    for r in m.collect():
+        if r["n_common"] * 2 >= (r["n_a"] + r["n_b"] - r["n_common"]):
+            fams.setdefault((r["id_a"], r["id_b"]), set()).add("minhash")
+    for r in simhash_near_pairs(df).collect():
+        fams.setdefault((r["id_a"], r["id_b"]), set()).add("simhash")
+    for r in winnowing_overlap_pairs(df).collect():
+        fams.setdefault((r["doc_a"], r["doc_b"]), set()).add("winnowing")
+    ref = Counter("+".join(sorted(s)) for s in fams.values())
+    assert got == dict(ref)
+    # the (3,4) local-overlap pair is invisible to the whole-document
+    # families but found by winnowing's local-match guarantee
+    assert fams[(3, 4)] == {"winnowing"}
+    assert "winnowing" in got and got["winnowing"] >= 1
+
+
+def test_bpe_fertility_exact_integer_math(spark):
+    from pyspark.sql import functions as F2
+
+    from spark_etl_agent_spark.llm.bpe import bpe_encode_stats, bpe_train
+
+    rows = [
+        (1, "banana band bandana", "en"),
+        (2, "banana banana", "en"),
+        (3, "ananas bananas", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    _, merges = bpe_train(df, n_merges=4)
+    stats = {r["doc_id"]: r.asDict() for r in bpe_encode_stats(df, merges).collect()}
+    by_lang = {}
+    for i, _, lang in rows:
+        d = by_lang.setdefault(lang, dict(n=0, w=0, c=0, t=0))
+        d["n"] += 1
+        d["w"] += stats[i]["n_words"]
+        d["c"] += stats[i]["n_chars_m"]
+        d["t"] += stats[i]["n_bpe_tokens"]
+    from spark_etl_agent_spark.queries.text import bpe_fertility_by_lang  # noqa: F401
+
+    got = (
+        bpe_encode_stats(df, merges)
+        .join(df.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F2.count(F2.lit(1)).alias("n_docs"),
+            F2.sum("n_words").alias("w"),
+            F2.sum("n_chars_m").alias("c"),
+            F2.sum("n_bpe_tokens").alias("t"),
+        )
+        .collect()
+    )
+    for r in got:
+        d = by_lang[r["lang"]]
+        assert (r["n_docs"], r["w"], r["c"], r["t"]) == (
+            d["n"], d["w"], d["c"], d["t"],
+        )
+        assert (d["t"] * 1_000_000) // d["w"] == (r["t"] * 1_000_000) // r["w"]
