@@ -807,3 +807,55 @@ def dedup_family_agreement(
     return per_pair.groupBy("families").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """Sketch-accuracy report: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (matching signature positions / n,
+    exact integer ppm) next to the EXACT shingle-set Jaccard — the
+    measurement that tells you whether n_hashes is enough before you
+    trust the sketch on 100 TB (estimator std-err ≈ √(J(1−J)/n)).
+
+    Shape: signatures computed once and joined to both pair ends
+    (uniform doc-id equi-joins); the exact side is the proven
+    ``jaccard_verify``. Output is per candidate pair with the absolute
+    estimation error in ppm.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_hashes)
+    exact = jaccard_verify(df, pairs, text_col, id_col)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = (matches.cast("long") * 1_000_000 / F.lit(n_hashes)).cast("long")
+    exact_ppm = F.expr(
+        "(n_common * 1000000) div (n_a + n_b - n_common)"
+    ).cast("long")
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard_ppm"),
+            exact_ppm.alias("exact_jaccard_ppm"),
+        )
+        .withColumn(
+            "abs_err_ppm",
+            F.abs(F.col("est_jaccard_ppm") - F.col("exact_jaccard_ppm")),
+        )
+    )

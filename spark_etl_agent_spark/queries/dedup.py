@@ -846,3 +846,72 @@ QUERIES["dedup_family_agreement"] = QuerySpec(
     "Cross-family near-dup agreement (minhash/simhash/winnowing)",
     ("dedup", "llm", "agg"),
 )
+
+
+def minhash_estimate_error(spark, sf_dir):
+    """MinHash sketch accuracy: estimated vs exact Jaccard per LSH
+    candidate pair, absolute error in exact ppm — the n_hashes sizing
+    measurement for a 100 TB dedup run."""
+    return D.minhash_estimate_error(fan_out(load(spark, sf_dir, "documents")))
+
+
+_MH_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(D.N_MINHASHES)
+)
+
+MINHASH_ESTIMATE_ERROR_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+    {_MH}
+  FROM sh
+),
+banded AS (
+  {_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+    CAST(({_MH_MATCHES}) AS BIGINT) * 1000000 // {D.N_MINHASHES}
+      AS est_jaccard_ppm
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard_ppm,
+  (coalesce(c.n_common, 0) * 1000000)
+    // (na.n_shingles + nb.n_shingles - coalesce(c.n_common, 0))
+    AS exact_jaccard_ppm,
+  abs(e.est_jaccard_ppm
+      - (coalesce(c.n_common, 0) * 1000000)
+        // (na.n_shingles + nb.n_shingles - coalesce(c.n_common, 0)))
+    AS abs_err_ppm
+FROM est e
+LEFT JOIN common c ON c.id_a = e.id_a AND c.id_b = e.id_b
+JOIN sizes na ON na.doc_id = e.id_a
+JOIN sizes nb ON nb.doc_id = e.id_b
+"""
+
+
+QUERIES["minhash_estimate_error"] = QuerySpec(
+    "minhash_estimate_error",
+    minhash_estimate_error,
+    MINHASH_ESTIMATE_ERROR_SQL,
+    "MinHash estimate vs exact Jaccard per candidate pair (ppm error)",
+    ("dedup", "llm", "join"),
+)

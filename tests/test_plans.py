@@ -474,3 +474,18 @@ def test_perplexity_band_thresholds_broadcast_no_percentile_buffer(
     assert "CartesianProduct" not in plan
     assert "percentile" not in plan.lower().replace("percent_rank", "")
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_estimate_error_equi_joins_only(spark, sf_dir):
+    """Sketch-accuracy report: signature lookups are doc-id equi-joins
+    on top of the proven band join — nothing all-pairs."""
+    plan = plan_of(SPECS["minhash_estimate_error"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_family_agreement_no_cartesian(spark, sf_dir):
+    """The three family pipelines keep their own blocked shapes; the
+    agreement layer is a uniform pair-key union aggregation."""
+    plan = plan_of(SPECS["dedup_family_agreement"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan

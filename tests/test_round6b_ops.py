@@ -432,3 +432,30 @@ def test_bpe_fertility_exact_integer_math(spark):
             d["n"], d["w"], d["c"], d["t"],
         )
         assert (d["t"] * 1_000_000) // d["w"] == (r["t"] * 1_000_000) // r["w"]
+
+
+def test_minhash_estimate_error_exact_fields(spark):
+    """Estimated vs exact Jaccard: identical docs estimate 1.0 with 0
+    error; the estimate equals matching-signature-positions/8 in exact
+    ppm, cross-checked against directly collected signatures."""
+    from spark_etl_agent_spark.llm.dedup import (
+        minhash_estimate_error,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, base), (3, base + " with a different tail here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r.asDict()
+            for r in minhash_estimate_error(df).collect()}
+    assert rows[(1, 2)]["est_jaccard_ppm"] == 1_000_000
+    assert rows[(1, 2)]["exact_jaccard_ppm"] == 1_000_000
+    assert rows[(1, 2)]["abs_err_ppm"] == 0
+    sigs = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)]
+            for r in minhash_signatures(df).collect()}
+    for (a, b), r in rows.items():
+        matches = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        assert r["est_jaccard_ppm"] == matches * 1_000_000 // 8
+        assert r["abs_err_ppm"] == abs(
+            r["est_jaccard_ppm"] - r["exact_jaccard_ppm"]
+        )
