@@ -126,7 +126,47 @@ def pq_encode_stats(
     centroids are exact (the kmeans idiom). Bit-identical across
     engines and partitionings.
     """
-    from .similarity import SCALE, scaled
+    _, codes, cent = _pq_codes_and_centroids(df, m, k, dim, vec_col, id_col)
+    resid = codes.join(F.broadcast(cent), ["subspace", "cell"]).select(
+        "subspace",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("sub"), F.col("cvec"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        .cast("long")
+        .alias("err"),
+    )
+    return (
+        resid.groupBy("subspace", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("err").alias("err_sum"),
+        )
+        .select(
+            "subspace",
+            "cell",
+            "n_members",
+            "err_sum",
+            F.expr("err_sum div n_members").alias("err_mean"),
+        )
+    )
+
+
+def _pq_codes_and_centroids(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Shared PQ front half: scaled base, long-form codes
+    ``(vec_id, subspace, cell, sub)`` via the literal-codebook argmin,
+    and the refined floor-mean centroids ``(subspace, cell, cvec)``.
+    Feeds both the encode-fidelity report and the ADC search."""
+    from .similarity import scaled
 
     d_sub = dim // m
     base = df.select(
@@ -162,8 +202,8 @@ def pq_encode_stats(
 
     coded = base.select("vec_id", "svec", *sub_assignments)
 
-    # long form: (vec_id, subspace, cell, subvector) → residual stats
-    long = coded.select(
+    # long form: (vec_id, subspace, cell, subvector)
+    codes = coded.select(
         "vec_id",
         F.explode(
             F.array(
@@ -180,7 +220,7 @@ def pq_encode_stats(
     ).select("vec_id", "s.subspace", "s.cell", "s.sub")
 
     cent = (
-        long.select("subspace", "cell", F.posexplode("sub").alias("dimi", "sval"))
+        codes.select("subspace", "cell", F.posexplode("sub").alias("dimi", "sval"))
         .groupBy("subspace", "cell", "dimi")
         .agg(
             F.floor(F.sum("sval") / F.count(F.lit(1)).cast("double"))
@@ -196,28 +236,72 @@ def pq_encode_stats(
         )
     )
 
-    resid = long.join(F.broadcast(cent), ["subspace", "cell"]).select(
-        "subspace",
-        "cell",
-        F.aggregate(
-            F.zip_with(F.col("sub"), F.col("cvec"), lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        .cast("long")
-        .alias("err"),
+    return base, codes, cent
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the compressed-index
+    query path that completes the PQ story: candidates are represented
+    ONLY by their ``m`` codes (one byte each at k ≤ 256), queries stay
+    exact, and distance is the sum over subspaces of the exact L2²
+    between the query subvector and the candidate's ASSIGNED CENTROID
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011). At billion-vector scale this is what actually fits in
+    memory; the trade is quantization error, which
+    ``pq_encode_stats``'s residual grid measures.
+
+    Shape: codes + centroid lookup is a broadcast join (m·k rows);
+    queries (≤ ``query_ids_below``) broadcast; the per-(query,
+    candidate, subspace) distance table is a bounded ×(q·m) expansion
+    aggregated back to (query, candidate) and window-ranked per query
+    — the brute-force broadcast pattern with codes instead of raw
+    vectors. All arithmetic exact int64 (scaled-integer grid).
+    """
+    from pyspark.sql import Window
+
+    base, codes, cent = _pq_codes_and_centroids(
+        df, m, k, dim, vec_col, id_col
     )
-    return (
-        resid.groupBy("subspace", "cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("err").alias("err_sum"),
-        )
+    d_sub = dim // m
+    queries = base.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("qid"), F.col("svec").alias("qsvec")
+    )
+    per = (
+        codes.join(F.broadcast(cent), ["subspace", "cell"])
+        .join(F.broadcast(queries))
         .select(
-            "subspace",
-            "cell",
-            "n_members",
-            "err_sum",
-            F.expr("err_sum div n_members").alias("err_mean"),
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.expr(f"slice(qsvec, subspace * {d_sub} + 1, {d_sub})"),
+                    F.col("cvec"),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            .cast("long")
+            .alias("dist"),
         )
+    )
+    sums = (
+        per.filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        sums.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", "vec_id", "adc_dist", "rnk")
     )

@@ -912,3 +912,68 @@ QUERIES["ann_recall_report"] = QuerySpec(
     "IVF-vs-exact recall evaluation per probe query (index tuning report)",
     ("similarity", "quality", "llm"),
 )
+
+
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k: candidates live as m=4 codes, the
+    query stays exact, distance = sum of exact L2-squared to the
+    assigned refined centroids — the compressed-index ANN query path
+    (Jegou et al. 2011)."""
+    from ..llm.quantize import pq_adc_topk
+
+    return pq_adc_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_adc_sql(qib: int = 8, topk: int = 5, m: int = 4,
+                d_sub: int = 16) -> str:
+    dists = []
+    for j in range(m):
+        a, b = j * d_sub + 1, (j + 1) * d_sub
+        dists.append(f"""
+d{j} AS (
+  SELECT q.qid, a.vec_id,
+    CAST(list_dot_product(q.qsvec[{a}:{b}], q.qsvec[{a}:{b}])
+         - 2 * list_dot_product(q.qsvec[{a}:{b}], c.cvec)
+         + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS dist
+  FROM a{j} a JOIN cent{j} c ON c.cell = a.cell, q
+)""")
+    alld = " UNION ALL ".join(f"SELECT * FROM d{j}" for j in range(m))
+    return (
+        f"""
+WITH base AS (
+  SELECT vec_id, {_SVEC} AS svec FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, svec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+),
+"""
+        + ",".join(_pq_subspace_sql(j) for j in range(m))
+        + f""",
+q AS (SELECT vec_id AS qid, svec AS qsvec FROM base WHERE vec_id < {qib}),
+{",".join(dists)},
+alld AS ({alld}),
+sums AS (
+  SELECT qid, vec_id, CAST(sum(dist) AS BIGINT) AS adc_dist
+  FROM alld WHERE qid <> vec_id GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, adc_dist, rnk FROM (
+  SELECT qid, vec_id, adc_dist,
+    CAST(row_number() OVER (PARTITION BY qid
+      ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rnk
+  FROM sums
+) WHERE rnk <= {topk}
+"""
+    )
+
+
+ANN_PQ_ADC_TOPK_SQL = _pq_adc_sql()
+
+
+QUERIES["ann_pq_adc_topk"] = QuerySpec(
+    "ann_pq_adc_topk",
+    ann_pq_adc_topk,
+    ANN_PQ_ADC_TOPK_SQL,
+    "PQ asymmetric-distance top-k over m=4 codes (compressed ANN)",
+    ("similarity", "quantize", "llm", "window"),
+)

@@ -459,3 +459,56 @@ def test_minhash_estimate_error_exact_fields(spark):
         assert r["abs_err_ppm"] == abs(
             r["est_jaccard_ppm"] - r["exact_jaccard_ppm"]
         )
+
+
+def test_pq_adc_topk_matches_numpy_reference(spark):
+    """ADC ranking vs a numpy reference that re-implements the whole
+    chain (scaled grid, per-subspace nearest-seed codes, floor-mean
+    centroid refinement, exact integer ADC sums)."""
+    import numpy as np
+
+    from spark_etl_agent_spark.llm.quantize import pq_adc_topk
+
+    rng = np.random.RandomState(7)
+    n, dim, m, k, qib, topk = 30, 64, 4, 8, 4, 5
+    vecs = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["qid"], r["vec_id"], r["adc_dist"], r["rnk"])
+        for r in pq_adc_topk(df, query_ids_below=qib, topk=topk).collect()
+    ]
+    # numpy reference
+    sv = np.floor(vecs.astype(np.float64) * 1_000_000)
+    d_sub = dim // m
+    ref_rows = []
+    codes = np.zeros((n, m), dtype=int)
+    cents = {}
+    for j in range(m):
+        sub = sv[:, j * d_sub : (j + 1) * d_sub]
+        seeds = sub[:k]  # k lowest ids
+        d2 = ((sub[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)  # ties -> lower cell (argmin)
+        for cell in range(k):
+            members = sub[codes[:, j] == cell]
+            if len(members):
+                cents[(j, cell)] = np.floor(
+                    members.sum(axis=0) / len(members)
+                )
+    for q in range(qib):
+        dists = {}
+        for x in range(n):
+            if x == q:
+                continue
+            s = 0
+            for j in range(m):
+                c = cents[(j, codes[x, j])]
+                qs = sv[q, j * d_sub : (j + 1) * d_sub]
+                s += int(((qs - c) ** 2).sum())
+            dists[x] = s
+        ranked = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:topk]
+        for rnk, (x, s) in enumerate(ranked, 1):
+            ref_rows.append((q, x, s, rnk))
+    assert sorted(got) == sorted(ref_rows)
