@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Merge the two per-query summaries a paired A/B run writes
+(BENCH_SUMMARY_sf0.1.json from bench.py, ORACLE_SUMMARY_sf0.1.json
+from scripts/oracle_bench.py) into the committed round artifact
+BENCH_PAIRED_r{N}.json — both sides per-query plus the paired ratio.
+
+Usage: python scripts/merge_paired.py r06
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r06"
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = json.load(open(os.path.join(here, "BENCH_SUMMARY_sf0.1.json")))
+    oracle = json.load(open(os.path.join(here, "ORACLE_SUMMARY_sf0.1.json")))
+    bq, oq = bench["queries"], oracle["queries"]
+    names = sorted(set(bq) & set(oq))
+    missing = sorted(set(bq) ^ set(oq))
+    if missing:
+        print(f"WARNING: one-sided queries excluded from pairing: {missing}")
+    queries = {
+        n: {
+            "spark_s": bq[n],
+            "duck_s": oq[n],
+            "ratio": round(bq[n] / oq[n], 3) if oq[n] else None,
+        }
+        for n in names
+    }
+    spark_total = round(sum(bq[n] for n in names), 3)
+    duck_total = round(sum(oq[n] for n in names), 3)
+    out = {
+        "metric": "paired_inventory_ab",
+        "sf": bench.get("sf", 0.1),
+        "protocol": (
+            "bench.py then scripts/oracle_bench.py back-to-back, same "
+            "host, idle, as the LAST preship step"
+        ),
+        "n_queries": len(names),
+        "spark_total_s": spark_total,
+        "duck_total_s": duck_total,
+        "paired_ratio": round(spark_total / duck_total, 3),
+        "spark_inventory_wall_s": round(bench["value"], 3)
+        if "value" in bench
+        else spark_total,
+        "duck_inventory_wall_s": round(oracle["value"], 3)
+        if "value" in oracle
+        else duck_total,
+        "queries": queries,
+    }
+    path = os.path.join(here, f"BENCH_PAIRED_{tag}.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(
+        f"wrote {path}: {len(names)} queries, spark {spark_total}s "
+        f"vs duck {duck_total}s = {out['paired_ratio']}x"
+    )
+
+
+if __name__ == "__main__":
+    main()
