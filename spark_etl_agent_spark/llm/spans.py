@@ -202,3 +202,92 @@ def duplicate_span_stats(
             .alias("dup_span_ratio"),
         )
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = DEFAULT_K,
+    max_doc_df: int = 20,
+) -> DataFrame:
+    """Source-level copy forensics: for every pair of sources, how many
+    DISTINCT ``k``-gram span hashes appear in BOTH — the provenance
+    matrix that shows which feeds copy from (or share a common
+    upstream with) which, before any doc-level dedup decision.
+
+    A span hash only counts as overlap evidence when it occurs in at
+    most ``max_doc_df`` documents corpus-wide — the module's standard
+    df cap: a gram present in half the corpus is language, not
+    copying, and the cap also bounds the per-hash source fan-out. The
+    overlap score is exact integer ppm vs the smaller side's capped
+    hash vocabulary.
+
+    Shape: span extraction is the per-row projection above; one
+    uniform groupBy on the span hash for the doc-df; the pairing joins
+    on ``(source, hash)`` DISTINCT rows — per hash at most
+    ``min(max_doc_df, n_sources)²`` pair rows. Sources are a bounded
+    dimension, so the result is a ≤ n_sources² matrix.
+    """
+    words = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), w -> length(w) >= 1)"
+    )
+    spans = (
+        docs.select(
+            F.col(id_col), F.col(source_col).alias("__src"), words.alias("__words")
+        )
+        .filter(F.size("__words") >= k)
+        .select(
+            id_col,
+            "__src",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__words) - {k}), "
+                    f"i -> md5(array_join(slice(__words, i + 1, {k}), ' ')))"
+                )
+            ).alias("h"),
+        )
+    )
+    doc_df = (
+        spans.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ddf"))
+        .filter(F.col("ddf") <= max_doc_df)
+        .select("h")
+    )
+    sh = spans.join(doc_df, "h").select("__src", "h").distinct()
+    sizes = sh.groupBy("__src").agg(F.count(F.lit(1)).alias("n_hashes"))
+    a = sh.select(F.col("__src").alias("src_a"), "h")
+    b = sh.select(F.col("__src").alias("src_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_hashes"))
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("__src").alias("src_a"), F.col("n_hashes").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            sizes.select(
+                F.col("__src").alias("src_b"), F.col("n_hashes").alias("n_b")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_hashes",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(shared_hashes * 1000000) div least(n_a, n_b)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )

@@ -915,3 +915,55 @@ QUERIES["minhash_estimate_error"] = QuerySpec(
     "MinHash estimate vs exact Jaccard per candidate pair (ppm error)",
     ("dedup", "llm", "join"),
 )
+
+
+def source_overlap_matrix(spark, sf_dir):
+    """Source-to-source copy forensics: distinct shared 8-gram span
+    hashes per source pair (doc-df-capped), exact ppm vs the smaller
+    side — which feeds copy from which."""
+    from ..llm.spans import source_overlap_matrix as _som
+
+    return _som(fan_out(load(spark, sf_dir, "documents")))
+
+
+SOURCE_OVERLAP_MATRIX_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) >= 1) AS words
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, source,
+    md5(array_to_string(words[i + 1:i + 8], ' ')) AS h
+  FROM w, LATERAL unnest(generate_series(0, len(words) - 8)) AS u(i)
+),
+doc_df AS (
+  SELECT h FROM (
+    SELECT h, count(*) AS ddf
+    FROM (SELECT DISTINCT doc_id, h FROM spans) GROUP BY h
+  ) WHERE ddf <= 20
+),
+sh AS (SELECT DISTINCT source AS src, h FROM spans JOIN doc_df USING (h)),
+sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_hashes
+  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.shared_hashes,
+  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+  (p.shared_hashes * 1000000) // least(sa.n, sb.n) AS overlap_ppm
+FROM pairs p
+JOIN sizes sa ON sa.src = p.src_a
+JOIN sizes sb ON sb.src = p.src_b
+"""
+
+
+QUERIES["source_overlap_matrix"] = QuerySpec(
+    "source_overlap_matrix",
+    source_overlap_matrix,
+    SOURCE_OVERLAP_MATRIX_SQL,
+    "Source-pair shared 8-gram matrix (copy forensics, df-capped)",
+    ("dedup", "llm", "agg"),
+)

@@ -489,3 +489,11 @@ def test_dedup_family_agreement_no_cartesian(spark, sf_dir):
     agreement layer is a uniform pair-key union aggregation."""
     plan = plan_of(SPECS["dedup_family_agreement"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_joins_on_span_hash(spark, sf_dir):
+    """Source matrix: pairing is an equi-join on the df-capped span
+    hash; sources are a bounded dimension — nothing all-pairs."""
+    plan = plan_of(SPECS["source_overlap_matrix"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -512,3 +512,29 @@ def test_pq_adc_topk_matches_numpy_reference(spark):
         for rnk, (x, s) in enumerate(ranked, 1):
             ref_rows.append((q, x, s, rnk))
     assert sorted(got) == sorted(ref_rows)
+
+
+def test_source_overlap_matrix_finds_planted_copy(spark):
+    """A 10-token run copied between feeds A and B must dominate the
+    (A, B) cell; a feed with no shared runs must produce no pair row;
+    a gram present in EVERY doc (over the df cap) must not count."""
+    from spark_etl_agent_spark.llm.spans import source_overlap_matrix
+
+    copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(5):
+        rows.append((i, copied + f" filler{i} pad{i}", "feedA"))
+    rows.append((10, copied + " other tail here now", "feedB"))
+    rows.append((20, " ".join(f"solo{i} x{i} y{i}" for i in range(10)), "feedC"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r.asDict()
+           for r in source_overlap_matrix(df, max_doc_df=20).collect()}
+    assert ("feedA", "feedB") in out
+    ab = out[("feedA", "feedB")]
+    assert ab["shared_hashes"] >= 3  # the copied run's 8-gram windows
+    assert ab["overlap_ppm"] > 0
+    assert not any("feedC" in k for k in out)
+    # df cap: with max_doc_df=1 nothing is shared evidence (the copied
+    # grams appear in 6 docs)
+    capped = source_overlap_matrix(df, max_doc_df=1).collect()
+    assert capped == []
