@@ -305,3 +305,86 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= topk)
         .select("qid", "vec_id", "adc_dist", "rnk")
     )
+
+
+def pq_adc_recall(
+    df: DataFrame,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ search-quality evaluation: recall of the ADC top-k against
+    the EXACT L2 top-k over the same scaled-integer grid — the same
+    metric on both sides, so the report isolates pure QUANTIZATION
+    loss (m, k sizing) from metric mismatch. Per probe query:
+    ``(query_id, n_exact, n_pq, n_common, recall_ppm)``, all exact
+    integers.
+
+    Shape: ADC is :func:`pq_adc_topk`; the exact side is the
+    broadcast-queries × corpus scan with an integer L2 window rank
+    (the brute-force pattern); the recall join is between
+    ``q·topk``-row frames.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import with_scaled_and_norm
+
+    base = with_scaled_and_norm(df, vec_col, id_col).withColumnRenamed(
+        id_col, "vec_id"
+    )
+    queries = F.broadcast(
+        base.filter(F.col("vec_id") < query_ids_below).select(
+            F.col("vec_id").alias("qid"), F.col("svec").alias("qsvec")
+        )
+    )
+    dist = (
+        F.aggregate(
+            F.zip_with(
+                F.col("qsvec"), F.col("svec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        .cast("long")
+        .alias("dist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    etop = (
+        queries.join(base, F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("qid", "vec_id")
+    )
+    atop = pq_adc_topk(
+        df, query_ids_below, topk, m, k, dim, vec_col, id_col
+    ).select("qid", "vec_id")
+    n_exact = etop.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_pq = atop.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pq")
+    )
+    n_common = (
+        etop.join(atop, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        n_exact.join(n_pq, "qid")
+        .join(n_common, "qid", "left")
+        .na.fill({"n_common": 0})
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            "n_pq",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("(n_common * 1000000) div n_exact")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

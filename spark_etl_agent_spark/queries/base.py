@@ -192,16 +192,17 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (19), then
-    #    the 31 stalest driver rows (10 last-checked r01, 21 r03 —
+    # -- round 6 rotation: new/schema-changed queries first (20), then
+    #    the 30 stalest driver rows (10 last-checked r01, 20 r03 —
     #    computed from the CORRECTNESS_r01..r05 union; the 18 remaining
     #    r03-era rows, incl. timestamp_parse_roundtrip, token_counts,
     #    text_stats, stat_moments_gallery and the eight displaced from
     #    this window's tail by the late additions
     #    (scalar_function_gallery, scd2_temporal_join, semi_anti_join,
     #    rolling_active_users, rollup_returns, retailprice_histogram,
-    #    revenue_concentration, poc_projection, pivot_linestatus, multiset_operations), roll
+    #    revenue_concentration, poc_projection, pivot_linestatus, multiset_operations, local_supplier_volume), roll
     #    into round 7's window) --
+    "ann_pq_recall_report",
     "source_overlap_matrix",
     "ann_pq_adc_topk",
     "minhash_estimate_error",
@@ -253,7 +254,6 @@ DRIVER_WINDOW = (
     "json_extraction",
     "key_skew_report",
     "language_id",
-    "local_supplier_volume",
 )
 
 

@@ -977,3 +977,97 @@ QUERIES["ann_pq_adc_topk"] = QuerySpec(
     "PQ asymmetric-distance top-k over m=4 codes (compressed ANN)",
     ("similarity", "quantize", "llm", "window"),
 )
+
+
+def ann_pq_recall_report(spark, sf_dir):
+    """PQ quantization-loss recall: ADC top-5 vs the exact L2 top-5 on
+    the same scaled-integer grid, per probe query — the m/k sizing
+    measurement for a compressed ANN index."""
+    from ..llm.quantize import pq_adc_recall
+
+    return pq_adc_recall(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_adc_recall_sql(qib: int = 8, topk: int = 5, m: int = 4,
+                       d_sub: int = 16) -> str:
+    dists = []
+    for j in range(m):
+        a, b = j * d_sub + 1, (j + 1) * d_sub
+        dists.append(f"""
+d{j} AS (
+  SELECT q.qid, a.vec_id,
+    CAST(list_dot_product(q.qsvec[{a}:{b}], q.qsvec[{a}:{b}])
+         - 2 * list_dot_product(q.qsvec[{a}:{b}], c.cvec)
+         + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS dist
+  FROM a{j} a JOIN cent{j} c ON c.cell = a.cell, q
+)""")
+    alld = " UNION ALL ".join(f"SELECT * FROM d{j}" for j in range(m))
+    return (
+        f"""
+WITH base AS (
+  SELECT vec_id, {_SVEC} AS svec FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, svec
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+),
+"""
+        + ",".join(_pq_subspace_sql(j) for j in range(m))
+        + f""",
+q AS (SELECT vec_id AS qid, svec AS qsvec FROM base WHERE vec_id < {qib}),
+{",".join(dists)},
+alld AS ({alld}),
+sums AS (
+  SELECT qid, vec_id, CAST(sum(dist) AS BIGINT) AS adc_dist
+  FROM alld WHERE qid <> vec_id GROUP BY qid, vec_id
+),
+atop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid
+        ORDER BY adc_dist ASC, vec_id ASC) AS rn
+    FROM sums
+  ) WHERE rn <= {topk}
+),
+exact AS (
+  SELECT q.qid, b.vec_id,
+    CAST(list_dot_product(b.svec, b.svec)
+         - 2 * list_dot_product(q.qsvec, b.svec)
+         + list_dot_product(q.qsvec, q.qsvec) AS BIGINT) AS dist
+  FROM base b, q WHERE b.vec_id <> q.qid
+),
+etop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid
+        ORDER BY dist ASC, vec_id ASC) AS rn
+    FROM exact
+  ) WHERE rn <= {topk}
+),
+ncommon AS (
+  SELECT e.qid, count(*) AS n_common
+  FROM etop e JOIN atop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+  GROUP BY e.qid
+)
+SELECT e.qid AS query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM atop a WHERE a.qid = e.qid) AS BIGINT) AS n_pq,
+  CAST(COALESCE(max(nc.n_common), 0) AS BIGINT) AS n_common,
+  (CAST(COALESCE(max(nc.n_common), 0) AS BIGINT) * 1000000)
+    // CAST(count(*) AS BIGINT) AS recall_ppm
+FROM etop e LEFT JOIN ncommon nc ON nc.qid = e.qid
+GROUP BY e.qid
+"""
+    )
+
+
+ANN_PQ_RECALL_REPORT_SQL = _pq_adc_recall_sql()
+
+
+QUERIES["ann_pq_recall_report"] = QuerySpec(
+    "ann_pq_recall_report",
+    ann_pq_recall_report,
+    ANN_PQ_RECALL_REPORT_SQL,
+    "PQ-ADC recall vs exact L2 top-k per probe query (ppm)",
+    ("similarity", "quantize", "llm", "agg"),
+)

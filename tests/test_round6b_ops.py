@@ -538,3 +538,32 @@ def test_source_overlap_matrix_finds_planted_copy(spark):
     # grams appear in 6 docs)
     capped = source_overlap_matrix(df, max_doc_df=1).collect()
     assert capped == []
+
+
+def test_pq_adc_recall_consistent_with_components(spark):
+    """The recall report must equal the overlap of its two component
+    rankings computed independently."""
+    import numpy as np
+
+    from spark_etl_agent_spark.llm.quantize import pq_adc_recall, pq_adc_topk
+
+    rng = np.random.RandomState(3)
+    n, dim = 40, 64
+    vecs = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    report = {r["query_id"]: r.asDict() for r in pq_adc_recall(df).collect()}
+    adc = {}
+    for r in pq_adc_topk(df).collect():
+        adc.setdefault(r["qid"], set()).add(r["vec_id"])
+    sv = np.floor(vecs.astype(np.float64) * 1_000_000)
+    for q in range(8):
+        d = ((sv - sv[q]) ** 2).sum(axis=1)
+        order = sorted((dist, i) for i, dist in enumerate(d) if i != q)
+        exact = {i for _, i in order[:5]}
+        rep = report[q]
+        assert rep["n_exact"] == 5 and rep["n_pq"] == 5
+        assert rep["n_common"] == len(exact & adc[q])
+        assert rep["recall_ppm"] == rep["n_common"] * 1_000_000 // 5
