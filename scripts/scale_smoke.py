@@ -179,6 +179,9 @@ def llm_shapes(spark, d: str):
         # pair-key union agg; near-dup pairs + two doc-id equi-joins
         "family_agree": specs["dedup_family_agreement"].spark(spark, d),
         "split_leakage": specs["split_leakage_audit"].spark(spark, d),
+        # round-6 Gopher wave: five n-gram sizes + lines ride ONE scan
+        # via the tagged-item concat; shuffles are uniform per-doc keys
+        "gopher_rep": specs["gopher_repetition_rules"].spark(spark, d),
         # round-5 third wave: oriented-wedge triangles (fan-out bounded
         # by oriented degree), exact Gram (sketch-sized map output),
         # and the full-decode perceptual hash (scan-bound mapInPandas)

@@ -681,3 +681,300 @@ def perplexity_prune_band(
         )
         .select(id_col, lang_col, "n_tokens", "avg_logprob_micro")
     )
+
+
+# The Gopher rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1): the
+# published word/symbol/line/stop-word document filters. All exact
+# integer math (milli / ppm) so the Spark result hashes identically to
+# the SQL oracle.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_MILLI = 3_000
+GOPHER_MAX_MEAN_WORD_LEN_MILLI = 10_000
+GOPHER_MAX_SYMBOL_RATIO_PPM = 100_000  # 0.1 symbols/word
+GOPHER_MAX_BULLET_LINE_PPM = 900_000  # <=90% of lines bullet-led
+GOPHER_MAX_ELLIPSIS_LINE_PPM = 300_000  # <=30% of lines ellipsis-ended
+GOPHER_MIN_ALPHA_WORD_PPM = 800_000  # >=80% words contain a letter
+GOPHER_MIN_STOPWORD_HITS = 2  # >=2 distinct stop words present
+
+
+def gopher_quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality-rule battery: every published rule
+    evaluated as an exact integer signal plus its boolean flag, and the
+    conjunction ``passes_gopher``.
+
+    Shape: ONE whole-stage-codegen'd projection — no shuffle, no UDF,
+    no vocabulary. At 100 TB this runs at parquet scan bandwidth, which
+    is exactly what a first-pass corpus gate must do. (The reference
+    engine has no quality filtering at all — SURVEY.md §2 north-star
+    extension; rules follow Rae et al. 2021 Table A1.)
+    """
+    text = F.col(text_col)
+    words = words_of(text)
+    n_words = F.size(words).cast("long")
+    safe_words = F.greatest(n_words, F.lit(1))
+    # mean word length over non-whitespace chars (exact milli units)
+    nonspace = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    mean_wlen_milli = F.expr(
+        "_nonspace * 1000 div _safe_words"
+    )
+    # symbols: '#' occurrences + non-overlapping '...' occurrences
+    n_hash = (F.length(text) - F.length(F.regexp_replace(text, r"#", ""))).cast(
+        "long"
+    )
+    # lines: literal newline split (a no-newline doc is one line)
+    lines = F.split(text, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*")
+            | F.ltrim(l).startswith("•"),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("long")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    ).cast("long")
+
+    staged = df.select(
+        F.col(id_col),
+        text.alias("_text"),
+        n_words.alias("n_words"),
+        safe_words.alias("_safe_words"),
+        nonspace.alias("_nonspace"),
+        n_hash.alias("_n_hash"),
+        n_lines.alias("_n_lines"),
+        bullet_lines.alias("_bullet_lines"),
+        ellipsis_lines.alias("_ellipsis_lines"),
+        alpha_words.alias("_alpha_words"),
+        stop_hits.alias("stopword_hits"),
+    ).select(
+        id_col,
+        "n_words",
+        mean_wlen_milli.alias("mean_word_len_milli"),
+        F.expr(
+            "(_n_hash + (length(_text) - length(replace(_text, '...', ''))) div 3)"
+            " * 1000000 div _safe_words"
+        ).alias("symbol_ratio_ppm"),
+        F.expr("_bullet_lines * 1000000 div _n_lines").alias("bullet_line_ppm"),
+        F.expr("_ellipsis_lines * 1000000 div _n_lines").alias(
+            "ellipsis_line_ppm"
+        ),
+        F.expr("_alpha_words * 1000000 div _safe_words").alias("alpha_word_ppm"),
+        F.col("stopword_hits"),
+    )
+    flags = staged.select(
+        "*",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        ).alias("ok_word_count"),
+        (
+            (F.col("mean_word_len_milli") >= GOPHER_MIN_MEAN_WORD_LEN_MILLI)
+            & (F.col("mean_word_len_milli") <= GOPHER_MAX_MEAN_WORD_LEN_MILLI)
+        ).alias("ok_mean_word_len"),
+        (F.col("symbol_ratio_ppm") <= GOPHER_MAX_SYMBOL_RATIO_PPM).alias(
+            "ok_symbol_ratio"
+        ),
+        (F.col("bullet_line_ppm") <= GOPHER_MAX_BULLET_LINE_PPM).alias(
+            "ok_bullet_lines"
+        ),
+        (F.col("ellipsis_line_ppm") <= GOPHER_MAX_ELLIPSIS_LINE_PPM).alias(
+            "ok_ellipsis_lines"
+        ),
+        (F.col("alpha_word_ppm") >= GOPHER_MIN_ALPHA_WORD_PPM).alias(
+            "ok_alpha_words"
+        ),
+        (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS).alias(
+            "ok_stopwords"
+        ),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_bullet_lines")
+            & F.col("ok_ellipsis_lines")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stopwords")
+        ).alias("passes_gopher"),
+    )
+
+
+# Gopher repetition-rule thresholds (Rae et al. 2021, Table A2 —
+# representative subset: duplicate lines, top-{2,3,4}-gram coverage,
+# duplicated {5,10}-gram coverage; the n list is parameterized below).
+GOPHER_MAX_DUP_LINE_PPM = 300_000
+GOPHER_MAX_DUP_LINE_CHAR_PPM = 200_000
+GOPHER_MAX_TOP2GRAM_CHAR_PPM = 200_000
+GOPHER_MAX_TOP3GRAM_CHAR_PPM = 180_000
+GOPHER_MAX_TOP4GRAM_CHAR_PPM = 160_000
+GOPHER_MAX_DUP5GRAM_CHAR_PPM = 150_000
+GOPHER_MAX_DUP10GRAM_CHAR_PPM = 100_000
+
+_REP_TOP_NS = (2, 3, 4)
+_REP_DUP_NS = (5, 10)
+
+
+def gopher_repetition_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher repetition signals (Rae et al. 2021 Table
+    A2): duplicate-line fraction, duplicate-line character fraction,
+    the character share of the single most-repeated word {2,3,4}-gram,
+    and the character share covered by ALL duplicated {5,10}-grams
+    (capped at 100%: overlapping occurrences can over-count) — each
+    with its published threshold flag and the conjunction
+    ``passes_repetition``.
+
+    Shape: ONE corpus scan. Lines and every n-gram size are tagged
+    ``struct(kind, val)`` items concatenated into a single array, so
+    one ``explode`` feeds one (doc, kind, item) count and one
+    per-(doc, kind) aggregate — two uniform map-side-combined shuffles
+    regardless of how many n-gram sizes are configured, instead of one
+    scan + shuffle PER size. Character shares use exact integer ppm
+    (count × char-length, int64) so the result hashes identically to
+    the SQL oracle.
+
+    Definitions (pinned, both engines): a duplicate line is any excess
+    occurrence beyond the first (``n_lines - n_distinct_lines``);
+    duplicated-gram coverage counts ALL occurrences of any gram seen
+    ≥2 times; gram char length is the length of the space-joined
+    lowercased gram; line char length is the raw line length.
+    """
+    text = F.col(text_col)
+    words = words_of(text)
+    item_t = "array<struct<kind:string,val:string>>"
+
+    def grams(n: int) -> Column:
+        return (
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.struct(
+                        F.lit(f"G{n}").alias("kind"),
+                        F.concat_ws(
+                            " ", *[F.element_at(words, i + o) for o in range(n)]
+                        ).alias("val"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast(item_t))
+        )
+
+    lines = F.transform(
+        F.split(text, "\n", -1),
+        lambda l: F.struct(F.lit("L").alias("kind"), l.alias("val")),
+    )
+    all_items = F.concat(
+        lines, *[grams(n) for n in (*_REP_TOP_NS, *_REP_DUP_NS)]
+    )
+    items = df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        F.explode(all_items).alias("item"),
+    ).select(
+        id_col,
+        "n_chars",
+        F.col("item.kind").alias("kind"),
+        F.col("item.val").alias("val"),
+    )
+    counted = items.groupBy(id_col, "n_chars", "kind", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_kind = counted.groupBy(id_col, "n_chars", "kind").agg(
+        F.sum("cnt").alias("n_items"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.when(
+                F.col("cnt") >= 2, F.col("cnt") * F.length("val").cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+        F.max(F.col("cnt") * F.length("val").cast("long")).alias("top_chars"),
+        F.sum(F.col("cnt") * F.length("val").cast("long")).alias("total_chars"),
+    )
+
+    def pick(kind: str, col: str) -> Column:
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    per_doc = per_kind.groupBy(id_col, "n_chars").agg(
+        pick("L", "n_items").alias("_l_items"),
+        pick("L", "n_distinct").alias("_l_distinct"),
+        pick("L", "dup_chars").alias("_l_dup_chars"),
+        pick("L", "total_chars").alias("_l_total_chars"),
+        *[pick(f"G{n}", "top_chars").alias(f"_g{n}_top") for n in _REP_TOP_NS],
+        *[pick(f"G{n}", "dup_chars").alias(f"_g{n}_dup") for n in _REP_DUP_NS],
+    )
+    signals = per_doc.select(
+        id_col,
+        "n_chars",
+        F.col("_l_items").cast("long").alias("n_lines"),
+        F.expr("(_l_items - _l_distinct) * 1000000 div _l_items")
+        .cast("long")
+        .alias("dup_line_ppm"),
+        F.expr("_l_dup_chars * 1000000 div greatest(_l_total_chars, 1)")
+        .cast("long")
+        .alias("dup_line_char_ppm"),
+        *[
+            F.expr(
+                f"coalesce(_g{n}_top, 0) * 1000000 div greatest(n_chars, 1)"
+            )
+            .cast("long")
+            .alias(f"top{n}gram_char_ppm")
+            for n in _REP_TOP_NS
+        ],
+        *[
+            F.expr(
+                f"least(coalesce(_g{n}_dup, 0) * 1000000"
+                " div greatest(n_chars, 1), 1000000)"
+            )
+            .cast("long")
+            .alias(f"dup{n}gram_char_ppm")
+            for n in _REP_DUP_NS
+        ],
+    )
+    return signals.select(
+        "*",
+        (F.col("dup_line_ppm") <= GOPHER_MAX_DUP_LINE_PPM).alias("ok_dup_lines"),
+        (F.col("dup_line_char_ppm") <= GOPHER_MAX_DUP_LINE_CHAR_PPM).alias(
+            "ok_dup_line_chars"
+        ),
+        (F.col("top2gram_char_ppm") <= GOPHER_MAX_TOP2GRAM_CHAR_PPM).alias(
+            "ok_top2gram"
+        ),
+        (F.col("top3gram_char_ppm") <= GOPHER_MAX_TOP3GRAM_CHAR_PPM).alias(
+            "ok_top3gram"
+        ),
+        (F.col("top4gram_char_ppm") <= GOPHER_MAX_TOP4GRAM_CHAR_PPM).alias(
+            "ok_top4gram"
+        ),
+        (F.col("dup5gram_char_ppm") <= GOPHER_MAX_DUP5GRAM_CHAR_PPM).alias(
+            "ok_dup5gram"
+        ),
+        (F.col("dup10gram_char_ppm") <= GOPHER_MAX_DUP10GRAM_CHAR_PPM).alias(
+            "ok_dup10gram"
+        ),
+    ).select(
+        "*",
+        (
+            F.col("ok_dup_lines")
+            & F.col("ok_dup_line_chars")
+            & F.col("ok_top2gram")
+            & F.col("ok_top3gram")
+            & F.col("ok_top4gram")
+            & F.col("ok_dup5gram")
+            & F.col("ok_dup10gram")
+        ).alias("passes_repetition"),
+    )

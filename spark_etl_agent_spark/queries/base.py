@@ -202,6 +202,8 @@ DRIVER_WINDOW = (
     #    rolling_active_users, rollup_returns, retailprice_histogram,
     #    revenue_concentration, poc_projection, pivot_linestatus, multiset_operations, local_supplier_volume), roll
     #    into round 7's window) --
+    "gopher_quality_rules",
+    "gopher_repetition_rules",
     "ann_pq_recall_report",
     "source_overlap_matrix",
     "ann_pq_adc_topk",
@@ -252,8 +254,8 @@ DRIVER_WINDOW = (
     "having_big_spenders",
     "incremental_revenue_agg",
     "json_extraction",
-    "key_skew_report",
-    "language_id",
+    # (key_skew_report, language_id displaced to round 7 by the
+    #  Gopher-rule additions)
 )
 
 

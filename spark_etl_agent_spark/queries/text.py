@@ -814,3 +814,176 @@ QUERIES["bpe_fertility_by_lang"] = QuerySpec(
     "Per-language BPE fertility (tokens/word ppm) after 6 merges",
     ("text", "llm", "agg"),
 )
+
+
+def gopher_quality_rules(spark, sf_dir):
+    from ..llm.text import gopher_quality_rules as rules
+
+    return rules(load(spark, sf_dir, "documents"))
+
+
+GOPHER_QUALITY_RULES_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    string_split_regex(lower(text), '\s+') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    greatest(CAST(len(words) AS BIGINT), 1) AS safe_words,
+    CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonspace,
+    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+      AS n_ellipsis,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l ->
+      ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%'
+    )) AS BIGINT) AS bullet_lines,
+    CAST(len(list_filter(lines, l -> right(rtrim(l), 3) = '...'))
+      AS BIGINT) AS ellipsis_lines,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+      AS BIGINT) AS alpha_words,
+    CAST(len(list_intersect(words,
+      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+      AS BIGINT) AS stopword_hits
+  FROM base
+),
+ppm AS (
+  SELECT doc_id, n_words,
+    CAST(nonspace * 1000 // safe_words AS BIGINT) AS mean_word_len_milli,
+    CAST((n_hash + n_ellipsis) * 1000000 // safe_words AS BIGINT)
+      AS symbol_ratio_ppm,
+    CAST(bullet_lines * 1000000 // n_lines AS BIGINT) AS bullet_line_ppm,
+    CAST(ellipsis_lines * 1000000 // n_lines AS BIGINT)
+      AS ellipsis_line_ppm,
+    CAST(alpha_words * 1000000 // safe_words AS BIGINT) AS alpha_word_ppm,
+    stopword_hits
+  FROM sig
+)
+SELECT *,
+  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+   AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+   AND ok_stopwords) AS passes_gopher
+FROM (
+  SELECT *,
+    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+    (mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000)
+      AS ok_mean_word_len,
+    (symbol_ratio_ppm <= 100000) AS ok_symbol_ratio,
+    (bullet_line_ppm <= 900000) AS ok_bullet_lines,
+    (ellipsis_line_ppm <= 300000) AS ok_ellipsis_lines,
+    (alpha_word_ppm >= 800000) AS ok_alpha_words,
+    (stopword_hits >= 2) AS ok_stopwords
+  FROM ppm
+)
+"""
+
+
+def gopher_repetition_rules(spark, sf_dir):
+    from ..llm.text import gopher_repetition_rules as rules
+
+    return rules(load(spark, sf_dir, "documents"))
+
+
+def _rep_gram_cte(n: int) -> str:
+    return f"""
+  SELECT doc_id, n_chars, 'G{n}' AS kind,
+    unnest(CASE WHEN len(words) >= {n} THEN
+      list_transform(range(1, len(words) - {n} + 2), i ->
+        {" || ' ' || ".join(f"words[CAST(i AS INT) + {o}]" for o in range(n))})
+    ELSE CAST([] AS VARCHAR[]) END) AS val
+  FROM rep_base"""
+
+
+GOPHER_REPETITION_RULES_SQL = r"""
+WITH rep_base AS (
+  SELECT doc_id, text,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    string_split_regex(lower(text), '\s+') AS words
+  FROM documents
+),
+items AS (
+  SELECT doc_id, n_chars, 'L' AS kind,
+    unnest(string_split(text, chr(10))) AS val
+  FROM rep_base
+  UNION ALL {gram_ctes}
+),
+counted AS (
+  SELECT doc_id, n_chars, kind, val, count(*) AS cnt
+  FROM items GROUP BY doc_id, n_chars, kind, val
+),
+per_kind AS (
+  SELECT doc_id, n_chars, kind,
+    CAST(sum(cnt) AS BIGINT) AS n_items,
+    CAST(count(*) AS BIGINT) AS n_distinct,
+    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * len(val) ELSE 0 END) AS BIGINT)
+      AS dup_chars,
+    CAST(max(cnt * len(val)) AS BIGINT) AS top_chars,
+    CAST(sum(cnt * len(val)) AS BIGINT) AS total_chars
+  FROM counted GROUP BY doc_id, n_chars, kind
+),
+per_doc AS (
+  SELECT doc_id, n_chars,
+    max(CASE WHEN kind = 'L' THEN n_items END) AS l_items,
+    max(CASE WHEN kind = 'L' THEN n_distinct END) AS l_distinct,
+    max(CASE WHEN kind = 'L' THEN dup_chars END) AS l_dup_chars,
+    max(CASE WHEN kind = 'L' THEN total_chars END) AS l_total_chars,
+    max(CASE WHEN kind = 'G2' THEN top_chars END) AS g2_top,
+    max(CASE WHEN kind = 'G3' THEN top_chars END) AS g3_top,
+    max(CASE WHEN kind = 'G4' THEN top_chars END) AS g4_top,
+    max(CASE WHEN kind = 'G5' THEN dup_chars END) AS g5_dup,
+    max(CASE WHEN kind = 'G10' THEN dup_chars END) AS g10_dup
+  FROM per_kind GROUP BY doc_id, n_chars
+),
+signals AS (
+  SELECT doc_id, n_chars,
+    CAST(l_items AS BIGINT) AS n_lines,
+    CAST((l_items - l_distinct) * 1000000 // l_items AS BIGINT)
+      AS dup_line_ppm,
+    CAST(l_dup_chars * 1000000 // greatest(l_total_chars, 1) AS BIGINT)
+      AS dup_line_char_ppm,
+    CAST(coalesce(g2_top, 0) * 1000000 // greatest(n_chars, 1) AS BIGINT)
+      AS top2gram_char_ppm,
+    CAST(coalesce(g3_top, 0) * 1000000 // greatest(n_chars, 1) AS BIGINT)
+      AS top3gram_char_ppm,
+    CAST(coalesce(g4_top, 0) * 1000000 // greatest(n_chars, 1) AS BIGINT)
+      AS top4gram_char_ppm,
+    CAST(least(coalesce(g5_dup, 0) * 1000000 // greatest(n_chars, 1),
+               1000000) AS BIGINT) AS dup5gram_char_ppm,
+    CAST(least(coalesce(g10_dup, 0) * 1000000 // greatest(n_chars, 1),
+               1000000) AS BIGINT) AS dup10gram_char_ppm
+  FROM per_doc
+)
+SELECT *,
+  (ok_dup_lines AND ok_dup_line_chars AND ok_top2gram AND ok_top3gram
+   AND ok_top4gram AND ok_dup5gram AND ok_dup10gram) AS passes_repetition
+FROM (
+  SELECT *,
+    (dup_line_ppm <= 300000) AS ok_dup_lines,
+    (dup_line_char_ppm <= 200000) AS ok_dup_line_chars,
+    (top2gram_char_ppm <= 200000) AS ok_top2gram,
+    (top3gram_char_ppm <= 180000) AS ok_top3gram,
+    (top4gram_char_ppm <= 160000) AS ok_top4gram,
+    (dup5gram_char_ppm <= 150000) AS ok_dup5gram,
+    (dup10gram_char_ppm <= 100000) AS ok_dup10gram
+  FROM signals
+)
+""".replace(
+    "{gram_ctes}",
+    "\n  UNION ALL ".join(_rep_gram_cte(n) for n in (2, 3, 4, 5, 10)),
+)
+
+
+QUERIES["gopher_quality_rules"] = QuerySpec(
+    "gopher_quality_rules", gopher_quality_rules, GOPHER_QUALITY_RULES_SQL,
+    "Gopher (Rae et al. 2021) quality-rule battery: per-doc flags, exact ppm",
+    ("text", "llm", "quality"),
+)
+QUERIES["gopher_repetition_rules"] = QuerySpec(
+    "gopher_repetition_rules", gopher_repetition_rules,
+    GOPHER_REPETITION_RULES_SQL,
+    "Gopher repetition signals: dup lines, top/dup n-gram char coverage",
+    ("text", "llm", "quality"),
+)

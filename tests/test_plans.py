@@ -497,3 +497,26 @@ def test_source_overlap_joins_on_span_hash(spark, sf_dir):
     plan = plan_of(SPECS["source_overlap_matrix"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_quality_rules_is_pure_projection(spark, sf_dir):
+    """The Gopher quality battery must run at scan bandwidth: one
+    whole-stage-codegen'd projection chain, zero exchanges, no join —
+    the first-pass corpus gate shape."""
+    plan = plan_of(SPECS["gopher_quality_rules"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree and "Generate" not in tree
+    # '*'-prefixed nodes are inside a WholeStageCodegen span
+    assert "* Project" in tree
+
+
+def test_gopher_repetition_single_scan(spark, sf_dir):
+    """All n-gram sizes and the line signals ride ONE corpus scan (the
+    tagged-item concat) — a per-size scan would multiply the dominant
+    cost at 100 TB. Shuffles are the uniform (doc, item) and per-doc
+    aggregations only; no join of any kind."""
+    plan = plan_of(SPECS["gopher_repetition_rules"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree and "CartesianProduct" not in tree
