@@ -161,17 +161,19 @@ def _pq_codes_and_centroids(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    prescaled: bool = False,
 ):
     """Shared PQ front half: scaled base, long-form codes
     ``(vec_id, subspace, cell, sub)`` via the literal-codebook argmin,
     and the refined floor-mean centroids ``(subspace, cell, cvec)``.
-    Feeds both the encode-fidelity report and the ADC search."""
+    Feeds the encode-fidelity report and the ADC search; with
+    ``prescaled=True`` the input column is taken as an already
+    integer-valued grid (the IVF-PQ residual path)."""
     from .similarity import scaled
 
     d_sub = dim // m
-    base = df.select(
-        F.col(id_col).alias("vec_id"), scaled(F.col(vec_col)).alias("svec")
-    )
+    vec = F.col(vec_col) if prescaled else scaled(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("vec_id"), vec.alias("svec"))
 
     seeds = (
         base.orderBy("vec_id").limit(k).select("vec_id", "svec").collect()
@@ -387,4 +389,134 @@ def pq_adc_recall(
             .cast("long")
             .alias("recall_ppm"),
         )
+    )
+
+
+def ivfpq_adc_topk(
+    df: DataFrame,
+    kc: int = 4,
+    iters: int = 2,
+    n_probe: int = 2,
+    query_ids_below: int = 8,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ asymmetric-distance top-k — the full FAISS ``IVFADC``
+    composition (Jégou et al., TPAMI 2011 §IV): a trained k-means
+    coarse quantizer partitions the corpus into ``kc`` cells, every
+    vector is PQ-encoded on its RESIDUAL against its coarse centroid
+    (residuals are far better conditioned for quantization than raw
+    vectors — the whole point of the composition), and a query scans
+    only its ``n_probe`` best coarse cells, ranking candidates by the
+    exact int64 sum of per-subspace L2² between the QUERY RESIDUAL
+    (w.r.t. the probed cell's centroid) and the candidate's assigned
+    refined PQ centroid.
+
+    Scale shape: coarse training is the deterministic Lloyd loop
+    (:func:`..kmeans.train_cells` internals — one scan per round,
+    literal codebook); residuals are one broadcast join (kc rows);
+    PQ encode is the literal-codebook projection; the probe list
+    (≤ q·n_probe rows) broadcasts, so ONLY vectors in probed cells
+    enter the distance pipeline — the candidate set shrinks by
+    ~n_probe/kc before any per-subspace work, which is exactly how a
+    billion-vector index bounds query cost. At 100 TB the codes table
+    would be written cell-partitioned so the probe join becomes
+    partition pruning. All arithmetic exact int64 on the scaled grid —
+    bit-identical to the unrolled-CTE oracle.
+    """
+    from pyspark.sql import Window
+
+    from .kmeans import _assign_literal, _recompute
+    from .similarity import cosine, dot, scaled
+
+    d_sub = dim // m
+    base = df.select(
+        F.col(id_col).alias("vec_id"), scaled(F.col(vec_col)).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+
+    centroids = (
+        base.orderBy("vec_id")
+        .limit(kc)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("svec").alias("cvec"),
+            F.col("norm_sq").alias("cnorm"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign_literal(base, centroids.collect()).localCheckpoint()
+        centroids = _recompute(assigned)
+    coarse = centroids  # floor-mean centroids of the FINAL assignment
+
+    # residual grid: integer-valued doubles minus integer-valued floor
+    # means — still exact integers on the grid
+    resid = assigned.join(
+        F.broadcast(coarse.select("cell", "cvec")), "cell"
+    ).select(
+        "vec_id",
+        F.col("cell").alias("ccell"),
+        F.zip_with("svec", "cvec", lambda x, c: x - c).alias("rvec"),
+    )
+    _, codes, cent_pq = _pq_codes_and_centroids(
+        resid, m, k, dim, vec_col="rvec", id_col="vec_id", prescaled=True
+    )
+
+    queries = base.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("qid"),
+        F.col("svec").alias("qsvec"),
+        F.col("norm_sq").alias("qnorm"),
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.desc("psim"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "psim",
+            cosine(dot(F.col("qsvec"), F.col("cvec")), F.col("qnorm"), F.col("cnorm")),
+        )
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            "qid",
+            F.col("cell").alias("ccell"),
+            F.zip_with("qsvec", "cvec", lambda x, c: x - c).alias("qrvec"),
+        )
+    )
+
+    # probed-cell pruning FIRST (broadcast, bounded q·n_probe rows),
+    # then the per-candidate code join
+    cand = resid.select("vec_id", "ccell").join(F.broadcast(probes), "ccell")
+    per = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(cent_pq), ["subspace", "cell"])
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.expr(f"slice(qrvec, subspace * {d_sub} + 1, {d_sub})"),
+                    F.col("cvec"),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+    sums = (
+        per.filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        sums.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", "vec_id", "adc_dist", "rnk")
     )

@@ -600,10 +600,18 @@ def pq_encode_cells(spark, sf_dir):
     return pq_encode_stats(load(spark, sf_dir, "embeddings"))
 
 
-def _pq_subspace_sql(j: int, d_sub: int = 16, k: int = 8) -> str:
+def _pq_subspace_sql(
+    j: int, d_sub: int = 16, k: int = 8, src: str = "base", p: str = ""
+) -> str:
+    """One PQ subspace chain: seed-argmin assignment, floor-mean
+    refined centroids, residual errors. ``src`` names the scaled-vector
+    CTE (``base`` for raw vectors, the residual CTE for IVF-PQ) and
+    ``p`` prefixes every generated CTE name so two PQ chains (or a PQ
+    chain plus the k-means ``cent{i}`` CTEs) can coexist in one
+    oracle."""
     a, b = j * d_sub + 1, (j + 1) * d_sub
     return f"""
-a{j} AS (
+{p}a{j} AS (
   SELECT vec_id, sub, cell FROM (
     SELECT b.vec_id, b.svec[{a}:{b}] AS sub, s.cell,
       row_number() OVER (PARTITION BY b.vec_id ORDER BY
@@ -611,22 +619,23 @@ a{j} AS (
         - 2 * list_dot_product(b.svec[{a}:{b}], s.svec[{a}:{b}])
         + list_dot_product(s.svec[{a}:{b}], s.svec[{a}:{b}]) ASC,
         s.cell ASC) AS rn
-    FROM base b, seeds s
+    FROM {src} b, {p}seeds s
   ) WHERE rn = 1
 ),
-cl{j} AS (
+{p}cl{j} AS (
   SELECT cell, dim,
     CAST(floor(sum(sub[CAST(dim AS INT)]) / count(*)) AS DOUBLE) AS cq
-  FROM a{j}, range(1, {d_sub + 1}) t(dim)
+  FROM {p}a{j}, range(1, {d_sub + 1}) t(dim)
   GROUP BY cell, dim
 ),
-cent{j} AS (SELECT cell, list(cq ORDER BY dim) AS cvec FROM cl{j} GROUP BY cell),
-r{j} AS (
+{p}cent{j} AS (
+  SELECT cell, list(cq ORDER BY dim) AS cvec FROM {p}cl{j} GROUP BY cell),
+{p}r{j} AS (
   SELECT {j} AS subspace, a.cell,
     CAST(list_dot_product(a.sub, a.sub)
          - 2 * list_dot_product(a.sub, c.cvec)
          + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS err
-  FROM a{j} a JOIN cent{j} c ON c.cell = a.cell
+  FROM {p}a{j} a JOIN {p}cent{j} c ON c.cell = a.cell
 )"""
 
 
@@ -1070,4 +1079,104 @@ QUERIES["ann_pq_recall_report"] = QuerySpec(
     ANN_PQ_RECALL_REPORT_SQL,
     "PQ-ADC recall vs exact L2 top-k per probe query (ppm)",
     ("similarity", "quantize", "llm", "agg"),
+)
+
+
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ asymmetric-distance top-k (FAISS ``IVFADC``, Jégou et
+    al. 2011): trained coarse cells + PQ codes on the residuals; a
+    query probes its 2 best cells and ranks ONLY their members by
+    exact int64 residual-ADC distance. Completes the ANN family:
+    brute, sign-bucket LSH, IVF, IVF-k-means, PQ-ADC, IVF-PQ."""
+    from ..llm.quantize import ivfpq_adc_topk
+
+    return ivfpq_adc_topk(load(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_sql(qib: int = 8, topk: int = 5, n_probe: int = 2, m: int = 4,
+               d_sub: int = 16) -> str:
+    dists = []
+    for j in range(m):
+        a, b = j * d_sub + 1, (j + 1) * d_sub
+        dists.append(f"""
+d{j} AS (
+  SELECT p.qid, a.vec_id,
+    CAST(list_dot_product(p.qrvec[{a}:{b}], p.qrvec[{a}:{b}])
+         - 2 * list_dot_product(p.qrvec[{a}:{b}], c.cvec)
+         + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS dist
+  FROM pa{j} a
+  JOIN resid s ON s.vec_id = a.vec_id
+  JOIN probes p ON p.ccell = s.ccell
+  JOIN pcent{j} c ON c.cell = a.cell
+)""")
+    alld = " UNION ALL ".join(f"SELECT * FROM d{j}" for j in range(m))
+    return (
+        f"""
+WITH base AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+cent0 AS (
+  SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
+  FROM base ORDER BY vec_id LIMIT 4
+),
+{_kmeans_round_sql(0)},
+{_kmeans_round_sql(1)},
+resid AS (
+  SELECT a.vec_id, a.cell AS ccell,
+    list_transform(range(1, 65),
+      i -> a.svec[CAST(i AS INT)] - c.cvec[CAST(i AS INT)]) AS svec
+  FROM assign1 a JOIN cent2 c ON c.cell = a.cell
+),
+pseeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+    svec
+  FROM (SELECT vec_id, svec FROM resid ORDER BY vec_id LIMIT 8)
+),
+"""
+        + ",".join(
+            _pq_subspace_sql(j, src="resid", p="p") for j in range(m)
+        )
+        + f""",
+q AS (
+  SELECT vec_id AS qid, svec AS qsvec, norm_sq AS qnorm
+  FROM base WHERE vec_id < {qib}
+),
+probes AS (
+  SELECT qid, ccell,
+    list_transform(range(1, 65),
+      i -> qsvec[CAST(i AS INT)] - cvec[CAST(i AS INT)]) AS qrvec
+  FROM (
+    SELECT q.qid, q.qsvec, c.cell AS ccell, c.cvec,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        list_dot_product(q.qsvec, c.cvec) / (sqrt(q.qnorm) * sqrt(c.cnorm))
+          DESC, c.cell) AS pr
+    FROM q, cent2 c
+  ) WHERE pr <= {n_probe}
+),
+{",".join(dists)},
+alld AS ({alld}),
+sums AS (
+  SELECT qid, vec_id, CAST(sum(dist) AS BIGINT) AS adc_dist
+  FROM alld WHERE qid <> vec_id GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, adc_dist, rnk FROM (
+  SELECT qid, vec_id, adc_dist,
+    CAST(row_number() OVER (PARTITION BY qid
+      ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rnk
+  FROM sums
+) WHERE rnk <= {topk}
+"""
+    )
+
+
+ANN_IVFPQ_TOPK_SQL = _ivfpq_sql()
+
+
+QUERIES["ann_ivfpq_topk"] = QuerySpec(
+    "ann_ivfpq_topk",
+    ann_ivfpq_topk,
+    ANN_IVFPQ_TOPK_SQL,
+    "IVF-PQ residual-ADC top-k: coarse k-means cells + PQ codes (IVFADC)",
+    ("similarity", "quantize", "iterative", "llm"),
 )

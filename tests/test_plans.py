@@ -520,3 +520,14 @@ def test_gopher_repetition_single_scan(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert "Join" not in tree and "CartesianProduct" not in tree
+
+
+def test_ivfpq_probe_pruned_broadcast_joins(spark, sf_dir):
+    """IVFADC: the only non-equi join is the bounded q x kc probe
+    cross (one BNLJ); codes/centroids/candidates all join broadcast or
+    equi — never a corpus x corpus cartesian."""
+    plan = plan_of(SPECS["ann_ivfpq_topk"].spark(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in tree
