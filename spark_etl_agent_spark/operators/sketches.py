@@ -271,3 +271,69 @@ def frequent_items(
             .alias("share_ppm"),
         )
     )
+
+
+def countmin_sketch_report(
+    values: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    topn: int = 20,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) + accuracy
+    report: build the ``depth × width`` cell grid over a value column,
+    then report the CMS point estimate next to the exact count for the
+    ``topn`` most frequent values — CMS guarantees ``estimate ≥
+    exact`` (one-sided error), and the overestimate column is the
+    width-sizing signal you read before trusting the sketch alone at
+    100 TB (E[overestimate] ≈ N/width per row, min over depth rows).
+
+    Scale shape: the exact per-value count is one uniform map-side-
+    combined shuffle; the grid is derived from the COUNT table (sum of
+    counts per hashed cell — mathematically identical to hashing every
+    occurrence of the stream-ingest deployment path, at a fraction of
+    the explode cost) and is bounded at ``depth·width`` rows, so it
+    broadcasts back onto the ``topn``-bounded probe side
+    (TakeOrderedAndProject). Hashes are md5-derived (the portable
+    cross-engine idiom), so the whole report is bit-identical to the
+    SQL oracle.
+    """
+    counts = values.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def bucket_of(row_expr, val_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(row_expr.cast("string"), F.lit("|"), F.col(val_col))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    cells = (
+        counts.select(rows, col, "cnt")
+        .select(F.col("r"), bucket_of(F.col("r"), col).alias("bucket"), "cnt")
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cell_count"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc(col)).limit(topn)
+    probes = top.select(rows, col, "cnt").select(
+        F.col(col), F.col("cnt"), F.col("r"),
+        bucket_of(F.col("r"), col).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy(col, "cnt")
+        .agg(F.min("cell_count").alias("cms"))
+    )
+    return est.select(
+        F.col(col).alias("token"),
+        F.col("cnt").cast("long").alias("exact_count"),
+        F.col("cms").cast("long").alias("cms_estimate"),
+        (F.col("cms") - F.col("cnt")).cast("long").alias("overestimate"),
+    )

@@ -202,6 +202,7 @@ DRIVER_WINDOW = (
     #    rolling_active_users, rollup_returns, retailprice_histogram,
     #    revenue_concentration, poc_projection, pivot_linestatus, multiset_operations, local_supplier_volume), roll
     #    into round 7's window) --
+    "countmin_heavy_hitters",
     "ann_ivfpq_topk",
     "gopher_quality_rules",
     "gopher_repetition_rules",
@@ -253,9 +254,9 @@ DRIVER_WINDOW = (
     "forecast_revenue",
     "gap_fill_daily",
     "having_big_spenders",
-    "incremental_revenue_agg",
-    # (json_extraction, key_skew_report, language_id displaced to
-    #  round 7 by the Gopher-rule + IVF-PQ additions)
+    # (incremental_revenue_agg, json_extraction, key_skew_report,
+    #  language_id displaced to round 7 by the Gopher-rule + IVF-PQ +
+    #  Count-Min additions)
 )
 
 

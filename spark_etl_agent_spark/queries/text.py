@@ -987,3 +987,54 @@ QUERIES["gopher_repetition_rules"] = QuerySpec(
     "Gopher repetition signals: dup lines, top/dup n-gram char coverage",
     ("text", "llm", "quality"),
 )
+
+
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch accuracy report over corpus tokens: exact
+    count vs CMS estimate (min over 4 md5 hash rows of a 4x256 grid)
+    for the top-20 tokens — the mergeable-sketch tier next to the
+    Misra-Gries exact-recount heavy hitters
+    (`operators/sketches.py::countmin_sketch_report`)."""
+    from ..operators.sketches import countmin_sketch_report
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    )
+    return countmin_sketch_report(toks, "w")
+
+
+COUNTMIN_HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+cells AS (
+  SELECT t.r,
+    CAST(('0x' || substr(md5(t.r || '|' || w), 1, 8)) AS BIGINT) % 256
+      AS bucket,
+    sum(cnt) AS cell_count
+  FROM counts, range(0, 4) t(r)
+  GROUP BY 1, 2
+),
+top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 20),
+est AS (
+  SELECT t.w, t.cnt, min(c.cell_count) AS cms
+  FROM top t, range(0, 4) tr(r)
+  JOIN cells c ON c.r = tr.r
+    AND c.bucket =
+      CAST(('0x' || substr(md5(tr.r || '|' || t.w), 1, 8)) AS BIGINT) % 256
+  GROUP BY t.w, t.cnt
+)
+SELECT w AS token, CAST(cnt AS BIGINT) AS exact_count,
+  CAST(cms AS BIGINT) AS cms_estimate,
+  CAST(cms - cnt AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+QUERIES["countmin_heavy_hitters"] = QuerySpec(
+    "countmin_heavy_hitters", countmin_heavy_hitters,
+    COUNTMIN_HEAVY_HITTERS_SQL,
+    "Count-Min sketch estimate vs exact count for the top-20 tokens",
+    ("text", "sketch", "llm"),
+)

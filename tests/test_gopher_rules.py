@@ -139,3 +139,61 @@ def test_repetition_flags(spark):
     # degenerate single-word loop: dup coverage caps at 100%
     assert got[5]["dup10gram_char_ppm"] == 1_000_000
     assert not got[5]["passes_repetition"]
+
+
+# --- Count-Min sketch (operators/sketches.py::countmin_sketch_report) ---
+
+
+def _cms_reference(tokens, depth=4, width=256, topn=20):
+    import hashlib
+    from collections import Counter
+
+    def bucket(r, w):
+        return int(hashlib.md5(f"{r}|{w}".encode()).hexdigest()[:8], 16) % width
+
+    counts = Counter(tokens)
+    cells = Counter()
+    for w, c in counts.items():
+        for r in range(depth):
+            cells[(r, bucket(r, w))] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+    return {
+        w: (c, min(cells[(r, bucket(r, w))] for r in range(depth)))
+        for w, c in top
+    }
+
+
+def test_countmin_matches_pure_python(spark):
+    from spark_etl_agent_spark.operators.sketches import countmin_sketch_report
+
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(40)]
+    tokens = [rng.choice(vocab) for _ in range(3000)]
+    df = spark.createDataFrame([(t,) for t in tokens], ["w"])
+    got = {
+        r["token"]: (r["exact_count"], r["cms_estimate"])
+        for r in countmin_sketch_report(df, "w").collect()
+    }
+    assert got == _cms_reference(tokens)
+
+
+def test_countmin_one_sided_error(spark):
+    """CMS guarantees estimate >= exact; a lone value in a tiny grid
+    still reads exact when nothing collides with all 4 of its rows."""
+    from spark_etl_agent_spark.operators.sketches import countmin_sketch_report
+
+    df = spark.createDataFrame([("only",)] * 7, ["w"])
+    rows = countmin_sketch_report(df, "w").collect()
+    assert len(rows) == 1
+    assert rows[0]["exact_count"] == rows[0]["cms_estimate"] == 7
+    assert rows[0]["overestimate"] == 0
+
+    import random
+
+    rng = random.Random(9)
+    many = [(f"v{rng.randrange(500)}",) for _ in range(5000)]
+    out = countmin_sketch_report(spark.createDataFrame(many, ["w"]),
+                                 "w", width=64).collect()
+    assert all(r["overestimate"] >= 0 for r in out)
