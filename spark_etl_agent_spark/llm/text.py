@@ -978,3 +978,95 @@ def gopher_repetition_rules(
             & F.col("ok_dup10gram")
         ).alias("passes_repetition"),
     )
+
+
+# BM25 retrieval parameters (Robertson & Zaragoza 2009): k1 tempers
+# term-frequency saturation, b the document-length normalization.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms,
+    topk: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query-term set — the
+    lexical search primitive of a data pipeline (quality-targeted
+    selection, benchmark-similar document mining, eval-set retrieval).
+
+    Scoring follows Robertson-Zaragoza BM25 with the +1 idf floor
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), always positive).
+    Determinism: ``ln`` is quantized to integer micro-units per term
+    (the tfidf/unigram-LM idiom), each (doc, term) partial score is
+    floored to int64 BEFORE the per-document sum — double summation
+    order never touches the result, so the ranking is bit-identical to
+    the SQL oracle.
+
+    Shape: one corpus scan computes per-doc length AND explodes only
+    the matching terms (the IN filter rides the explode); tf is one
+    uniform (doc, term) groupBy; df derives from tf (no second scan);
+    N and avgdl are one scalar aggregate broadcast; top-k is a bounded
+    TakeOrderedAndProject. No UDF anywhere.
+    """
+    terms = sorted(set(query_terms))
+    words = words_of(F.col(text_col))
+    toks = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("dl"),
+        F.explode(F.filter(words, lambda w: w.isin(*terms))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs"),
+        F.sum(F.size(words_of(F.col(text_col)))).cast("long").alias("_dl_sum"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("df_") + F.lit(0.5))
+                    / (F.col("df_") + F.lit(0.5))
+                )
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+        .withColumn(
+            "term_score_micro",
+            F.floor(
+                F.col("idf_micro")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B)
+                        * F.col("dl")
+                        / (
+                            F.col("_dl_sum").cast("double")
+                            / F.col("_n_docs")
+                        )
+                    )
+                )
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("term_score_micro").alias("bm25_micro"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return (
+        agg.orderBy(F.desc("bm25_micro"), F.asc(id_col))
+        .limit(topk)
+        .select(id_col, "bm25_micro", "n_terms_hit")
+    )

@@ -110,3 +110,49 @@ def file_stat_ranges(path: str, cols: List[str]) -> List[dict]:
             stats[c] = (lo, hi)
         out.append({"file": f, **stats})
     return out
+
+
+def rendezvous_shard(key: Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment: the shard whose md5(shard|key) weight is highest
+    wins (tie → lower shard id). The property that matters at scale:
+    growing the ring from N to N+1 moves ONLY the keys whose new
+    top weight belongs to the NEW shard (~1/(N+1) of them) — every
+    other key keeps its shard, unlike mod-N hashing which reshuffles
+    (N-1)/N of the corpus. Pure expression: one codegen'd argmax over
+    ``n_shards`` literal structs, zero shuffle, no UDF."""
+    key_s = key.cast("string")
+    structs = [
+        F.struct(
+            F.md5(F.concat(F.lit(f"{s}|"), key_s)).alias("w"),
+            F.lit(-s).alias("negs"),
+        )
+        for s in range(n_shards)
+    ]
+    return (-F.array_max(F.array(*structs))["negs"]).cast("long")
+
+
+def shard_movement_report(
+    df: DataFrame, key_col: str, n_before: int, n_after: int
+) -> DataFrame:
+    """Re-shard stability report: assign every key under ``n_before``
+    and ``n_after`` rendezvous shards and count the (shard_before,
+    shard_after) transition matrix — the report an operator reads
+    before growing a 100 TB sharded layout (expected off-diagonal mass
+    ≈ 1/n_after when adding shards; with rendezvous hashing every
+    off-diagonal row must land on a NEW shard, which the tests pin).
+    One scan, one bounded groupBy (≤ n_before·n_after keys)."""
+    assigned = df.select(
+        rendezvous_shard(F.col(key_col), n_before).alias("shard_before"),
+        rendezvous_shard(F.col(key_col), n_after).alias("shard_after"),
+    )
+    return (
+        assigned.groupBy("shard_before", "shard_after")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .select(
+            "shard_before",
+            "shard_after",
+            "n_keys",
+            (F.col("shard_before") != F.col("shard_after")).alias("is_move"),
+        )
+    )

@@ -380,3 +380,58 @@ QUERIES = {
         "Explicit GROUPING SETS aggregation", ("agg",),
     ),
 }
+
+
+def shard_movement_report(spark, sf_dir):
+    """Rendezvous-hashing re-shard stability: the (shard_before,
+    shard_after) transition matrix for growing an 8-shard layout to 9
+    (`operators/layout.py::shard_movement_report`). With HRW hashing
+    every moved key must land on the NEW shard — the consistent-
+    placement property that keeps a 100 TB re-shard to ~1/9 of the
+    data instead of the 8/9 a mod-N layout would move."""
+    from ..operators.layout import shard_movement_report as report
+
+    return report(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id", n_before=8, n_after=9,
+    )
+
+
+SHARD_MOVEMENT_REPORT_SQL = """
+WITH keys AS (SELECT doc_id FROM documents),
+before_w AS (
+  SELECT doc_id, s, md5(s || '|' || CAST(doc_id AS VARCHAR)) AS w
+  FROM keys, range(0, 8) t(s)
+),
+before_a AS (
+  SELECT doc_id, s AS shard_before FROM (
+    SELECT doc_id, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+    FROM before_w
+  ) WHERE rn = 1
+),
+after_w AS (
+  SELECT doc_id, s, md5(s || '|' || CAST(doc_id AS VARCHAR)) AS w
+  FROM keys, range(0, 9) t(s)
+),
+after_a AS (
+  SELECT doc_id, s AS shard_after FROM (
+    SELECT doc_id, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+    FROM after_w
+  ) WHERE rn = 1
+)
+SELECT b.shard_before, a.shard_after,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  (b.shard_before != a.shard_after) AS is_move
+FROM before_a b JOIN after_a a USING (doc_id)
+GROUP BY b.shard_before, a.shard_after
+"""
+
+
+QUERIES["shard_movement_report"] = QuerySpec(
+    "shard_movement_report", shard_movement_report,
+    SHARD_MOVEMENT_REPORT_SQL,
+    "Rendezvous-hash re-shard transition matrix (8 to 9 shards)",
+    ("layout", "operators"),
+)

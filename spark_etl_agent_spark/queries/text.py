@@ -1038,3 +1038,64 @@ QUERIES["countmin_heavy_hitters"] = QuerySpec(
     "Count-Min sketch estimate vs exact count for the top-20 tokens",
     ("text", "sketch", "llm"),
 )
+
+
+_BM25_TERMS = ("filter", "merge", "slow", "vector")
+
+
+def bm25_search_topk(spark, sf_dir):
+    """BM25 top-20 retrieval for a fixed 4-term query — the lexical
+    search primitive (benchmark-similar mining, targeted selection).
+    Integer-micro quantized per-term scores, exact int64 doc sums
+    (`llm/text.py::bm25_topk`)."""
+    from ..llm.text import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+BM25_SEARCH_TOPK_SQL = r"""
+WITH wrds AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+    unnest(list_filter(ws,
+      w -> w IN ('filter', 'merge', 'slow', 'vector'))) AS term
+  FROM wrds
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM toks GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+      AS dl_sum
+  FROM documents
+),
+scored AS (
+  SELECT t.doc_id,
+    CAST(floor(
+      CAST(floor(ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5))
+                 * 1000000) AS BIGINT)
+      * (t.tf * 2.2)
+      / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                       / (CAST(s.dl_sum AS DOUBLE) / s.n_docs)))
+    ) AS BIGINT) AS term_score_micro
+  FROM tf t JOIN dfreq d USING (term), stats s
+)
+SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT) AS bm25_micro,
+  CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+QUERIES["bm25_search_topk"] = QuerySpec(
+    "bm25_search_topk", bm25_search_topk, BM25_SEARCH_TOPK_SQL,
+    "BM25 top-20 lexical retrieval (integer-micro quantized scores)",
+    ("text", "retrieval", "llm"),
+)
