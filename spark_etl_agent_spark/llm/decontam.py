@@ -84,3 +84,62 @@ def ngram_contamination(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def semantic_contamination(
+    emb: DataFrame,
+    probe_ids_below: int = 8,
+    min_cosine: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space decontamination — the contamination the n-gram
+    check CANNOT see: a paraphrased or translated benchmark item
+    shares no 13-gram with its source but sits next to it in embedding
+    space. Every corpus vector whose cosine to ANY benchmark probe
+    (``vec_id < probe_ids_below``) reaches ``min_cosine`` is flagged
+    with its nearest probe and the exact similarity.
+
+    Shape: the benchmark side is broadcast by construction (eval sets
+    are KB–MB against a 100 TB corpus) — one scan of the corpus
+    against the broadcast probe set, argmax via a per-vector struct
+    max (no window shuffle), threshold filter last so the plan is
+    scan-bound. Same scaled-integer cosine contract as
+    ``llm.similarity`` (bit-identical to the SQL oracle).
+    """
+    from .similarity import cosine, dot, with_scaled_and_norm
+
+    base = with_scaled_and_norm(emb, vec_col, id_col)
+    probes = F.broadcast(
+        base.filter(F.col(id_col) < probe_ids_below).select(
+            F.col(id_col).alias("bench_id"),
+            F.col("svec").alias("b_svec"),
+            F.col("norm_sq").alias("b_norm"),
+        )
+    )
+    pairs = (
+        base.filter(F.col(id_col) >= probe_ids_below)
+        .join(probes)
+        .select(
+            F.col(id_col),
+            F.col("bench_id"),
+            cosine(
+                dot(F.col("svec"), F.col("b_svec")),
+                F.col("norm_sq"),
+                F.col("b_norm"),
+            ).alias("cos"),
+        )
+    )
+    best = pairs.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cos"), (-F.col("bench_id")).alias("negb"))).alias(
+            "_best"
+        )
+    )
+    return (
+        best.select(
+            id_col,
+            (-F.col("_best.negb")).cast("long").alias("bench_id"),
+            F.col("_best.cos").alias("max_cosine"),
+        )
+        .filter(F.col("max_cosine") >= min_cosine)
+    )

@@ -202,6 +202,7 @@ DRIVER_WINDOW = (
     #    rolling_active_users, rollup_returns, retailprice_histogram,
     #    revenue_concentration, poc_projection, pivot_linestatus, multiset_operations, local_supplier_volume), roll
     #    into round 7's window) --
+    "semantic_decontaminate",
     "shard_movement_report",
     "bm25_search_topk",
     "countmin_heavy_hitters",
@@ -253,11 +254,11 @@ DRIVER_WINDOW = (
     "events_tumbling_agg",
     "filter_in_upper",
     "fk_integrity_audit",
-    "forecast_revenue",
-    # (gap_fill_daily, having_big_spenders, incremental_revenue_agg,
-    #  json_extraction, key_skew_report, language_id displaced to
-    #  round 7 by the round-6d additions: Gopher rules, IVF-PQ,
-    #  Count-Min, BM25, rendezvous shard report)
+    # (forecast_revenue, gap_fill_daily, having_big_spenders,
+    #  incremental_revenue_agg, json_extraction, key_skew_report,
+    #  language_id displaced to round 7 by the round-6d additions:
+    #  Gopher rules, IVF-PQ, Count-Min, BM25, rendezvous shard report,
+    #  semantic decontamination)
 )
 
 

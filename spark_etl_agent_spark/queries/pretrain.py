@@ -407,3 +407,49 @@ QUERIES = {
         ("llm", "sampling", "agg"),
     ),
 }
+
+
+def semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination: corpus vectors whose
+    cosine to any broadcast benchmark probe (vec_id < 8) reaches 0.30,
+    with the nearest probe — the paraphrase-level contamination the
+    13-gram overlap check cannot see
+    (`llm/decontam.py::semantic_contamination`)."""
+    from ..llm.decontam import semantic_contamination
+
+    return semantic_contamination(load(spark, sf_dir, "embeddings"))
+
+
+SEMANTIC_DECONTAMINATE_SQL = """
+WITH normed AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id,
+          list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 1000000)) AS svec
+        FROM embeddings)
+),
+pairs AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+    list_dot_product(c.svec, b.svec) / (sqrt(c.norm_sq) * sqrt(b.norm_sq))
+      AS cos
+  FROM normed c JOIN normed b ON b.vec_id < 8
+  WHERE c.vec_id >= 8
+),
+best AS (
+  SELECT vec_id, bench_id, cos AS max_cosine FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(bench_id AS BIGINT) AS bench_id, max_cosine
+FROM best WHERE max_cosine >= 0.3
+"""
+
+
+QUERIES["semantic_decontaminate"] = QuerySpec(
+    "semantic_decontaminate", semantic_decontaminate,
+    SEMANTIC_DECONTAMINATE_SQL,
+    "Embedding-cosine benchmark decontamination (paraphrase-level)",
+    ("pretrain", "similarity", "llm"),
+)

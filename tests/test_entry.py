@@ -56,22 +56,22 @@ def test_driver_window_is_first_50_registry_entries():
     assert len(DRIVER_WINDOW) == 50
     # round-6 rotation contract: new/schema-changed queries lead, the
     # stalest r01-era rows all hold slots
-    assert DRIVER_WINDOW[0] == "shard_movement_report"
-    assert DRIVER_WINDOW[1] == "bm25_search_topk"
-    assert DRIVER_WINDOW[2] == "countmin_heavy_hitters"
-    assert DRIVER_WINDOW[3] == "ann_ivfpq_topk"
-    assert DRIVER_WINDOW[4] == "gopher_quality_rules"
-    assert DRIVER_WINDOW[5] == "gopher_repetition_rules"
-    assert DRIVER_WINDOW[6] == "ann_pq_recall_report"
-    assert DRIVER_WINDOW[7] == "source_overlap_matrix"
-    assert DRIVER_WINDOW[8] == "ann_pq_adc_topk"
-    assert DRIVER_WINDOW[9] == "minhash_estimate_error"
-    assert DRIVER_WINDOW[10] == "dedup_family_agreement"
-    assert DRIVER_WINDOW[11] == "bpe_fertility_by_lang"
-    assert DRIVER_WINDOW[12] == "split_leakage_audit"
-    assert DRIVER_WINDOW[13] == "perplexity_prune_band"
-    assert DRIVER_WINDOW[14] == "dsir_importance_weights"
-    assert DRIVER_WINDOW[15] == "bigram_doc_logprob"
+    assert DRIVER_WINDOW[0] == "semantic_decontaminate"
+    assert DRIVER_WINDOW[1] == "shard_movement_report"
+    assert DRIVER_WINDOW[2] == "bm25_search_topk"
+    assert DRIVER_WINDOW[3] == "countmin_heavy_hitters"
+    assert DRIVER_WINDOW[4] == "ann_ivfpq_topk"
+    assert DRIVER_WINDOW[5] == "gopher_quality_rules"
+    assert DRIVER_WINDOW[6] == "gopher_repetition_rules"
+    assert DRIVER_WINDOW[7] == "ann_pq_recall_report"
+    assert DRIVER_WINDOW[8] == "source_overlap_matrix"
+    assert DRIVER_WINDOW[9] == "ann_pq_adc_topk"
+    assert DRIVER_WINDOW[10] == "minhash_estimate_error"
+    assert DRIVER_WINDOW[11] == "dedup_family_agreement"
+    assert DRIVER_WINDOW[12] == "bpe_fertility_by_lang"
+    assert DRIVER_WINDOW[13] == "split_leakage_audit"
+    assert DRIVER_WINDOW[14] == "perplexity_prune_band"
+    assert DRIVER_WINDOW[15] == "dsir_importance_weights"
     for stale_r01 in ("ann_bruteforce_topk", "multimodal_decode",
                       "normalized_dedup", "streaming_tumbling_agg"):
         assert stale_r01 in DRIVER_WINDOW

@@ -102,3 +102,50 @@ def test_bm25_semantics(spark):
     # doc 1 hits all four terms and outranks the one-term spam doc 2
     # (tf saturation) and the long doc 3 (length normalization)
     assert ranks[1] < ranks[2] and ranks[1] < ranks[3]
+
+
+# --- semantic decontamination (llm/decontam.py::semantic_contamination) ---
+
+
+def test_semantic_contamination_planted(spark):
+    """A paraphrase-level near-copy of a benchmark vector is flagged
+    with the right probe; an orthogonal vector is not."""
+    from spark_etl_agent_spark.llm.decontam import semantic_contamination
+
+    dim = 8
+    def unit(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [
+        (0, unit(0)),  # benchmark probes: axes 0 and 1
+        (1, unit(1)),
+        (10, [0.98, 0.02] + [0.0] * 6),  # near-copy of probe 0
+        (11, unit(5)),  # orthogonal: clean
+        (12, [0.5, 0.6] + [0.0] * 6),  # closest to probe 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_contamination(df, probe_ids_below=2).collect()
+    }
+    assert 10 in got and got[10]["bench_id"] == 0
+    assert got[10]["max_cosine"] > 0.95
+    assert 11 not in got
+    assert 12 in got and got[12]["bench_id"] == 1
+
+
+def test_semantic_contamination_broadcast_plan(spark, sf_dir):
+    """The probe side must broadcast — a corpus-side shuffle for the
+    membership probe would be wrong at any scale."""
+    from spark_etl_agent_spark.queries import registry
+
+    df = registry()["semantic_decontaminate"].spark(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "Broadcast" in tree
