@@ -337,3 +337,124 @@ def countmin_sketch_report(
         F.col("cms").cast("long").alias("cms_estimate"),
         (F.col("cms") - F.col("cnt")).cast("long").alias("overestimate"),
     )
+
+
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007) with the
+# standard small-range linear-counting correction.  alpha_m for m=256
+# pinned as an exact ppm integer so the whole estimate is integer math
+# (floor(0.7213 / (1 + 1.079/256) * 1e6)); the constant is part of the
+# operator contract, NOT recomputed in floating point at runtime.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_ALPHA_PPM = 718272
+# numerator of the raw estimate in milli-units:
+#   E*1000 = alpha_ppm * m^2 * 2^61 / (1e6 * S) * 1e3
+#          = (alpha_ppm * m^2 * 2^61) div (1000 * S)
+HLL_RAW_NUMERATOR = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << 61)
+
+
+def hll_distinct_report(
+    values: DataFrame,
+    group: str,
+    col: str,
+    linear_range_milli: int = 2500 * HLL_M,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group + accuracy report
+    against the exact ``COUNT(DISTINCT)`` — the calibration you read
+    before replacing exact distincts with the sketch at 100 TB, where
+    an exact DISTINCT shuffles the full key space but the HLL partial
+    aggregate is 256 registers per task regardless of input size.
+
+    Register math is the portable cross-engine idiom, bit-identical to
+    the SQL oracle:
+
+    - ``bucket`` = first 2 md5 hex chars (``p=8`` → m=256 registers);
+    - ``rho``    = leading-zero run of the NEXT 60 hash bits + 1,
+      via ``61 - length(bin(w))`` (``bin`` strips leading zeros in
+      both Spark and DuckDB; ``w = 0`` → 61);
+    - register sum ``S = Σ_j 2^(61 - r_j)`` exactly — present buckets
+      as ``shiftleft(1, 61 - r)`` summed in DECIMAL(38,0) (the int64
+      sum can overflow at r=0), empty buckets folded in as
+      ``(m - n_present) * 2^61``;
+    - raw estimate in milli-units by exact integer division
+      (Spark ``div`` on DECIMAL ≡ DuckDB HUGEINT ``//``);
+    - linear counting ``m * ln(m / V)`` for the small range, floored
+      to milli-units (the ``tfidf_micro`` ln idiom).
+
+    Scale shape: registers only ever depend on the VALUE, so the
+    occurrence table needs no pre-distinct — one uniform shuffle on
+    ``(group, bucket)`` whose reduce key space is bounded by
+    ``groups × 256`` after map-side partial ``max``.  The exact
+    distinct (report baseline only — the thing the sketch replaces in
+    production) is the single full-width shuffle in the plan.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    buckets = values.select(
+        F.col(group),
+        F.col(col),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring(h, 3, 15), 16, 10).cast("long").alias("w"),
+    ).select(
+        group,
+        col,
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(61))
+        .otherwise(F.lit(61) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = buckets.groupBy(group, "bucket").agg(F.max("rho").alias("r"))
+    per_group = regs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        # shiftleft on an INT literal wraps at 32 bits — the base must
+        # be BIGINT for shifts up to 61 (SQL form: the Python helper
+        # only takes a literal shift count)
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 61 - r)").cast("decimal(38,0)")
+        ).alias("s_present"),
+    )
+    exact = values.groupBy(group).agg(
+        F.countDistinct(col).alias("exact_distinct")
+    )
+    est = per_group.select(
+        group,
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("zero_buckets"),
+        F.expr(
+            f"CAST('{HLL_RAW_NUMERATOR}' AS DECIMAL(38,0)) div "
+            f"(CAST(1000 AS DECIMAL(38,0)) * (s_present + "
+            f"(CAST({HLL_M} AS DECIMAL(38,0)) - n_present) * "
+            f"CAST({1 << 61} AS DECIMAL(38,0))))"
+        ).cast("long").alias("raw_milli"),
+    ).select(
+        group,
+        "zero_buckets",
+        "raw_milli",
+        F.when(
+            (F.col("raw_milli") <= F.lit(linear_range_milli))
+            & (F.col("zero_buckets") > 0),
+            F.floor(
+                F.lit(float(HLL_M))
+                * F.log(F.lit(float(HLL_M)) / F.col("zero_buckets").cast("double"))
+                * F.lit(1000.0)
+            ),
+        )
+        .otherwise(F.col("raw_milli"))
+        .cast("long")
+        .alias("hll_estimate_milli"),
+    )
+    # signed relative error in exact ppm: integer-divide the ABSOLUTE
+    # difference and re-apply the sign — Spark `div` truncates toward
+    # zero while DuckDB `//` floors, so negative-operand division is
+    # NOT cross-engine portable; non-negative division is.
+    return est.join(exact, group).select(
+        group,
+        "exact_distinct",
+        "zero_buckets",
+        "raw_milli",
+        "hll_estimate_milli",
+        F.expr(
+            "CAST(sign(hll_estimate_milli - exact_distinct * 1000) * "
+            "(abs(hll_estimate_milli - exact_distinct * 1000) * 1000000 "
+            "div (exact_distinct * 1000)) AS BIGINT)"
+        ).alias("err_ppm"),
+    )

@@ -229,6 +229,7 @@ DRIVER_WINDOW = (
     "corpus_select_budget",
     "neardup_cluster_keepers",
     "zorder_curve_stats",
+    "hll_distinct_trigrams",
     # stalest: last green driver row round 1 (10) --
     "ann_bruteforce_topk",
     "ann_sign_bucket_pairs",
@@ -253,12 +254,11 @@ DRIVER_WINDOW = (
     "event_type_daily_pivot",
     "events_tumbling_agg",
     "filter_in_upper",
-    "fk_integrity_audit",
-    # (forecast_revenue, gap_fill_daily, having_big_spenders,
+    # (fk_integrity_audit, forecast_revenue, gap_fill_daily, having_big_spenders,
     #  incremental_revenue_agg, json_extraction, key_skew_report,
     #  language_id displaced to round 7 by the round-6d additions:
     #  Gopher rules, IVF-PQ, Count-Min, BM25, rendezvous shard report,
-    #  semantic decontamination)
+    #  semantic decontamination, HyperLogLog distinct report)
 )
 
 

@@ -1099,3 +1099,96 @@ QUERIES["bm25_search_topk"] = QuerySpec(
     "BM25 top-20 lexical retrieval (integer-micro quantized scores)",
     ("text", "retrieval", "llm"),
 )
+
+
+def hll_distinct_trigrams(spark, sf_dir):
+    """HyperLogLog (m=256) distinct-trigram estimate per source vs the
+    exact COUNT(DISTINCT) — the sketch-accuracy calibration that
+    licenses replacing the full-key-space exact DISTINCT with a
+    256-register partial aggregate at 100 TB
+    (`operators/sketches.py::hll_distinct_report`)."""
+    from ..operators.sketches import hll_distinct_report
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.expr(
+            r"filter(split(lower(text), '\\s+'), x -> length(x) >= 1)"
+        ).alias("ws"),
+    )
+    grams = base.filter(F.size("ws") >= 3).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> array_join(slice(ws, i + 1, 3), ' '))"
+            )
+        ).alias("g"),
+    )
+    return hll_distinct_report(grams, "source", "g")
+
+
+HLL_DISTINCT_TRIGRAMS_SQL = r"""
+WITH w AS (
+  SELECT source,
+    list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) >= 1) AS words
+  FROM documents
+),
+grams AS (
+  SELECT source, array_to_string(words[i + 1:i + 3], ' ') AS g
+  FROM w, LATERAL unnest(generate_series(0, len(words) - 3)) AS u(i)
+),
+hashed AS (
+  SELECT source, g,
+    CAST(('0x' || substr(md5(g), 1, 2)) AS BIGINT) AS bucket,
+    CAST(('0x' || substr(md5(g), 3, 15)) AS BIGINT) AS wbits
+  FROM grams
+),
+rho AS (
+  SELECT source, bucket,
+    max(CASE WHEN wbits = 0 THEN 61
+        ELSE 61 - length(bin(wbits)) END) AS r
+  FROM hashed GROUP BY source, bucket
+),
+pg AS (
+  SELECT source, count(*) AS n_present,
+    sum(CAST(1 AS BIGINT) << (61 - r)) AS s_present
+  FROM rho GROUP BY source
+),
+exact AS (
+  SELECT source, count(DISTINCT g) AS exact_distinct
+  FROM grams GROUP BY source
+),
+est0 AS (
+  SELECT source,
+    CAST(256 - n_present AS BIGINT) AS zero_buckets,
+    CAST(CAST('108542195788279865821819305984' AS HUGEINT) //
+      (1000 * (CAST(s_present AS HUGEINT) +
+               (256 - CAST(n_present AS HUGEINT)) *
+               (CAST(1 AS HUGEINT) << 61))) AS BIGINT) AS raw_milli
+  FROM pg
+),
+est AS (
+  SELECT source, zero_buckets, raw_milli,
+    CAST(CASE WHEN raw_milli <= 640000 AND zero_buckets > 0
+      THEN floor(256.0 * ln(256.0 / zero_buckets) * 1000.0)
+      ELSE raw_milli END AS BIGINT) AS hll_estimate_milli
+  FROM est0
+)
+SELECT e.source,
+  CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+  e.zero_buckets, e.raw_milli, e.hll_estimate_milli,
+  CAST(sign(e.hll_estimate_milli - x.exact_distinct * 1000) *
+    ((abs(e.hll_estimate_milli - x.exact_distinct * 1000) * 1000000)
+     // (x.exact_distinct * 1000)) AS BIGINT) AS err_ppm
+FROM est e JOIN exact x USING (source)
+"""
+
+
+QUERIES["hll_distinct_trigrams"] = QuerySpec(
+    "hll_distinct_trigrams", hll_distinct_trigrams,
+    HLL_DISTINCT_TRIGRAMS_SQL,
+    "HyperLogLog distinct-trigram estimate vs exact, per source",
+    ("text", "sketch", "llm"),
+)
