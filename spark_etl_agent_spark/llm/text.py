@@ -854,8 +854,20 @@ def gopher_repetition_rules(
     lowercased gram; line char length is the raw line length.
     """
     text = F.col(text_col)
-    words = words_of(text)
     item_t = "array<struct<kind:string,val:string>>"
+
+    # Bind the split arrays to REAL columns before any higher-order
+    # lambda touches them: lambda bodies are evaluated per element
+    # outside whole-stage codegen, so a free `split(...)` expression
+    # inside one re-tokenizes the document for every gram position —
+    # O(words²) per doc per n.  A bound column is split once per row.
+    staged = df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        words_of(text).alias("_ws"),
+        F.split(text, "\n", -1).alias("_ls"),
+    )
+    words = F.col("_ws")
 
     def grams(n: int) -> Column:
         return (
@@ -875,15 +887,15 @@ def gopher_repetition_rules(
         )
 
     lines = F.transform(
-        F.split(text, "\n", -1),
+        F.col("_ls"),
         lambda l: F.struct(F.lit("L").alias("kind"), l.alias("val")),
     )
     all_items = F.concat(
         lines, *[grams(n) for n in (*_REP_TOP_NS, *_REP_DUP_NS)]
     )
-    items = df.select(
+    items = staged.select(
         F.col(id_col),
-        F.length(text).cast("long").alias("n_chars"),
+        "n_chars",
         F.explode(all_items).alias("item"),
     ).select(
         id_col,

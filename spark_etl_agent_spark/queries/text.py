@@ -819,7 +819,7 @@ QUERIES["bpe_fertility_by_lang"] = QuerySpec(
 def gopher_quality_rules(spark, sf_dir):
     from ..llm.text import gopher_quality_rules as rules
 
-    return rules(load(spark, sf_dir, "documents"))
+    return rules(fan_out(load(spark, sf_dir, "documents")))
 
 
 GOPHER_QUALITY_RULES_SQL = r"""
@@ -884,7 +884,7 @@ FROM (
 def gopher_repetition_rules(spark, sf_dir):
     from ..llm.text import gopher_repetition_rules as rules
 
-    return rules(load(spark, sf_dir, "documents"))
+    return rules(fan_out(load(spark, sf_dir, "documents")))
 
 
 def _rep_gram_cte(n: int) -> str:
@@ -997,7 +997,7 @@ def countmin_heavy_hitters(spark, sf_dir):
     (`operators/sketches.py::countmin_sketch_report`)."""
     from ..operators.sketches import countmin_sketch_report
 
-    toks = load(spark, sf_dir, "documents").select(
+    toks = fan_out(load(spark, sf_dir, "documents")).select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     )
     return countmin_sketch_report(toks, "w")
@@ -1050,7 +1050,7 @@ def bm25_search_topk(spark, sf_dir):
     (`llm/text.py::bm25_topk`)."""
     from ..llm.text import bm25_topk
 
-    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS)
+    return bm25_topk(fan_out(load(spark, sf_dir, "documents")), _BM25_TERMS)
 
 
 BM25_SEARCH_TOPK_SQL = r"""
@@ -1109,7 +1109,7 @@ def hll_distinct_trigrams(spark, sf_dir):
     (`operators/sketches.py::hll_distinct_report`)."""
     from ..operators.sketches import hll_distinct_report
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     base = docs.select(
         "source",
         F.expr(
