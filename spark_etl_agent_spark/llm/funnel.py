@@ -1,0 +1,161 @@
+"""End-to-end corpus-build funnel: quality gate → exact dedup →
+near-dedup → decontamination, with a per-stage survival audit.
+
+This is the composition layer over the individually-oracled stages
+(``llm.text.gopher_quality_rules``, ``llm.dedup`` exact/MinHash-LSH,
+``llm.decontam.ngram_contamination``): one call that runs the corpus
+pipeline a training-data build actually runs, and returns the funnel
+table an operator reads first — how many documents (and characters)
+each stage admitted and dropped.  (No reference analogue — the
+reference delegates analytics to Redshift, services/
+jcap_pa_etl_service.py:176-227; SURVEY.md §7 LLM extension surface.)
+
+Determinism contract (the whole funnel is oracled against DuckDB):
+
+- quality: Rae et al. 2021 Table A1 battery, exact integer ppm flags;
+- exact dedup: keeper = ``min(id)`` per ``md5(text)`` group;
+- near-dedup: MinHash-LSH candidates verified by exact Jaccard; the
+  LARGER id of every pair at or above the threshold drops (greedy
+  keep-earliest over pairs — deliberately not component-based, so the
+  drop set is a pure pair predicate both engines evaluate identically);
+- decontamination: the benchmark slice (``id % bench_mod = 0`` over the
+  RAW corpus) is held out, and any surviving training doc sharing one
+  distinct word 3-gram with it drops alongside the holdout itself.
+
+Scale shape: each stage is the already-gated distributed design (one
+uniform shuffle for the quality gate and exact dedup; banded equi-join
+for LSH; broadcast benchmark n-grams for decontamination).  Stage
+survivor frames are persisted because each feeds two consumers — its
+own audit row and the next stage — so the funnel costs one pass per
+stage, not one pass per (stage × downstream reuse).  The final 5-row
+assembly uses a single-partition window over FIVE rows (one per stage),
+constant at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .decontam import ngram_contamination
+from .dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
+from .text import gopher_quality_rules
+
+FUNNEL_STAGES = ("raw", "quality", "exact_dedup", "near_dedup", "decontam")
+
+# Every flag the Gopher battery emits; callers pick the subset their
+# corpus can meaningfully satisfy (e.g. the stopword rule presumes
+# natural English — on a synthetic or non-English corpus it rejects
+# everything and the funnel degenerates to a single stage).
+GOPHER_FLAGS = (
+    "ok_word_count",
+    "ok_mean_word_len",
+    "ok_symbol_ratio",
+    "ok_bullet_lines",
+    "ok_ellipsis_lines",
+    "ok_alpha_words",
+    "ok_stopwords",
+)
+
+
+def corpus_build_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    bench_mod: int = 97,
+    quality_flags: tuple = GOPHER_FLAGS,
+    contamination_ppm: int = 200_000,
+) -> DataFrame:
+    """Run the 4-stage corpus build and return the funnel audit:
+    ``(stage_order, stage, docs_in, docs_out, docs_dropped,
+    chars_out)`` — 5 rows, one per stage plus the raw baseline."""
+    text = F.col(text_col)
+    docs = df.select(id_col, text_col)
+
+    # stage 1 — Gopher quality gate (conjunction of the chosen flags):
+    # the payload rides through the rule battery (keep_cols) so the
+    # gate is a shuffle-free filter, not a join back to the corpus
+    gate = F.lit(True)
+    for flag in quality_flags:
+        gate = gate & F.col(flag)
+    s1 = (
+        gopher_quality_rules(docs, text_col, id_col, keep_cols=(text_col,))
+        .filter(gate)
+        .select(id_col, text_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stage 2 — exact dedup: keeper = min(id) per content hash, one
+    # hash-partitioned window instead of a groupBy + join-back
+    s2 = (
+        s1.withColumn(
+            "_keeper",
+            F.min(id_col).over(Window.partitionBy(F.md5(text))),
+        )
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .select(id_col, text_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stage 3 — MinHash-LSH near-dedup, greedy keep-earliest per pair
+    verified = jaccard_verify(
+        s2, lsh_candidate_pairs(minhash_signatures(s2, text_col, id_col)),
+        text_col, id_col,
+    )
+    near_drops = (
+        verified.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    s3 = s2.join(near_drops, id_col, "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # stage 4 — holdout extraction + n-gram decontamination against it
+    bench = docs.filter(F.col(id_col) % bench_mod == 0)
+    train = s3.filter(F.col(id_col) % bench_mod != 0)
+    # thresholded drop (n-gram share in exact ppm, integer math): an
+    # any-single-match rule is degenerate on small-vocabulary corpora
+    # where some 3-gram collision is near-universal
+    contaminated = (
+        ngram_contamination(train, bench, text_col, id_col, n=3)
+        .filter(
+            F.col("n_matched_m") * 1_000_000
+            >= F.lit(contamination_ppm) * F.col("n_total_m")
+        )
+        .select(id_col)
+    )
+    s4 = train.join(contaminated, id_col, "left_anti")
+
+    def audit(frame: DataFrame, order: int, stage: str) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias("docs_out"),
+            F.coalesce(F.sum(F.length(text)), F.lit(0))
+            .cast("long")
+            .alias("chars_out"),
+        ).select(
+            F.lit(order).cast("int").alias("stage_order"),
+            F.lit(stage).alias("stage"),
+            "docs_out",
+            "chars_out",
+        )
+
+    stages = (
+        audit(docs, 0, "raw")
+        .unionByName(audit(s1, 1, "quality"))
+        .unionByName(audit(s2, 2, "exact_dedup"))
+        .unionByName(audit(s3, 3, "near_dedup"))
+        .unionByName(audit(s4, 4, "decontam"))
+    )
+    w = Window.orderBy("stage_order")
+    prev = F.coalesce(F.lag("docs_out").over(w), F.col("docs_out"))
+    return stages.select(
+        "stage_order",
+        "stage",
+        prev.cast("long").alias("docs_in"),
+        "docs_out",
+        (prev - F.col("docs_out")).cast("long").alias("docs_dropped"),
+        "chars_out",
+    )

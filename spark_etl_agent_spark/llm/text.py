@@ -701,7 +701,10 @@ GOPHER_MIN_STOPWORD_HITS = 2  # >=2 distinct stop words present
 
 
 def gopher_quality_rules(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Per-document Gopher quality-rule battery: every published rule
     evaluated as an exact integer signal plus its boolean flag, and the
@@ -745,8 +748,12 @@ def gopher_quality_rules(
         F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     ).cast("long")
 
+    # keep_cols ride along so a caller gating a pipeline (corpus funnel)
+    # can filter on the flags WITHOUT a join back to the payload — the
+    # battery stays one shuffle-free projection either way
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         text.alias("_text"),
         n_words.alias("n_words"),
         safe_words.alias("_safe_words"),
@@ -759,6 +766,7 @@ def gopher_quality_rules(
         stop_hits.alias("stopword_hits"),
     ).select(
         id_col,
+        *keep_cols,
         "n_words",
         mean_wlen_milli.alias("mean_word_len_milli"),
         F.expr(

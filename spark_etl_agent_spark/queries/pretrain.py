@@ -453,3 +453,155 @@ QUERIES["semantic_decontaminate"] = QuerySpec(
     "Embedding-cosine benchmark decontamination (paraphrase-level)",
     ("pretrain", "similarity", "llm"),
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_build_funnel — the end-to-end staged pipeline audit
+
+
+def corpus_build_funnel(spark, sf_dir):
+    """Quality gate → exact dedup → MinHash near-dedup → holdout +
+    3-gram decontamination over ``documents``, reported as the 5-row
+    per-stage survival funnel (`llm/funnel.py::corpus_build_funnel`).
+    The one query that exercises the composed corpus build end-to-end
+    rather than each stage in isolation."""
+    from ..llm.funnel import corpus_build_funnel as funnel
+
+    return funnel(
+        fan_out(load(spark, sf_dir, "documents")),
+        quality_flags=_FUNNEL_FLAGS,
+    )
+
+
+# The fixture corpus is synthetic engine-vocabulary text: the Gopher
+# stopword rule (natural-English prior) rejects every document, so the
+# funnel pins the 6-rule subset that discriminates on this corpus.
+_FUNNEL_FLAGS = (
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+    "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+)
+
+
+def _funnel_sql() -> str:
+    from ..llm import dedup as D
+    from .text import GOPHER_QUALITY_RULES_SQL
+
+    mh = ",\n    ".join(
+        "list_min(list_transform(shingles, s -> md5('%d|' || s))) AS mh%d"
+        % (i, i)
+        for i in range(D.N_MINHASHES)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
+        "WHERE mh0 IS NOT NULL"
+        for b in range(D.N_MINHASHES // D.BAND_SIZE)
+    )
+    gate = " AND ".join(_FUNNEL_FLAGS)
+    return f"""
+WITH gq AS (
+  SELECT doc_id FROM ({GOPHER_QUALITY_RULES_SQL}) q WHERE {gate}
+),
+s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN gq USING (doc_id)),
+k2 AS (SELECT md5(text) AS _h, min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN k2 USING (doc_id)),
+w2 AS (
+  SELECT doc_id, {_WORDS} AS words FROM s2
+),
+sh2 AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_transform(range(1, len(words) - 1),
+        i -> words[CAST(i AS INT)] || ' ' ||
+             words[CAST(i AS INT) + 1] || ' ' ||
+             words[CAST(i AS INT) + 2])
+    ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM w2
+),
+sig AS (
+  SELECT doc_id,
+    {mh}
+  FROM sh2
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh2),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM cand p
+  JOIN shing sa ON sa.doc_id = p.id_a
+  JOIN shing sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+near_drops AS (
+  SELECT DISTINCT p.id_b AS doc_id
+  FROM cand p
+  LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+  JOIN sizes na ON na.doc_id = p.id_a
+  JOIN sizes nb ON nb.doc_id = p.id_b
+  WHERE CAST(coalesce(c.n_common, 0) AS DOUBLE)
+    / (na.n_shingles + nb.n_shingles - coalesce(c.n_common, 0)) >= 0.5
+),
+s3 AS (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)
+),
+toks_all AS (SELECT doc_id, {_WORDS} AS t FROM documents),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS ngram
+  FROM toks_all, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE doc_id % 97 = 0
+),
+train AS (SELECT * FROM s3 WHERE doc_id % 97 <> 0),
+tgrams AS (
+  SELECT DISTINCT w.doc_id, array_to_string(w.t[i:i+2], ' ') AS ngram
+  FROM (SELECT doc_id, {_WORDS} AS t FROM train) w,
+       LATERAL unnest(generate_series(1, len(w.t) - 2)) AS u(i)
+),
+contaminated AS (
+  SELECT doc_id FROM (
+    SELECT t.doc_id, count(*) AS n_total_m, count(b.ngram) AS n_matched_m
+    FROM tgrams t LEFT JOIN bgrams b USING (ngram)
+    GROUP BY t.doc_id
+  ) WHERE n_matched_m * 1000000 >= 200000 * n_total_m
+),
+s4 AS (
+  SELECT * FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+stages AS (
+        SELECT 0 AS stage_order, 'raw' AS stage,
+    count(*) AS docs_out, coalesce(sum(len(text)), 0) AS chars_out
+    FROM documents
+  UNION ALL SELECT 1, 'quality', count(*), coalesce(sum(len(text)), 0) FROM s1
+  UNION ALL SELECT 2, 'exact_dedup', count(*), coalesce(sum(len(text)), 0)
+    FROM s2
+  UNION ALL SELECT 3, 'near_dedup', count(*), coalesce(sum(len(text)), 0)
+    FROM s3
+  UNION ALL SELECT 4, 'decontam', count(*), coalesce(sum(len(text)), 0) FROM s4
+)
+SELECT CAST(stage_order AS INT) AS stage_order, stage,
+  CAST(coalesce(lag(docs_out) OVER (ORDER BY stage_order), docs_out)
+    AS BIGINT) AS docs_in,
+  CAST(docs_out AS BIGINT) AS docs_out,
+  CAST(coalesce(lag(docs_out) OVER (ORDER BY stage_order), docs_out)
+    - docs_out AS BIGINT) AS docs_dropped,
+  CAST(chars_out AS BIGINT) AS chars_out
+FROM stages
+"""
+
+
+QUERIES["corpus_build_funnel"] = QuerySpec(
+    "corpus_build_funnel", corpus_build_funnel,
+    _funnel_sql(),
+    "End-to-end corpus build: quality -> exact -> near-dup -> decontam "
+    "funnel audit",
+    ("pretrain", "dedup", "quality", "llm"),
+)

@@ -75,5 +75,6 @@ def test_driver_window_is_first_50_registry_entries():
     for stale_r01 in ("ann_bruteforce_topk", "multimodal_decode",
                       "normalized_dedup", "streaming_tumbling_agg"):
         assert stale_r01 in DRIVER_WINDOW
-    # round-6e addition gets its driver row this round
+    # round-6e additions get their driver rows this round
     assert "hll_distinct_trigrams" in DRIVER_WINDOW
+    assert "corpus_build_funnel" in DRIVER_WINDOW

@@ -531,3 +531,11 @@ def test_ivfpq_probe_pruned_broadcast_joins(spark, sf_dir):
     assert "CartesianProduct" not in tree
     assert tree.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" not in tree
+
+
+def test_corpus_build_funnel_no_cartesian(spark, sf_dir):
+    """The composed corpus build inherits each stage's gated shape:
+    banded LSH equi-joins, broadcast benchmark n-grams, anti-joins on
+    the doc id — nothing all-pairs anywhere in the funnel."""
+    plan = plan_of(SPECS["corpus_build_funnel"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
