@@ -121,10 +121,13 @@ def train_cells(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    full: bool = False,
 ) -> DataFrame:
     """Run ``iters`` Lloyd rounds and return the final assignment
     (vec_id, cell). Empty cells simply stop receiving members (no
-    re-seeding — deterministic)."""
+    re-seeding — deterministic). ``full=True`` keeps the scaled vector
+    and its norm on the assignment (the frame is already checkpointed,
+    so downstream consumers pay no re-derivation)."""
     base = df.select(
         F.col(id_col).alias("vec_id"), scaled(F.col(vec_col)).alias("svec")
     ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
@@ -149,6 +152,8 @@ def train_cells(
             assigned = _assign(base, centroids)
         assigned = assigned.localCheckpoint()
         centroids = _recompute(assigned)
+    if full:
+        return assigned
     return assigned.select("vec_id", "cell")
 
 
@@ -159,4 +164,50 @@ def cell_profile(assignment: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("vec_id").alias("id_checksum"),
         F.min("vec_id").alias("min_member"),
+    )
+
+
+def outlier_report(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    bottom_n: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distance-to-centroid outlier report: the ``bottom_n`` members of
+    every trained cell FARTHEST from their own final centroid (lowest
+    cosine, id tiebreak) — the candidate list a corpus build reviews
+    for mislabeled / noise / off-distribution vectors before training
+    on them. (No reference analogue — the reference has no vector ops,
+    SURVEY.md §2.10.)
+
+    Scale shape: the trainer's per-round cost (one scan, broadcast
+    codebook) plus ONE codegen'd projection against the broadcast
+    final centroids; the per-cell ranking runs through
+    :func:`operators.skew.salted_topk` because cells are few — a plain
+    cell-partitioned window would sort the whole corpus in k reducers.
+    Cell sizes are a k-row aggregate joined back broadcast.
+    """
+    from ..operators.skew import salted_topk
+
+    assigned = train_cells(df, k, iters, vec_col, id_col, full=True)
+    cents = _recompute(assigned)
+    member = assigned.join(F.broadcast(cents), "cell").withColumn(
+        "cosine_to_centroid",
+        cosine(dot(F.col("svec"), F.col("cvec")), F.col("norm_sq"), F.col("cnorm")),
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n_members")
+    )
+    bottom = salted_topk(
+        member.select("cell", "vec_id", "cosine_to_centroid"),
+        ["cell"],
+        [F.col("cosine_to_centroid").asc(), F.col("vec_id")],
+        bottom_n,
+        rank_col="outlier_rank",
+    )
+    return bottom.join(F.broadcast(sizes), "cell").select(
+        "cell", "vec_id", "outlier_rank", "cosine_to_centroid",
+        "cell_n_members",
     )

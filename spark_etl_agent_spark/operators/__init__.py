@@ -13,7 +13,7 @@ checklist names, each built as a composition of DataFrame primitives
 
 from .asof import asof_join
 from .ranges import band_join
-from .skew import salted_aggregate, salted_join
+from .skew import salted_aggregate, salted_join, salted_topk
 from .sketches import column_profile
 
 __all__ = [
@@ -21,5 +21,6 @@ __all__ = [
     "band_join",
     "salted_aggregate",
     "salted_join",
+    "salted_topk",
     "column_profile",
 ]

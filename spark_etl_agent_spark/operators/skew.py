@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # (output_name, fn, input) where fn ∈ {sum, count, min, max} — the
@@ -78,3 +78,39 @@ def salted_join(
     )
     small_s = skewed_small.crossJoin(F.broadcast(salts))
     return big_s.join(small_s, [on, "_salt"], how).drop("_salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: List[str],
+    order_cols: List[Column],
+    k: int,
+    salt_buckets: int = 32,
+    rank_col: str = "rank_in_group",
+) -> DataFrame:
+    """Exact per-group top-k when the groups are FEW (a codebook of
+    cells, a handful of languages): a plain per-group window sorts the
+    whole table in ``n_groups`` reducers — at 100 TB one straggler per
+    group. Two phases instead: rank inside (keys, salt) so each group's
+    sort spreads over ``salt_buckets`` tasks and only k survivors per
+    bucket continue, then rank the ≤ k·salt_buckets survivors per group.
+    Identical result to the single window (any true top-k row is
+    preceded by < k rows within its own bucket, so phase 1 never drops
+    it); only the shuffle layout changes.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker)
+    or the selected rows at the k boundary are nondeterministic.
+    """
+    salted = df.withColumn(
+        "_salt", (F.spark_partition_id() % salt_buckets).cast("int")
+    )
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)
+    pruned = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return pruned.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )

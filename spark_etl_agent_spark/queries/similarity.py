@@ -244,6 +244,52 @@ FROM assign1 GROUP BY cell
 """
 
 
+def embedding_outlier_report(spark, sf_dir):
+    """Distance-to-centroid outliers: per trained k-means cell, the 3
+    members farthest from their own final centroid (lowest cosine, id
+    tiebreak) plus the cell size — the noise/off-distribution review
+    list. The per-cell ranking goes through ``salted_topk`` (cells are
+    few; a plain cell window would sort the corpus in k reducers); the
+    oracle replays the identical trainer rounds then ranks with one
+    window."""
+    from ..llm import kmeans
+
+    return kmeans.outlier_report(
+        load(spark, sf_dir, "embeddings"), k=4, iters=2, bottom_n=3
+    )
+
+
+EMBEDDING_OUTLIER_REPORT_SQL = f"""
+WITH base AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, {_SVEC} AS svec FROM embeddings)
+),
+cent0 AS (
+  SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
+  FROM base ORDER BY vec_id LIMIT 4
+),
+{_kmeans_round_sql(0)},
+{_kmeans_round_sql(1)},
+member AS (
+  SELECT a.cell, a.vec_id,
+    list_dot_product(a.svec, c.cvec) / (sqrt(a.norm_sq) * sqrt(c.cnorm))
+      AS cosine_to_centroid
+  FROM assign1 a JOIN cent2 c USING (cell)
+),
+rk AS (
+  SELECT cell, vec_id, cosine_to_centroid,
+    row_number() OVER (
+      PARTITION BY cell ORDER BY cosine_to_centroid ASC, vec_id
+    ) AS rnk,
+    count(*) OVER (PARTITION BY cell) AS nm
+  FROM member
+)
+SELECT cell, vec_id, CAST(rnk AS INT) AS outlier_rank,
+  cosine_to_centroid, CAST(nm AS BIGINT) AS cell_n_members
+FROM rk WHERE rnk <= 3
+"""
+
+
 def neardup_cluster_keepers(spark, sf_dir):
     """Duplicate-cluster keeper selection: cluster the near-dup pairs
     into components, join each member to its document, and keep the
@@ -512,6 +558,12 @@ QUERIES = {
     "ann_ivf_kmeans_topk": QuerySpec(
         "ann_ivf_kmeans_topk", ann_ivf_kmeans_topk, ANN_IVF_KMEANS_TOPK_SQL,
         "IVF ANN over trained k-means cells (trainer → index chain)",
+        ("similarity", "iterative", "llm"),
+    ),
+    "embedding_outlier_report": QuerySpec(
+        "embedding_outlier_report", embedding_outlier_report,
+        EMBEDDING_OUTLIER_REPORT_SQL,
+        "Per-cell farthest-from-centroid outliers (salted top-k rank)",
         ("similarity", "iterative", "llm"),
     ),
     "neardup_cluster_keepers": QuerySpec(

@@ -1017,3 +1017,50 @@ def test_with_metrics_requires_metrics(spark):
 
     with _pytest.raises(ValueError):
         with_metrics(spark.range(1))
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """salted_topk must be result-identical to the single per-group
+    window at any salt_buckets / input-partitioning combination."""
+    import random
+
+    from pyspark.sql import Window
+
+    from spark_etl_agent_spark.operators.skew import salted_topk
+
+    rng = random.Random(7)
+    rows = [(i % 3, i, rng.randrange(100)) for i in range(500)]
+    for parts in (1, 7):
+        for buckets in (1, 4, 32):
+            df = spark.createDataFrame(
+                rows, "grp int, id long, score long"
+            ).repartition(parts)
+            order = [F.col("score").desc(), F.col("id")]
+            got = sorted(
+                tuple(r)
+                for r in salted_topk(
+                    df, ["grp"], order, 5, salt_buckets=buckets
+                ).collect()
+            )
+            w = Window.partitionBy("grp").orderBy(*order)
+            want = sorted(
+                tuple(r)
+                for r in df.withColumn(
+                    "rank_in_group", F.row_number().over(w)
+                )
+                .filter(F.col("rank_in_group") <= 5)
+                .collect()
+            )
+            assert got == want and len(got) == 15
+
+
+def test_salted_topk_short_groups_survive(spark):
+    """A group smaller than k returns all its rows, ranked."""
+    from spark_etl_agent_spark.operators.skew import salted_topk
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "grp int, id long"
+    )
+    out = salted_topk(df, ["grp"], [F.col("id")], 5)
+    got = {(r.grp, r.id, r.rank_in_group) for r in out.collect()}
+    assert got == {(1, 10, 1), (1, 11, 2), (2, 20, 1)}

@@ -539,3 +539,14 @@ def test_corpus_build_funnel_no_cartesian(spark, sf_dir):
     the doc id — nothing all-pairs anywhere in the funnel."""
     plan = plan_of(SPECS["corpus_build_funnel"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_outlier_salted_rank_broadcast_joins(spark, sf_dir):
+    """Outlier report: the literal-codebook trainer leaves no join in
+    the assignment; final centroids and cell sizes attach broadcast;
+    the per-cell ranking is the two-phase salted top-k — nothing
+    sort-merges or cross-products."""
+    plan = plan_of(SPECS["embedding_outlier_report"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

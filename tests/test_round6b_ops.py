@@ -567,3 +567,93 @@ def test_pq_adc_recall_consistent_with_components(spark):
         assert rep["n_exact"] == 5 and rep["n_pq"] == 5
         assert rep["n_common"] == len(exact & adc[q])
         assert rep["recall_ppm"] == rep["n_common"] * 1_000_000 // 5
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_report
+
+
+def _lloyd_reference(vecs, k=2, iters=2):
+    """Pure-Python replay of the deterministic Lloyd trainer: scaled
+    components, max-cosine assignment (tie -> lower cell), floor-mean
+    centroid update, seeds = k smallest ids."""
+    import math
+
+    sv = {i: [math.floor(x * 1e6) for x in v] for i, v in vecs.items()}
+    norm = {i: sum(x * x for x in v) for i, v in sv.items()}
+    cents = {
+        i: (sv[i], norm[i]) for i in sorted(sv)[:k]
+    }
+    assign = {}
+    for _ in range(iters):
+        for i, v in sv.items():
+            best = max(
+                (
+                    (
+                        sum(a * b for a, b in zip(v, cv))
+                        / (math.sqrt(norm[i]) * math.sqrt(cn)),
+                        -cell,
+                    )
+                    for cell, (cv, cn) in cents.items()
+                ),
+            )
+            assign[i] = -best[1]
+        cents = {}
+        for cell in set(assign.values()):
+            members = [i for i in sv if assign[i] == cell]
+            dim = len(next(iter(sv.values())))
+            cv = [
+                float(
+                    math.floor(
+                        sum(sv[i][d] for i in members) / len(members)
+                    )
+                )
+                for d in range(dim)
+            ]
+            cents[cell] = (cv, sum(x * x for x in cv))
+    return assign, cents
+
+
+def test_embedding_outlier_report_matches_python_reference(spark):
+    import math
+    import random
+
+    from spark_etl_agent_spark.llm.kmeans import outlier_report
+
+    rng = random.Random(13)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(20)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # replay with the same float32-rounded inputs Spark reads
+    import struct
+
+    f32 = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    assign, cents = _lloyd_reference(f32, k=2, iters=2)
+    sv = {i: [math.floor(x * 1e6) for x in v] for i, v in f32.items()}
+    norm = {i: sum(x * x for x in v) for i, v in sv.items()}
+    want = []
+    for cell, (cv, cn) in cents.items():
+        members = sorted(i for i in sv if assign[i] == cell)
+        scored = sorted(
+            (
+                sum(a * b for a, b in zip(sv[i], cv))
+                / (math.sqrt(norm[i]) * math.sqrt(cn)),
+                i,
+            )
+            for i in members
+        )
+        for r, (cos, i) in enumerate(scored[:3], start=1):
+            want.append((cell, i, r, cos, len(members)))
+
+    got = sorted(
+        tuple(r)
+        for r in outlier_report(df, k=2, iters=2, bottom_n=3).collect()
+    )
+    assert got == sorted(want)
