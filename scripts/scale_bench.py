@@ -83,6 +83,9 @@ TOP_QUERIES = [
     # fingerprinting pipelines) and the near-dup split-leakage audit
     "dedup_family_agreement",
     "split_leakage_audit",
+    # round-6 close: the composed 4-stage corpus build (quality →
+    # exact → near-dup → decontam) is top-cost by construction
+    "corpus_build_funnel",
 ]
 
 

@@ -182,6 +182,9 @@ def llm_shapes(spark, d: str):
         # round-6 Gopher wave: five n-gram sizes + lines ride ONE scan
         # via the tagged-item concat; shuffles are uniform per-doc keys
         "gopher_rep": specs["gopher_repetition_rules"].spark(spark, d),
+        # round-6 close: the composed 4-stage corpus build — each stage
+        # is an already-gated shape; survivors persist once per stage
+        "corpus_funnel": specs["corpus_build_funnel"].spark(spark, d),
         # round-5 third wave: oriented-wedge triangles (fan-out bounded
         # by oriented degree), exact Gram (sketch-sized map output),
         # and the full-decode perceptual hash (scan-bound mapInPandas)

@@ -458,3 +458,115 @@ def hll_distinct_report(
             "div (exact_distinct * 1000)) AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+def histogram_quantile_report(
+    values: DataFrame,
+    group: str,
+    col: str,
+    nbuckets: int = 64,
+    qs=((50, 0.5), (90, 0.9), (99, 0.99)),
+) -> DataFrame:
+    """Equi-width histogram quantile sketch + accuracy report: per
+    group, estimate each requested quantile from an ``nbuckets``-cell
+    count histogram (cumulate to the target rank, interpolate inside
+    the landing bucket assuming uniform fill) next to the EXACT
+    ``(n-1)·q`` interpolated quantile — the calibration you read
+    before replacing exact quantiles with the sketch at 100 TB. The
+    histogram is the mergeable structure (a bounded ``(group, bucket)``
+    count — partial aggregates combine by addition across shards/days);
+    the exact side exists only as the report baseline and comes from
+    :func:`..ranks.grouped_quantile_cont` (range-partitioned ranks —
+    never a whole-group percentile buffer).
+
+    ``col`` must be integer-valued (pre-floored cents/micros — the
+    cross-engine quantization idiom). Global bucket bounds ride a
+    one-row broadcast (the documented broadcast-scalar BNLJ shape), so
+    per-group sketches share edges and merge. Bucket index is exact
+    int64 math; the two interpolations are fixed-order double
+    arithmetic, bit-identical to the SQL oracle.
+    """
+    from .ranks import grouped_quantile_cont
+
+    vals = values.select(
+        F.col(group).alias("grp"), F.col(col).alias("v")
+    ).filter(F.col(col).isNotNull())
+    bounds = vals.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    hist = (
+        vals.join(F.broadcast(bounds))
+        .select(
+            "grp",
+            F.expr(f"((v - vmin) * {nbuckets}) div (vmax - vmin + 1)").alias(
+                "bucket"
+            ),
+            "vmin",
+            "vmax",
+        )
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.min("vmax").alias("vmax"),
+        )
+    )
+    sizes = hist.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    qdf = values.sparkSession.createDataFrame(
+        [(int(p), float(q)) for p, q in qs], "q_pct int, q double"
+    )
+    targets = (
+        sizes.join(F.broadcast(qdf))
+        .withColumn(
+            "t", (F.floor((F.col("n") - 1) * F.col("q")) + 1).cast("long")
+        )
+        .select("grp", "q_pct", "q", "n", "t")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).select(
+        F.col("grp").alias("_cgrp"), "bucket", "cnt", "cumb", "vmin", "vmax"
+    )
+    landed = targets.join(
+        F.broadcast(cum),
+        (F.col("grp") == F.col("_cgrp"))
+        & (F.col("cumb") < F.col("t"))
+        & (F.col("cumb") + F.col("cnt") >= F.col("t")),
+    )
+    bw = (F.col("vmax") - F.col("vmin") + 1) / F.lit(float(nbuckets))
+    est = landed.select(
+        "grp",
+        "q_pct",
+        F.col("n").cast("long").alias("n_values"),
+        (
+            F.col("vmin").cast("double")
+            + F.col("bucket") * bw
+            + ((F.col("t") - F.col("cumb")) / F.col("cnt").cast("double")) * bw
+        ).alias("est_cents"),
+    )
+    exact = grouped_quantile_cont(
+        vals, ["grp"], "v", [q for _, q in qs]
+    ).select(
+        F.col("grp").alias("_egrp"),
+        F.expr(
+            "stack(%d, %s) AS (_eq_pct, exact_cents)"
+            % (
+                len(qs),
+                ", ".join(f"{int(p)}, q_{int(p)}" for p, _ in qs),
+            )
+        ),
+    )
+    return est.join(
+        F.broadcast(exact),
+        (F.col("grp") == F.col("_egrp")) & (F.col("q_pct") == F.col("_eq_pct")),
+    ).select(
+        "grp",
+        "q_pct",
+        "n_values",
+        "est_cents",
+        "exact_cents",
+        (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+    )

@@ -232,6 +232,7 @@ DRIVER_WINDOW = (
     "hll_distinct_trigrams",
     "corpus_build_funnel",
     "embedding_outlier_report",
+    "histogram_quantile_error",
     # stalest: last green driver row round 1 (10) --
     "ann_bruteforce_topk",
     "ann_sign_bucket_pairs",
@@ -253,14 +254,14 @@ DRIVER_WINDOW = (
     "customer_order_counts",
     "date_function_gallery",
     "distinct_projection",
-    "event_type_daily_pivot",
-    # (events_tumbling_agg, filter_in_upper, fk_integrity_audit,
-    #  forecast_revenue, gap_fill_daily, having_big_spenders,
-    #  incremental_revenue_agg, json_extraction, key_skew_report,
-    #  language_id displaced to round 7 by the round-6d/6e additions:
-    #  Gopher rules, IVF-PQ, Count-Min, BM25, rendezvous shard report,
-    #  semantic decontamination, HyperLogLog distinct report, corpus
-    #  funnel, embedding outlier report)
+    # (event_type_daily_pivot, events_tumbling_agg, filter_in_upper,
+    #  fk_integrity_audit, forecast_revenue, gap_fill_daily,
+    #  having_big_spenders, incremental_revenue_agg, json_extraction,
+    #  key_skew_report, language_id displaced to round 7 by the
+    #  round-6d/6e additions: Gopher rules, IVF-PQ, Count-Min, BM25,
+    #  rendezvous shard report, semantic decontamination, HyperLogLog
+    #  distinct report, corpus funnel, embedding outlier report,
+    #  histogram quantile sketch)
 )
 
 

@@ -267,7 +267,100 @@ LIMIT 10
 """
 
 
+def histogram_quantile_error(spark, sf_dir):
+    """Equi-width histogram quantile sketch accuracy: per return flag,
+    P50/P90/P99 of the price (integer cents) estimated from a 64-bucket
+    count histogram vs the exact interpolated quantile — the report
+    that sizes the bucket count before replacing exact quantiles with
+    the mergeable sketch at 100 TB. Exact side via
+    ``grouped_quantile_cont`` (no whole-group percentile buffer)."""
+    from ..operators.sketches import histogram_quantile_report
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    return histogram_quantile_report(
+        li, "l_returnflag", "cents", nbuckets=64
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+HISTOGRAM_QUANTILE_ERROR_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS grp, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+bounds AS (SELECT min(v) AS vmin, max(v) AS vmax FROM vals),
+hist AS (
+  SELECT grp, ((v - b.vmin) * 64) // (b.vmax - b.vmin + 1) AS bucket,
+    count(*) AS cnt, min(b.vmin) AS vmin, min(b.vmax) AS vmax
+  FROM vals, bounds b GROUP BY 1, 2
+),
+sizes AS (SELECT grp, sum(cnt) AS n FROM hist GROUP BY grp),
+-- q literals MUST be DOUBLE: DuckDB parses 0.9 as DECIMAL, making
+-- (n-1)*q exact where Spark's double math carries a 1e-13 tail —
+-- which flips floor() at integer boundaries and shifts frac
+qs(q_pct, q) AS (VALUES (50, CAST(0.5 AS DOUBLE)),
+                        (90, CAST(0.9 AS DOUBLE)),
+                        (99, CAST(0.99 AS DOUBLE))),
+targets AS (
+  SELECT grp, q_pct, q, n,
+    CAST(floor((n - 1) * q) + 1 AS BIGINT) AS t
+  FROM sizes, qs
+),
+cum AS (
+  SELECT grp, bucket, cnt, vmin, vmax,
+    coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM hist
+),
+est AS (
+  SELECT tg.grp, tg.q_pct, CAST(tg.n AS BIGINT) AS n_values,
+    CAST(c.vmin AS DOUBLE)
+      + c.bucket * ((c.vmax - c.vmin + 1) / 64.0)
+      + ((tg.t - c.cumb) / CAST(c.cnt AS DOUBLE))
+        * ((c.vmax - c.vmin + 1) / 64.0) AS est_cents
+  FROM targets tg JOIN cum c
+    ON c.grp = tg.grp AND c.cumb < tg.t AND c.cumb + c.cnt >= tg.t
+),
+ranked AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS r
+  FROM vals
+),
+-- replay grouped_quantile_cont's fixed op order exactly (h = (n-1)·q,
+-- frac = h - floor(h), vlo + frac·(vhi - vlo)): DuckDB's own
+-- quantile_cont interpolates in a different order and drifts an ulp
+-- on non-dyadic q
+tgt AS (
+  SELECT grp, q_pct,
+    (n - 1) * q - floor((n - 1) * q) AS frac,
+    CAST(floor((n - 1) * q) + 1 AS BIGINT) AS rlo,
+    CAST(least(floor((n - 1) * q) + 2, n) AS BIGINT) AS rhi
+  FROM sizes, qs
+),
+exact AS (
+  SELECT t.grp, t.q_pct,
+    min(CASE WHEN rk.r = t.rlo THEN CAST(rk.v AS DOUBLE) END)
+      + t.frac * (min(CASE WHEN rk.r = t.rhi THEN CAST(rk.v AS DOUBLE) END)
+                  - min(CASE WHEN rk.r = t.rlo THEN CAST(rk.v AS DOUBLE) END))
+      AS exact_cents
+  FROM tgt t JOIN ranked rk
+    ON rk.grp = t.grp AND (rk.r = t.rlo OR rk.r = t.rhi)
+  GROUP BY t.grp, t.q_pct, t.frac
+)
+SELECT e.grp AS l_returnflag, e.q_pct, e.n_values, e.est_cents,
+  x.exact_cents, e.est_cents - x.exact_cents AS err_cents
+FROM est e JOIN exact x ON x.grp = e.grp AND x.q_pct = e.q_pct
+"""
+
+
 QUERIES = {
+    "histogram_quantile_error": QuerySpec(
+        "histogram_quantile_error", histogram_quantile_error,
+        HISTOGRAM_QUANTILE_ERROR_SQL,
+        "Histogram quantile sketch vs exact P50/P90/P99 error report",
+        ("agg", "stats", "sketch"),
+    ),
     "value_outlier_fences": QuerySpec(
         "value_outlier_fences", value_outlier_fences,
         VALUE_OUTLIER_FENCES_SQL,

@@ -79,3 +79,4 @@ def test_driver_window_is_first_50_registry_entries():
     assert "hll_distinct_trigrams" in DRIVER_WINDOW
     assert "corpus_build_funnel" in DRIVER_WINDOW
     assert "embedding_outlier_report" in DRIVER_WINDOW
+    assert "histogram_quantile_error" in DRIVER_WINDOW

@@ -550,3 +550,14 @@ def test_embedding_outlier_salted_rank_broadcast_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_quantile_error_bounded_structures(spark, sf_dir):
+    """Quantile-sketch report: the histogram is a bounded (group,
+    bucket) count; the bounds row, q-set, cumulated histogram, and
+    exact-quantile picks all attach broadcast — no sort-merge of the
+    fact table, no cartesian beyond the documented broadcast-scalar
+    shapes."""
+    plan = plan_of(SPECS["histogram_quantile_error"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

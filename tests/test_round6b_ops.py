@@ -657,3 +657,60 @@ def test_embedding_outlier_report_matches_python_reference(spark):
         for r in outlier_report(df, k=2, iters=2, bottom_n=3).collect()
     )
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantile_report
+
+
+def test_histogram_quantile_report_matches_python_reference(spark):
+    import math
+    import random
+
+    from spark_etl_agent_spark.operators.sketches import (
+        histogram_quantile_report,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        ("a", rng.randrange(0, 10_000)) for _ in range(400)
+    ] + [("b", rng.randrange(5_000, 50_000)) for _ in range(250)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        (r.grp, r.q_pct): r
+        for r in histogram_quantile_report(df, "grp", "v", nbuckets=16).collect()
+    }
+
+    nb = 16
+    allv = [v for _, v in rows]
+    vmin, vmax = min(allv), max(allv)
+    R = vmax - vmin + 1
+    for grp in ("a", "b"):
+        vs = sorted(v for g, v in rows if g == grp)
+        n = len(vs)
+        hist = {}
+        for v in vs:
+            b = (v - vmin) * nb // R
+            hist[b] = hist.get(b, 0) + 1
+        for q_pct, q in ((50, 0.5), (90, 0.9), (99, 0.99)):
+            # exact: (n-1)q interpolation
+            h = (n - 1) * q
+            lo, hi = vs[math.floor(h)], vs[min(math.floor(h) + 1, n - 1)]
+            exact = lo + (h - math.floor(h)) * (hi - lo)
+            # sketch: cumulate to rank t, interpolate in the bucket
+            t = math.floor(h) + 1
+            cum = 0
+            for b in sorted(hist):
+                if cum + hist[b] >= t:
+                    bw = R / nb
+                    est = vmin + b * bw + ((t - cum) / hist[b]) * bw
+                    break
+                cum += hist[b]
+            r = got[(grp, q_pct)]
+            assert r.n_values == n
+            assert r.est_cents == pytest.approx(est, abs=1e-9)
+            assert r.exact_cents == pytest.approx(exact, abs=1e-9)
+            assert r.err_cents == pytest.approx(est - exact, abs=1e-9)
+            # a 16-bucket sketch over a ~10k-wide range lands within
+            # one bucket width of the exact value
+            assert abs(r.err_cents) <= R / nb
