@@ -101,3 +101,23 @@ def test_chars_monotone_nonincreasing(funnel_rows):
 
 def test_default_flags_include_full_battery():
     assert "ok_stopwords" in GOPHER_FLAGS and len(GOPHER_FLAGS) == 7
+
+
+def test_funnel_persists_release_under_scoped_caches(spark):
+    """The funnel persists three stage frames per invocation; in a
+    long-lived session (the 175-query bench, a foreachBatch loop) they
+    must be released by the scoped_caches consumption contract —
+    otherwise every funnel run leaks executor storage."""
+    from spark_etl_agent_spark.core.cache import (
+        _persistent_rdd_ids,
+        scoped_caches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, BODY), (2, BODY + " omega")], "doc_id long, text string"
+    )
+    before = _persistent_rdd_ids(spark)
+    with scoped_caches(spark):
+        corpus_build_funnel(df, quality_flags=FLAGS).collect()
+        assert len(_persistent_rdd_ids(spark)) > len(before)
+    assert _persistent_rdd_ids(spark) == before

@@ -136,3 +136,48 @@ def test_scrub_duplicate_spans_matches_reference(spark, texts):
         for r in scrub_duplicate_spans(df, k=k).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# salted_topk (round-6f): property — equals the brute-force per-group
+# top-k for ANY multiset of (group, score) rows, any k, any bucketing
+
+topk_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=topk_rows_strategy,
+    k=st.integers(1, 6),
+    buckets=st.integers(1, 8),
+)
+def test_salted_topk_matches_bruteforce(spark, rows, k, buckets):
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.operators.skew import salted_topk
+
+    data = [(g, i, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp int, rid long, score long")
+    got = sorted(
+        (r.grp, r.rid, r.rank_in_group)
+        for r in salted_topk(
+            df,
+            ["grp"],
+            [F.col("score").desc(), F.col("rid")],
+            k,
+            salt_buckets=buckets,
+        ).collect()
+    )
+    want = []
+    for g in {g for g, _, _ in data}:
+        members = sorted(
+            ((s, rid) for gg, rid, s in data if gg == g),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want.extend((g, rid, rank + 1) for rank, (_, rid) in
+                    enumerate(members[:k]))
+    assert got == sorted(want)
