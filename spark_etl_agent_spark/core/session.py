@@ -29,6 +29,34 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _silence_bounded_window_warnings(spark: SparkSession) -> None:
+    """Drop ``WindowExec: No Partition Defined`` WARNs to ERROR level.
+
+    Every unpartitioned window in this codebase is PROVABLY BOUNDED —
+    it runs over partition *metadata* (≤ npart rows: ``operators/
+    ranks.py``, ``llm/packing.py``), over a post-``limit(N)`` frame
+    (``llm/text.py`` top-N ranks, ``queries/lifecycle.py``), or over a
+    fixed-row report (``llm/funnel.py`` 5-stage audit) — so the warning
+    is pure noise that buries real signals in a 175-query bench tail.
+    ``Window.partitionBy(F.lit(0))`` does NOT silence it: Catalyst
+    constant-folds the foldable partition key away and WindowExec still
+    sees an empty partition spec, hence the log-level filter.
+
+    The discipline the warning used to (noisily) provide is enforced
+    instead by ``tests/test_lint.py::test_unpartitioned_windows_are_
+    documented_bounded``: every ``Window.orderBy(...)`` construction
+    site must carry a ``bounded:`` comment stating why its input is
+    small, so a REAL unpartitioned window cannot land unreviewed."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover — non-log4j2 logging backends
+        pass
+
+
 class SparkManager:
     """Builds and owns a SparkSession (reference parity: ``core/spark.py``).
 
@@ -86,6 +114,7 @@ class SparkManager:
             builder = builder.config(k, v)
         self._spark = builder.getOrCreate()
         self._spark.sparkContext.setLogLevel("WARN")
+        _silence_bounded_window_warnings(self._spark)
         return self._spark
 
     @property

@@ -149,6 +149,7 @@ def corpus_build_funnel(
         .unionByName(audit(s3, 3, "near_dedup"))
         .unionByName(audit(s4, 4, "decontam"))
     )
+    # bounded: the 5-row per-stage audit report only
     w = Window.orderBy("stage_order")
     prev = F.coalesce(F.lag("docs_out").over(w), F.col("docs_out"))
     return stages.select(

@@ -60,6 +60,7 @@ def pack_chunks(
     sizes = ranged.groupBy(_PID).agg(
         F.sum(tokens_col).cast("bigint").alias("_ptok")
     )
+    # bounded: partition METADATA — ≤ npart rows regardless of data volume
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.select(
         _PID,
@@ -127,6 +128,7 @@ def ordered_budget_prefix(
     sizes = ranged.groupBy(_PID).agg(
         F.sum(tokens_col).cast("bigint").alias("_ptok")
     )
+    # bounded: partition METADATA — ≤ npart rows regardless of data volume
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.select(
         _PID,

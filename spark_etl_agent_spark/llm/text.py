@@ -186,6 +186,7 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 50) -> DataF
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(k)
     )
+    # bounded: runs over the post-limit(k) top frame only
     w = Window.orderBy(F.desc("n_occurrences"), "pair")
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
@@ -422,6 +423,7 @@ def word_pair_pmi(
     # reduction — no unpartitioned window ever sees the full pair set);
     # the rank window then runs over ≤ top_n rows.
     top = scored.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")).limit(top_n)
+    # bounded: runs over the post-limit(top_n) frame only
     w = Window.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
     return top.withColumn("pair_rank", F.row_number().over(w)).select(
         "pair_rank", "w1", "w2", "c12", "c1", "c2", "lift_ppm", "pmi_micro"
@@ -459,6 +461,7 @@ def vocab_coverage_curve(
     total = counts.agg(F.sum("tok_count").cast("long").alias("_total"))
     top = counts.orderBy(F.desc("tok_count"), F.asc("token")).limit(top_n)
     order = [F.desc("tok_count"), F.asc("token")]
+    # bounded: both windows below run over the post-limit(top_n) frame
     w_cum = (
         Window.orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

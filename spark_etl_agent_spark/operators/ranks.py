@@ -54,6 +54,7 @@ def global_rank(
         _PID, F.spark_partition_id()
     )
     sizes = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_psz"))
+    # bounded: partition METADATA — ≤ npart rows regardless of data volume
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -112,13 +112,36 @@ def fan_out(df: DataFrame) -> DataFrame:
     Width is estimated from the scan's file listing (already cached in
     the file-source relation) — NOT ``df.rdd.getNumPartitions()``, which
     would build the Python-RDD conversion plan and analyze the query a
-    second time just to read a number. A file count under-estimates
-    splits for huge files (one file may yield many splits), so this only
-    ever *skips* the repartition at real scale — never adds one."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    second time just to read a number. A file COUNT alone is not enough:
+    one 10 GB file yields ~80 splits at the default 128 MB
+    ``maxPartitionBytes``, so counting files would under-estimate a
+    few-huge-files layout and ADD a full-corpus round-robin shuffle that
+    real scale never needs. When the file count is below the slot count,
+    splits are estimated from the actual file sizes (≤ slot-count
+    Hadoop-FS stat calls, metadata-only, and only on the small-input
+    path); the repartition fires only when the scan genuinely cannot
+    fill the cluster."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    target = sc.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    jvm = sc._jvm
+    max_split = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    max_split = max(1, int(max_split))
+    hconf = sc._jsc.hadoopConfiguration()
+    splits = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        size = int(fs.getFileStatus(p).getLen())
+        splits += max(1, -(-size // max_split))  # ceil-div, ≥1 per file
+        if splits >= target:  # enough parallelism — no shuffle
+            return df
+    return df.repartition(target)
 
 
 # -- deterministic numeric helpers (canonical home: functions.deterministic) --

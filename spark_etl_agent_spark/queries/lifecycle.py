@@ -151,6 +151,7 @@ def key_skew_report(spark, sf_dir):
         .orderBy(F.col("n_rows").desc(), "l_suppkey")
         .limit(20)
     )
+    # bounded: runs over the post-limit(20) frame only
     w = Window.orderBy(F.col("n_rows").desc(), "l_suppkey")
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
