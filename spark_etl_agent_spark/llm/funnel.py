@@ -12,7 +12,8 @@ jcap_pa_etl_service.py:176-227; SURVEY.md §7 LLM extension surface.)
 
 Determinism contract (the whole funnel is oracled against DuckDB):
 
-- quality: Rae et al. 2021 Table A1 battery, exact integer ppm flags;
+- quality: Rae et al. 2021 Table A1 battery (exact integer ppm flags)
+  AND the Table A2 repetition battery, one corpus scan total;
 - exact dedup: keeper = ``min(id)`` per ``md5(text)`` group;
 - near-dedup: MinHash-LSH candidates verified by exact Jaccard; the
   LARGER id of every pair at or above the threshold drops (greedy
@@ -40,7 +41,7 @@ from pyspark.storagelevel import StorageLevel
 
 from .decontam import ngram_contamination
 from .dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
-from .text import gopher_quality_rules
+from .text import gopher_quality_rules, gopher_repetition_rules
 
 FUNNEL_STAGES = ("raw", "quality", "exact_dedup", "near_dedup", "decontam")
 
@@ -67,6 +68,7 @@ def corpus_build_funnel(
     bench_mod: int = 97,
     quality_flags: tuple = GOPHER_FLAGS,
     contamination_ppm: int = 200_000,
+    repetition_gate: bool = True,
 ) -> DataFrame:
     """Run the 4-stage corpus build and return the funnel audit:
     ``(stage_order, stage, docs_in, docs_out, docs_dropped,
@@ -74,18 +76,31 @@ def corpus_build_funnel(
     text = F.col(text_col)
     docs = df.select(id_col, text_col)
 
-    # stage 1 — Gopher quality gate (conjunction of the chosen flags):
-    # the payload rides through the rule battery (keep_cols) so the
-    # gate is a shuffle-free filter, not a join back to the corpus
+    # stage 1 — Gopher quality gate (conjunction of the chosen flags)
+    # PLUS the Table-A2 repetition battery, in ONE corpus scan: the
+    # payload rides through the rule battery (keep_cols) so the flag
+    # gate is a shuffle-free filter, and the repetition pipeline (which
+    # needs its explode → count shuffles) branches off the PERSISTED
+    # battery frame instead of re-reading the corpus. Repetition flags
+    # are per-document, so computing them on the flag-gated survivors
+    # yields exactly the standalone battery's verdicts.
     gate = F.lit(True)
     for flag in quality_flags:
         gate = gate & F.col(flag)
-    s1 = (
-        gopher_quality_rules(docs, text_col, id_col, keep_cols=(text_col,))
-        .filter(gate)
-        .select(id_col, text_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    battery = gopher_quality_rules(
+        docs, text_col, id_col, keep_cols=(text_col,)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s1_flags = battery.filter(gate).select(id_col, text_col)
+    if repetition_gate:
+        rep_pass = (
+            gopher_repetition_rules(
+                s1_flags.select(id_col, text_col), text_col, id_col
+            )
+            .filter(F.col("passes_repetition"))
+            .select(id_col)
+        )
+        s1_flags = s1_flags.join(rep_pass, id_col)
+    s1 = s1_flags.persist(StorageLevel.MEMORY_AND_DISK)
 
     # stage 2 — exact dedup: keeper = min(id) per content hash, one
     # hash-partitioned window instead of a groupBy + join-back

@@ -31,6 +31,7 @@ perturb *counts* of near-identical spans, not the dedup decision).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,6 +133,174 @@ def scrub_duplicate_spans(
             F.coalesce("__scrubbed", F.lit("")).alias("scrubbed_text"),
         )
     )
+
+
+def exactsubstr_dup_lens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 5,
+    cap: int = 24,
+) -> DataFrame:
+    """TRUE ExactSubstr duplication lengths (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every token position ``p``, the length of the LONGEST substring
+    starting at ``p`` that occurs at ≥ 2 positions corpus-wide —
+    ``dup_len(p)`` — reported for positions with ``dup_len ≥ min_len``
+    and capped at ``cap`` tokens.
+
+    This removes the fixed ``k``-gram floor of
+    :func:`duplicate_span_stats`: duplicated substrings of ANY length in
+    ``[min_len, cap]`` are found, and the per-position maximum is the
+    exact suffix-array answer (``min(max LCP with any other suffix,
+    cap)``) — so a merged region whose parts match *different* partners
+    (the chimera case) is visible as ``max_duplen < span width``.
+
+    Shape — a pruned length-ladder, NOT a corpus-global suffix sort:
+
+    1. seed pass: hash every ``min_len``-gram, ONE uniform groupBy for
+       global counts; by monotonicity ``dup_len(p) ≥ min_len`` iff the
+       seed gram is duplicated, so unique positions (the bulk of a
+       healthy corpus) are dropped before any longer gram exists;
+    2. every occurrence of a longer duplicated gram starts at a seed
+       survivor (its ``min_len``-prefix shares the witnesses), so the
+       ladder over the survivors loses no counts;
+    3. survivors regain token context via ONE doc-grouped join (each
+       duplicated document's array ships once, not once per position),
+       then project all ``(pos, ℓ)`` gram hashes for
+       ``ℓ ∈ [min_len, cap]`` — compact hash rows, ≤ ``cap - min_len
+       + 1`` per surviving position;
+    4. one uniform groupBy on ``(ℓ, hash)`` finds duplicated grams;
+       an equi-join back + max(ℓ) per position is the answer.
+
+    A greedy per-position binary search over doubled gram ranks is
+    tempting but WRONG here: an occurrence can extend further with a
+    *different* partner and leave its twin's count at 1 mid-descent
+    (found by the sf0.001 oracle during development), so the ladder
+    enumerates lengths exhaustively — exact by construction, and the
+    blow-up is bounded by (duplicated-region size) × (cap - min_len
+    + 1) compact hash rows. Output: ``(id_col, pos, dup_len)``.
+    """
+    if min_len < 1 or cap < min_len:
+        raise ValueError(f"need 1 <= min_len <= cap, got {min_len}..{cap}")
+    words = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), w -> length(w) >= 1)"
+    )
+    base = docs.select(F.col(id_col), words.alias("__words"))
+    seeds = base.filter(F.size("__words") >= min_len).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__words) - {min_len}), "
+                f"i -> md5(array_join(slice(__words, i + 1, {min_len}), ' ')))"
+            )
+        ).alias("pos", "K"),
+    )
+    dup_seeds = (
+        seeds.groupBy("K")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("K")
+    )
+    surv = seeds.join(dup_seeds, "K").select(id_col, "pos")
+    # one array shipment per duplicated DOC (not per position): group the
+    # surviving positions, join the doc's token array once, then slice a
+    # ≤cap-token context per position
+    ctx = (
+        surv.groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__plist"))
+        .join(base, id_col)
+        .select(
+            id_col,
+            F.explode("__plist").alias("pos"),
+            F.col("__words"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(f"slice(__words, pos + 1, {cap})").alias("__ctx"),
+        )
+    )
+    ladder = ctx.select(
+        id_col,
+        "pos",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence({min_len}, "
+                f"least({cap}, size(__ctx))), "
+                "l -> md5(array_join(slice(__ctx, 1, l), ' ')))"
+            )
+        ).alias("__li", "h"),
+    ).select(
+        id_col,
+        "pos",
+        (F.col("__li") + min_len).alias("glen"),
+        "h",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dup_grams = (
+        ladder.groupBy("glen", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("glen", "h")
+    )
+    return (
+        ladder.join(dup_grams, ["glen", "h"])
+        .groupBy(id_col, "pos")
+        .agg(F.max("glen").cast("long").alias("dup_len"))
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            "dup_len",
+        )
+    )
+
+
+def exactsubstr_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 5,
+    cap: int = 24,
+) -> DataFrame:
+    """Merged per-document duplicated regions from
+    :func:`exactsubstr_dup_lens`: overlapping extents
+    ``[pos, pos + dup_len)`` are unioned per document (interval
+    gaps-and-islands — document-bounded windows only). ``max_duplen``
+    is the longest single exact match inside the region: a region wider
+    than its ``max_duplen`` is a CHIMERA (parts matched different
+    partners), which fixed-shingle islands cannot distinguish.
+
+    Output: ``(id_col, span_start, span_end, span_tokens, max_duplen,
+    n_anchors)``.
+    """
+    lens = exactsubstr_dup_lens(docs, text_col, id_col, min_len, cap)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = lens.withColumn(
+        "__prev_max", F.max(F.col("pos") + F.col("dup_len")).over(w_prev)
+    ).withColumn(
+        "__is_new",
+        (F.col("__prev_max").isNull() | (F.col("pos") > F.col("__prev_max")))
+        .cast("int"),
+    )
+    islands = marked.withColumn("__isl", F.sum("__is_new").over(w_run))
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.max(F.col("pos") + F.col("dup_len")).cast("long").alias("span_end"),
+        (F.max(F.col("pos") + F.col("dup_len")) - F.min("pos"))
+        .cast("long")
+        .alias("span_tokens"),
+        F.max("dup_len").cast("long").alias("max_duplen"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+    ).drop("__isl")
 
 
 def duplicate_span_stats(

@@ -80,6 +80,41 @@ def salted_join(
     return big_s.join(small_s, [on, "_salt"], how).drop("_salt")
 
 
+def salted_join_hotkeys(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    hot_keys: List,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Two-path skew join: only rows whose key is in ``hot_keys`` pay
+    the salt machinery (spread over ``salt_buckets`` tasks, small side
+    replicated per salt); every other key takes the PLAIN equi-join.
+    This is the explicit form of what AQE skew-split does at runtime,
+    for when the heavy hitters are known ahead of time (power-law keys
+    at 100 TB) — and unlike :func:`salted_join`, the salt fan-out
+    (small-side replication + the extra shuffle column) is confined to
+    the hot fraction instead of taxing the whole table.
+
+    ``hot_keys`` is a driver-side list (heavy hitters are few by
+    definition — pair with ``sketches.frequent_items`` to detect them).
+    Same ``how`` restrictions as :func:`salted_join`. NULL keys take
+    the cold path (they match nothing on an equi-join but must survive
+    a LEFT join's preserved side).
+    """
+    if not hot_keys:
+        return big.join(small, on, how)
+    is_hot = F.col(on).isin(list(hot_keys))
+    hot_out = salted_join(
+        big.filter(is_hot), small.filter(is_hot), on, salt_buckets, how
+    )
+    cold_out = big.filter(~F.coalesce(is_hot, F.lit(False))).join(
+        small, on, how
+    )
+    return hot_out.unionByName(cold_out)
+
+
 def salted_topk(
     df: DataFrame,
     keys: List[str],

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..operators.ranges import band_join
 from ..operators.sketches import agg_topk_per_group, column_profile, table_profile
-from ..operators.skew import salted_aggregate
+from ..operators.skew import salted_aggregate, salted_join_hotkeys
 from .base import QuerySpec, load
 
 
@@ -109,6 +109,55 @@ SELECT l_returnflag, count(*) AS n_items,
     AS sum_qty,
   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def salted_join_hotkey(spark, sf_dir):
+    """Skewed-key fact→dim join through the explicit hot-key salt path
+    (``operators/skew.py::salted_join_hotkeys``): consolidation routing
+    sends ~30% of lineitems to master order 0 (a genuine power-law
+    heavy hitter), the join salts ONLY that key across 8 buckets while
+    every other order joins plain, and the result — identical to the
+    unsalted join, which is exactly what the oracle computes — is
+    aggregated by the routed order's priority."""
+    from .base import dec, dsum_expr
+    from .relational import ONE
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "route_key",
+        F.expr("CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("route_key"), "o_orderpriority"
+    )
+    joined = salted_join_hotkeys(
+        li, orders, on="route_key", hot_keys=[0], salt_buckets=8, how="inner"
+    )
+    return joined.groupBy(
+        "o_orderpriority",
+        (F.col("route_key") == 0).alias("is_consolidated"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum_expr(
+            dec("l_extendedprice") * (ONE() - dec("l_discount", 6, 4)),
+            scale=4,
+        ).alias("revenue"),
+    )
+
+
+SALTED_JOIN_HOTKEY_SQL = """
+WITH routed AS (
+  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END AS route_key,
+    l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT o.o_orderpriority, r.route_key = 0 AS is_consolidated,
+  count(*) AS n_items,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))))
+       AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM routed r JOIN orders o ON o.o_orderkey = r.route_key
+GROUP BY 1, 2
 """
 
 
@@ -369,6 +418,12 @@ QUERIES = {
         "salted_agg_lineitem", salted_agg_lineitem, SALTED_AGG_LINEITEM_SQL,
         "Skew-salted two-phase aggregation (== plain groupBy)",
         ("skew", "agg", "operators"),
+    ),
+    "salted_join_hotkey": QuerySpec(
+        "salted_join_hotkey", salted_join_hotkey, SALTED_JOIN_HOTKEY_SQL,
+        "Hot-key-scoped salted join (== plain join) on a power-law "
+        "routed key",
+        ("skew", "join", "operators"),
     ),
     "quantity_profile": QuerySpec(
         "quantity_profile", quantity_profile, QUANTITY_PROFILE_SQL,

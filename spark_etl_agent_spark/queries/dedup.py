@@ -517,6 +517,68 @@ WHERE EXISTS (
 """
 
 
+def exactsubstr_spans(spark, sf_dir):
+    """TRUE ExactSubstr duplicated regions (Lee et al. 2022): per
+    document, merged extents of the longest duplicated substring
+    starting at each position, for ANY length in [5, 24] tokens — no
+    fixed-shingle floor. ``max_duplen < span_tokens`` exposes chimera
+    regions whose parts match different partners
+    (``llm/spans.py::exactsubstr_spans``, chunked suffix ranking +
+    binary descent — no corpus-global sort)."""
+    from ..llm.spans import exactsubstr_spans as spans
+
+    return spans(fan_out(load(spark, sf_dir, "documents")), min_len=5, cap=24)
+
+
+EXACTSUBSTR_SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'),
+                x -> len(x) >= 1) AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, ls.glen,
+    md5(array_to_string(words[i + 1:i + ls.glen], ' ')) AS h
+  FROM w,
+    LATERAL unnest(generate_series(0, len(words) - 5)) AS u(i),
+    (SELECT unnest(generate_series(5, 24)) AS glen) ls
+  WHERE i + ls.glen <= len(words)
+),
+dupg AS (
+  SELECT glen, h FROM grams GROUP BY glen, h HAVING count(*) >= 2
+),
+duplen AS (
+  SELECT g.doc_id, g.pos, max(g.glen) AS dup_len
+  FROM grams g JOIN dupg d ON d.glen = g.glen AND d.h = g.h
+  GROUP BY g.doc_id, g.pos
+),
+ord AS (
+  SELECT doc_id, pos, dup_len,
+    max(pos + dup_len) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM duplen
+),
+brk AS (
+  SELECT doc_id, pos, dup_len,
+    CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END AS is_new
+  FROM ord
+),
+isl AS (
+  SELECT doc_id, pos, dup_len,
+    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM brk
+)
+SELECT doc_id,
+  CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(pos + dup_len) AS BIGINT) AS span_end,
+  CAST(max(pos + dup_len) - min(pos) AS BIGINT) AS span_tokens,
+  CAST(max(dup_len) AS BIGINT) AS max_duplen,
+  CAST(count(*) AS BIGINT) AS n_anchors
+FROM isl GROUP BY doc_id, isl_id
+"""
+
+
 def winnowing_overlap_pairs(spark, sf_dir):
     """Local-overlap pairs on winnowing fingerprints: df-capped
     fingerprint inverted index → shared-count per pair → exact
@@ -639,6 +701,12 @@ QUERIES = {
         "scrub_duplicate_spans", scrub_duplicate_spans,
         SCRUB_DUPLICATE_SPANS_SQL,
         "ExactSubstr rewrite: remove non-canonical duplicated 8-gram spans",
+        ("dedup", "llm", "text"),
+    ),
+    "exactsubstr_spans": QuerySpec(
+        "exactsubstr_spans", exactsubstr_spans, EXACTSUBSTR_SPANS_SQL,
+        "True ExactSubstr: arbitrary-length [5,24] duplicated regions "
+        "via chunked suffix ranking",
         ("dedup", "llm", "text"),
     ),
     "winnowing_fingerprints": QuerySpec(

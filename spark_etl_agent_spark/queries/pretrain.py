@@ -484,7 +484,7 @@ _FUNNEL_FLAGS = (
 
 def _funnel_sql() -> str:
     from ..llm import dedup as D
-    from .text import GOPHER_QUALITY_RULES_SQL
+    from .text import GOPHER_QUALITY_RULES_SQL, GOPHER_REPETITION_RULES_SQL
 
     mh = ",\n    ".join(
         "list_min(list_transform(shingles, s -> md5('%d|' || s))) AS mh%d"
@@ -502,7 +502,12 @@ def _funnel_sql() -> str:
 WITH gq AS (
   SELECT doc_id FROM ({GOPHER_QUALITY_RULES_SQL}) q WHERE {gate}
 ),
-s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN gq USING (doc_id)),
+gr AS (
+  SELECT doc_id FROM ({GOPHER_REPETITION_RULES_SQL}) r
+  WHERE passes_repetition
+),
+s1 AS (SELECT d.doc_id, d.text FROM documents d
+       JOIN gq USING (doc_id) JOIN gr USING (doc_id)),
 k2 AS (SELECT md5(text) AS _h, min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
 s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN k2 USING (doc_id)),
 w2 AS (

@@ -51,8 +51,11 @@ def funnel_rows(spark):
         (0, BENCH),
         (5, FILLER + " " + RUN15),      # 52 words
     ]
+    # repetition_gate OFF here: the cyclic 60-word bodies deliberately
+    # fail the Table-A2 repetition battery, and this fixture pins the
+    # OTHER stages' casualties; the fold has its own tests below
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = corpus_build_funnel(df, quality_flags=FLAGS)
+    out = corpus_build_funnel(df, quality_flags=FLAGS, repetition_gate=False)
     return {r["stage"]: r.asDict() for r in out.collect()}
 
 
@@ -120,4 +123,67 @@ def test_funnel_persists_release_under_scoped_caches(spark):
     with scoped_caches(spark):
         corpus_build_funnel(df, quality_flags=FLAGS).collect()
         assert len(_persistent_rdd_ids(spark)) > len(before)
+    assert _persistent_rdd_ids(spark) == before
+
+
+def test_repetition_gate_matches_standalone_battery(spark):
+    """Verdict r06 #8: the folded stage-1 gate must drop exactly the
+    documents the STANDALONE repetition battery flags (given they pass
+    the flag battery) — per-document rules, so composition cannot
+    change verdicts."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_agent_spark.llm.text import (
+        gopher_quality_rules,
+        gopher_repetition_rules,
+    )
+
+    loop = " ".join(["alpha beta gamma delta epsilon"] * 12)  # 60 words
+    clean = " ".join(f"w{i:02d}" for i in range(60))
+    rows = [(1, clean), (2, loop), (3, clean + " extra trailer words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = corpus_build_funnel(df, quality_flags=FLAGS, repetition_gate=True)
+    stage1 = {r["stage"]: r.asDict() for r in out.collect()}["quality"]
+
+    flags_ok = set(
+        r.doc_id
+        for r in gopher_quality_rules(df).filter(
+            F.expr(" AND ".join(FLAGS))
+        ).collect()
+    )
+    rep_ok = set(
+        r.doc_id
+        for r in gopher_repetition_rules(df)
+        .filter("passes_repetition")
+        .collect()
+    )
+    expected = flags_ok & rep_ok
+    assert stage1["docs_out"] == len(expected)
+    assert 2 not in rep_ok  # the cyclic doc is a repetition casualty
+    assert {1, 3} <= expected
+
+
+def test_folded_stage1_reads_persisted_battery_not_corpus(spark, sf_dir):
+    """One-corpus-scan contract for the folded stage 1: the repetition
+    branch must hang off the PERSISTED battery frame (4 persisted
+    frames total: battery + s1/s2/s3), and once the funnel runs, the
+    final plan reads the battery from cache (InMemoryTableScan), not
+    from a second corpus scan."""
+    from spark_etl_agent_spark.core.cache import (
+        _persistent_rdd_ids,
+        scoped_caches,
+    )
+    from spark_etl_agent_spark.queries.base import load
+
+    before = _persistent_rdd_ids(spark)
+    with scoped_caches(spark):
+        out = corpus_build_funnel(
+            load(spark, sf_dir, "documents"), quality_flags=FLAGS
+        )
+        out.collect()
+        # battery + s1 + s2 + s3 + the dedup-internal shingle table
+        assert len(_persistent_rdd_ids(spark)) - len(before) == 5
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
     assert _persistent_rdd_ids(spark) == before

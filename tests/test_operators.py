@@ -73,6 +73,66 @@ def test_salted_join_rejects_outer(spark):
             salted_join(df, df, on="k", how=how)
 
 
+def test_salted_join_hotkeys_equals_plain_and_scopes_salt(spark, sf_dir):
+    """Hot-key-scoped salting: result identical to the plain join, and
+    the salt fan-out (the crossJoin-replicated small side) exists only
+    on the hot branch — the cold branch is a plain equi-join."""
+    from spark_etl_agent_spark.operators.skew import salted_join_hotkeys
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "route_key",
+        F.expr("CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END"),
+    ).select("route_key", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("route_key"), "o_orderpriority"
+    )
+    plain = sorted(
+        map(tuple, li.join(orders, "route_key").collect())
+    )
+    two_path = salted_join_hotkeys(
+        li, orders, on="route_key", hot_keys=[0], salt_buckets=8
+    )
+    assert sorted(map(tuple, two_path.collect())) == plain and plain
+    # salt scoped to the hot branch: exactly ONE join keyed on _salt,
+    # and the replicated-salts range appears once (8 rows, hot side only)
+    plan = two_path._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-run plan
+    assert plan.count("Range (0, 8") == 1
+    assert "_salt" in plan
+
+
+def test_salted_join_hotkeys_left_preserves_nulls_and_unmatched(spark):
+    """NULL keys and unmatched big-side rows must survive a LEFT join
+    through the two-path split (NULL isin(...) is NULL, not False —
+    the cold filter must keep it)."""
+    from spark_etl_agent_spark.operators.skew import salted_join_hotkeys
+
+    big = spark.createDataFrame(
+        [(0, "hot"), (1, "cold"), (None, "nullkey"), (9, "unmatched")],
+        "k int, tag string",
+    )
+    small = spark.createDataFrame(
+        [(0, "zero"), (1, "one")], "k int, name string"
+    )
+    out = salted_join_hotkeys(
+        big, small, on="k", hot_keys=[0], salt_buckets=4, how="left"
+    )
+    got = sorted((r.tag, r.name) for r in out.collect())
+    assert got == [
+        ("cold", "one"), ("hot", "zero"),
+        ("nullkey", None), ("unmatched", None),
+    ]
+
+
+def test_salted_join_hotkeys_empty_hotlist_is_plain_join(spark):
+    from spark_etl_agent_spark.operators.skew import salted_join_hotkeys
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    out = salted_join_hotkeys(df, df, on="k", hot_keys=[])
+    assert out.count() == 10
+    assert "_salt" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_lsh_short_docs_never_band(spark):
     """Shingle-less docs (< 3 words) carry NULL signatures and must not
     collide into one md5('') clique (ADVICE r1)."""
