@@ -215,77 +215,69 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 6 rotation: new/schema-changed queries first (20), then
-    #    the 30 stalest driver rows (10 last-checked r01, 20 r03 —
-    #    computed from the CORRECTNESS_r01..r05 union; the 18 remaining
-    #    r03-era rows, incl. timestamp_parse_roundtrip, token_counts,
-    #    text_stats, stat_moments_gallery and the eight displaced from
-    #    this window's tail by the late additions
-    #    (scalar_function_gallery, scd2_temporal_join, semi_anti_join,
-    #    rolling_active_users, rollup_returns, retailprice_histogram,
-    #    revenue_concentration, poc_projection, pivot_linestatus, multiset_operations, local_supplier_volume), roll
-    #    into round 7's window) --
-    "semantic_decontaminate",
-    "shard_movement_report",
-    "bm25_search_topk",
-    "countmin_heavy_hitters",
-    "ann_ivfpq_topk",
-    "gopher_quality_rules",
-    "gopher_repetition_rules",
-    "ann_pq_recall_report",
-    "source_overlap_matrix",
-    "ann_pq_adc_topk",
-    "minhash_estimate_error",
-    "dedup_family_agreement",
-    "bpe_fertility_by_lang",
-    "split_leakage_audit",
-    "perplexity_prune_band",
-    "dsir_importance_weights",
-    "bigram_doc_logprob",
-    "lsh_band_calibration",
-    "winnowing_overlap_pairs",
-    "winnowing_fingerprints",
-    "scrub_duplicate_spans",
-    "vocab_coverage_curve",
-    "ann_ivf_kmeans_topk",
-    "ann_recall_report",
-    "corpus_select_budget",
-    "neardup_cluster_keepers",
-    "zorder_curve_stats",
-    "hll_distinct_trigrams",
+    # -- round 7 rotation: new/result-changed queries first (4:
+    #    exactsubstr_spans + salted_join_hotkey are new;
+    #    corpus_build_funnel folded the repetition battery into its
+    #    stage-1 gate, changing every stage row; streaming_user_ewma
+    #    re-staged to two replay ranges — same result, re-checked
+    #    anyway), then ALL 32 remaining r03-era rows (the verdict's #1
+    #    ask — this clears the staleness tail completely: after this
+    #    round no name's latest green driver row predates r04), then
+    #    the 14 alphabetically-first r04-era rows. --
+    "exactsubstr_spans",
+    "salted_join_hotkey",
     "corpus_build_funnel",
-    "embedding_outlier_report",
-    "histogram_quantile_error",
-    # stalest: last green driver row round 1 (10) --
-    "ann_bruteforce_topk",
-    "ann_sign_bucket_pairs",
-    "doc_fingerprints",
-    "embedding_label_centroids",
-    "kmeans_cell_profile",
-    "multimodal_decode",
-    "multimodal_source_stats",
-    "normalized_dedup",
-    "simhash_fingerprints",
-    "streaming_tumbling_agg",
-    # stalest: last green driver row round 3 (38) --
-    "above_nation_average",
-    "bpe_pair_counts",
-    "case_when_classifier",
-    "conversion_funnel",
-    "count_distinct_customers",
-    "cube_part_inventory",
-    "customer_order_counts",
-    "date_function_gallery",
-    "distinct_projection",
-    # (event_type_daily_pivot, events_tumbling_agg, filter_in_upper,
-    #  fk_integrity_audit, forecast_revenue, gap_fill_daily,
-    #  having_big_spenders, incremental_revenue_agg, json_extraction,
-    #  key_skew_report, language_id displaced to round 7 by the
-    #  round-6d/6e additions: Gopher rules, IVF-PQ, Count-Min, BM25,
-    #  rendezvous shard report, semantic decontamination, HyperLogLog
-    #  distinct report, corpus funnel, embedding outlier report,
-    #  histogram quantile sketch)
+    "streaming_user_ewma",
+    # stalest: last green driver row round 3 (32) --
+    "event_type_daily_pivot",
+    "events_tumbling_agg",
+    "filter_in_upper",
+    "fk_integrity_audit",
+    "forecast_revenue",
+    "gap_fill_daily",
+    "having_big_spenders",
+    "incremental_revenue_agg",
+    "json_extraction",
+    "key_skew_report",
+    "language_id",
+    "local_supplier_volume",
+    "multiset_operations",
+    "pivot_linestatus",
+    "poc_projection",
+    "retailprice_histogram",
+    "revenue_concentration",
+    "rolling_active_users",
+    "rollup_returns",
+    "scalar_function_gallery",
+    "scd2_temporal_join",
+    "semi_anti_join",
+    "stat_moments_gallery",
+    "text_stats",
+    "timestamp_parse_roundtrip",
+    "token_counts",
+    "top_accounts_global_sort",
+    "top_revenue_orders",
+    "unigram_doc_logprob",
+    "value_outlier_fences",
+    "window_rank_family",
+    "window_running_and_lag",
+    # next-stalest: last green driver row round 4 (14 of 44) --
+    "agg_topk_quantities",
+    "array_functions_gallery",
+    "asof_join_clicks",
+    "band_join_parts",
+    "corpus_quality_filter",
+    "customer_order_distribution",
+    "deterministic_sample_docs",
+    "disjunctive_bracket_revenue",
+    "dominant_part_suppliers",
+    "exists_returned_orders",
+    "filtered_aggregates",
+    "grouping_sets_revenue",
+    "idle_rich_customers",
+    "large_volume_orders",
 )
+
 
 
 def registry() -> Dict[str, QuerySpec]:

@@ -54,29 +54,25 @@ def test_driver_window_is_first_50_registry_entries():
 
     assert list(registry())[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     assert len(DRIVER_WINDOW) == 50
-    # round-6 rotation contract: new/schema-changed queries lead, the
-    # stalest r01-era rows all hold slots
-    assert DRIVER_WINDOW[0] == "semantic_decontaminate"
-    assert DRIVER_WINDOW[1] == "shard_movement_report"
-    assert DRIVER_WINDOW[2] == "bm25_search_topk"
-    assert DRIVER_WINDOW[3] == "countmin_heavy_hitters"
-    assert DRIVER_WINDOW[4] == "ann_ivfpq_topk"
-    assert DRIVER_WINDOW[5] == "gopher_quality_rules"
-    assert DRIVER_WINDOW[6] == "gopher_repetition_rules"
-    assert DRIVER_WINDOW[7] == "ann_pq_recall_report"
-    assert DRIVER_WINDOW[8] == "source_overlap_matrix"
-    assert DRIVER_WINDOW[9] == "ann_pq_adc_topk"
-    assert DRIVER_WINDOW[10] == "minhash_estimate_error"
-    assert DRIVER_WINDOW[11] == "dedup_family_agreement"
-    assert DRIVER_WINDOW[12] == "bpe_fertility_by_lang"
-    assert DRIVER_WINDOW[13] == "split_leakage_audit"
-    assert DRIVER_WINDOW[14] == "perplexity_prune_band"
-    assert DRIVER_WINDOW[15] == "dsir_importance_weights"
-    for stale_r01 in ("ann_bruteforce_topk", "multimodal_decode",
-                      "normalized_dedup", "streaming_tumbling_agg"):
-        assert stale_r01 in DRIVER_WINDOW
-    # round-6e additions get their driver rows this round
-    assert "hll_distinct_trigrams" in DRIVER_WINDOW
-    assert "corpus_build_funnel" in DRIVER_WINDOW
-    assert "embedding_outlier_report" in DRIVER_WINDOW
-    assert "histogram_quantile_error" in DRIVER_WINDOW
+    # round-7 rotation contract: new/result-changed queries lead, then
+    # ALL 32 remaining r03-era rows (clearing the staleness tail — the
+    # r06 verdict's #1 ask), then 14 r04-era rows
+    assert DRIVER_WINDOW[0] == "exactsubstr_spans"
+    assert DRIVER_WINDOW[1] == "salted_join_hotkey"
+    assert DRIVER_WINDOW[2] == "corpus_build_funnel"  # repetition fold
+    assert DRIVER_WINDOW[3] == "streaming_user_ewma"  # 2-stage replay
+    for r03 in (
+        "timestamp_parse_roundtrip", "token_counts", "text_stats",
+        "stat_moments_gallery", "event_type_daily_pivot",
+        "events_tumbling_agg", "filter_in_upper", "fk_integrity_audit",
+        "forecast_revenue", "gap_fill_daily", "having_big_spenders",
+        "incremental_revenue_agg", "json_extraction", "key_skew_report",
+        "language_id", "local_supplier_volume", "multiset_operations",
+        "pivot_linestatus", "poc_projection", "retailprice_histogram",
+        "revenue_concentration", "rolling_active_users", "rollup_returns",
+        "scalar_function_gallery", "scd2_temporal_join", "semi_anti_join",
+        "top_accounts_global_sort", "top_revenue_orders",
+        "unigram_doc_logprob", "value_outlier_fences",
+        "window_rank_family", "window_running_and_lag",
+    ):
+        assert r03 in DRIVER_WINDOW, r03
