@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""100x dedup-family scale evidence (round-6 verdict item #5).
+
+The 10x A/B (scripts/scale_bench.py, SCALE_BENCH.json) already shows
+the bucketed dedup shapes sub-linear with the DuckDB oracle losing or
+OOMing; this script pushes the SPARK SIDE ALONE one more order of
+magnitude — a 100x blow-up of sf0.1 ``documents`` — for the bucketed
+dedup/LSH shapes, and records:
+
+- per-query wall at 10x and 100x from the SAME generator in the same
+  session (cold + warm passes), so the growth ratio is apples-to-apples:
+  sub-linear means ``wall_100x / wall_10x ≤ 10`` warm;
+- skew telemetry at both scales: LSH band-bucket width max / p50 / p99
+  / mean and the shingle-less (NULL-signature) doc count — the direct
+  evidence that the hot-band behavior stays bounded and the NULL-clique
+  guard (``llm/dedup.py:111-115``: short docs never band) still holds
+  at depth instead of silently forming one quadratic bucket.
+
+Generator: replica ``r`` applies a BIJECTIVE character permutation of
+the 7 most frequent letters ("etaoins") to every document.  Within a
+replica every shingle/minhash/simhash relation is preserved exactly;
+across replicas most shingles differ, so near-dup pair counts grow
+~linearly with the blow-up.  Unlike the 10-entry rotation list the 10x
+harness uses, the permutations are drawn from the 5040-element
+``itertools.permutations`` sequence (deterministic order), so all 100
+replicas are pairwise-distinct — repeating rotations would create
+exact-copy cliques across replicas and measure data pathology
+(quadratic candidate growth), not plan scaling.
+
+Spark-only by design: the oracle side is out of the race from 10x
+(`dedup_family_agreement` OOMs a 100 GB-limit DuckDB; others run 10-60x
+slower) — re-proving that at 100x would only burn the wall-clock
+budget. Writes nothing outside /tmp except SCALE_BENCH_100x.json.
+
+Usage: python scripts/scale_bench_100x.py
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import shutil
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_etl_agent_spark.core.cache import scoped_caches  # noqa: E402
+from spark_etl_agent_spark.core.session import SparkManager  # noqa: E402
+from spark_etl_agent_spark.core.ship import ship_package  # noqa: E402
+from spark_etl_agent_spark.llm import dedup as D  # noqa: E402
+from spark_etl_agent_spark.queries import registry  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/spark_graft_scale_100x"
+SCALES = (10, 100)
+
+# the bucketed dedup/LSH shapes (all documents-only), plus the round-7
+# ExactSubstr ladder — the shapes whose 100 TB story rests on blocking
+QUERIES = [
+    "minhash_near_duplicates",
+    "ngram_jaccard_dedup",
+    "simhash_near_duplicates",
+    "lsh_band_calibration",
+    "dedup_family_agreement",
+    "exactsubstr_spans",
+]
+
+_ALPHA = "etaoins"
+_PERMS = ["".join(p) for p in itertools.permutations(_ALPHA)]
+
+
+def blow_up_docs(spark, blowup: int, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * max_doc))
+        .withColumn("text", F.translate("text", _ALPHA, _PERMS[r]))
+        for r in range(blowup)
+    ]
+    npart = spark.sparkContext.defaultParallelism
+    reduce(lambda a, b: a.unionAll(b), parts).repartition(npart).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents.parquet")
+
+
+def band_bucket_telemetry(spark, d: str) -> dict:
+    """Width distribution of the LSH band buckets the near-dup joins
+    actually key on, plus the NULL-clique guard count."""
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    sig = D.minhash_signatures(docs)
+    n_docs = docs.count()
+    n_bandable = sig.filter(F.col("mh0").isNotNull()).count()
+    bands = D.N_MINHASHES // D.BAND_SIZE
+    banded = sig.filter(F.col("mh0").isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                f"mh{2 * b}",
+                                f"mh{2 * b + 1}",
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk")
+    )
+    widths = banded.groupBy("bk.band_idx", "bk.band_key").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    row = widths.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("w").alias("max_w"),
+        F.expr("approx_percentile(w, 0.5)").alias("p50_w"),
+        F.expr("approx_percentile(w, 0.99)").alias("p99_w"),
+        F.avg("w").alias("mean_w"),
+    ).collect()[0]
+    return {
+        "n_docs": n_docs,
+        "n_bandable": n_bandable,
+        "n_null_sig_docs": n_docs - n_bandable,
+        "n_buckets": row["n_buckets"],
+        "bucket_width_max": row["max_w"],
+        "bucket_width_p50": int(row["p50_w"]),
+        "bucket_width_p99": int(row["p99_w"]),
+        "bucket_width_mean": round(row["mean_w"], 3),
+    }
+
+
+def run_pass(spark, d: str, names) -> dict:
+    specs = registry()
+    out = {}
+    for name in names:
+        with scoped_caches(spark):
+            t0 = time.perf_counter()
+            specs[name].spark(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        print(f"    {name}: {out[name]:.1f}s", flush=True)
+    return out
+
+
+def run_one_scale(blowup: int) -> None:
+    """Child-process entry: one scale, fresh JVM — a 12-run shared
+    session accumulates heap/codegen/page-cache state that distorted
+    the first measurement (warm pass slower than cold); per-scale
+    process isolation keeps the growth ratio a property of the PLAN."""
+    m = SparkManager(
+        app_name=f"scale-bench-{blowup}x",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64")),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_SMOKE_DRIVER_MEM", "16g")
+        },
+    )
+    spark = m.spark
+    ship_package(spark)
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    d = f"{WORK}/x{blowup}"
+    os.makedirs(d, exist_ok=True)
+    print(f"building {blowup}x blow-up …", flush=True)
+    blow_up_docs(spark, blowup, d)
+    print(f"telemetry at {blowup}x:", flush=True)
+    telemetry = band_bucket_telemetry(spark, d)
+    print(f"  {telemetry}", flush=True)
+    print(f"spark cold pass at {blowup}x:", flush=True)
+    cold = run_pass(spark, d, QUERIES)
+    print(f"spark warm pass at {blowup}x:", flush=True)
+    warm = run_pass(spark, d, QUERIES)
+    with open(f"{WORK}/partial_{blowup}.json", "w") as f:
+        json.dump({"telemetry": telemetry, "cold": cold, "warm": warm}, f)
+
+
+def main() -> None:
+    scale_env = os.environ.get("SPARK_GRAFT_100X_SCALE")
+    if scale_env:
+        run_one_scale(int(scale_env))
+        return
+
+    import subprocess
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+    for blowup in SCALES:
+        env = dict(os.environ, SPARK_GRAFT_100X_SCALE=str(blowup))
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, check=True
+        )
+
+    result = {
+        "sf_dir": SF_DIR,
+        "scales": list(SCALES),
+        "queries": {},
+        "telemetry": {},
+    }
+    walls = {}
+    for blowup in SCALES:
+        with open(f"{WORK}/partial_{blowup}.json") as f:
+            part = json.load(f)
+        result["telemetry"][str(blowup)] = part["telemetry"]
+        walls[blowup] = part
+
+    for name in QUERIES:
+        w10 = walls[10]["warm"][name]
+        w100 = walls[100]["warm"][name]
+        result["queries"][name] = {
+            "wall_10x_cold": walls[10]["cold"][name],
+            "wall_10x_warm": w10,
+            "wall_100x_cold": walls[100]["cold"][name],
+            "wall_100x_warm": w100,
+            "growth_10x_to_100x": round(w100 / w10, 2) if w10 else None,
+            "sublinear": bool(w10 and w100 / w10 <= 10.0),
+        }
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_BENCH_100x.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result["queries"], indent=2))
+    print(f"wrote {out_path}", flush=True)
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,7 @@ from ..operators.asof import asof_join
 from ..operators.ranges import band_join
 from ..operators.sketches import agg_topk_per_group, column_profile, table_profile
 from ..operators.skew import salted_aggregate, salted_join_hotkeys
-from .base import QuerySpec, load
+from .base import QuerySpec, fan_out, load
 
 
 def asof_join_clicks(spark, sf_dir):
@@ -176,6 +176,178 @@ SELECT l_returnflag, count(*) AS n,
     AS v_sum,
   quantile_cont(l_quantity, 0.5) AS v_median
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def orders_expectation_gate(spark, sf_dir):
+    """Data-quality expectation gate (`operators/quality.py::
+    expectation_report`): five named rules — three hard, one with a 25%
+    tolerance the ~20% price-band violations stay under, and one hard
+    date-window rule the 2001 orders genuinely BREAK (a failing row is
+    part of the contract: the gate must say no) — plus key uniqueness,
+    all evaluated in ONE aggregation over one scan."""
+    from ..operators.quality import (
+        Expectation,
+        expectation_report,
+        in_range,
+        in_set,
+        not_null,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    rules = [
+        Expectation("orderkey_not_null", not_null("o_orderkey"), 0.0),
+        Expectation(
+            "status_in_domain", in_set("o_orderstatus", ["F", "O", "P"]), 0.0
+        ),
+        Expectation(
+            "price_in_band", in_range("o_totalprice", 1500.0, 400000.0), 0.25
+        ),
+        Expectation(
+            "date_in_window",
+            in_range("o_orderdate", "1995-01-01", "2000-12-31"),
+            0.0,
+        ),
+    ]
+    return expectation_report(orders, rules, unique_keys=["o_orderkey"])
+
+
+ORDERS_EXPECTATION_GATE_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd,
+    sum(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v0,
+    sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS v1,
+    sum(CASE WHEN o_totalprice BETWEEN 1500.0 AND 400000.0
+         THEN 0 ELSE 1 END) AS v2,
+    sum(CASE WHEN o_orderdate BETWEEN '1995-01-01' AND '2000-12-31'
+         THEN 0 ELSE 1 END) AS v3
+  FROM orders
+),
+rules AS (
+  SELECT 'orderkey_not_null' AS rule, n, v0 AS v, 0.0 AS ratio FROM agg
+  UNION ALL SELECT 'status_in_domain', n, v1, 0.0 FROM agg
+  UNION ALL SELECT 'price_in_band', n, v2, 0.25 FROM agg
+  UNION ALL SELECT 'date_in_window', n, v3, 0.0 FROM agg
+  UNION ALL SELECT 'unique(o_orderkey)', n, n - nd, 0.0 FROM agg
+)
+SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(v AS BIGINT) AS n_violations,
+  CAST(floor(v * 1000000.0 / greatest(n, 1)) AS BIGINT) AS violation_ppm,
+  CAST(floor(ratio * 1000000.0) AS BIGINT) AS allowed_ppm,
+  floor(v * 1000000.0 / greatest(n, 1)) <= floor(ratio * 1000000.0) AS passed
+FROM rules
+"""
+
+
+def events_freshness_gate(spark, sf_dir):
+    """Per-source freshness gate (`operators/quality.py::
+    freshness_report`): is each event type's newest event recent enough
+    against an INJECTED as-of (never wall-clock — reruns and backfills
+    must gate on the batch's logical time)? The 12.5 h budget
+    discriminates by scale (2 of 5 types pass at sf0.01). The exposed
+    lag is an exact integer (floor seconds); the operator's rounded
+    double stays internal so the hash never rides float rounding."""
+    from ..operators.quality import freshness_report
+
+    as_of = "2024-01-31 12:00:00"
+    rep = freshness_report(
+        load(spark, sf_dir, "events"),
+        "ts",
+        as_of,
+        max_lag_hours=12.5,
+        groups=["event_type"],
+    )
+    return rep.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "oldest_ts",
+        "newest_ts",
+        F.expr(
+            f"(unix_micros(CAST('{as_of}' AS TIMESTAMP))"
+            " - unix_micros(newest_ts)) div 1000000"
+        ).cast("long").alias("lag_floor_s"),
+        "passed",
+    )
+
+
+EVENTS_FRESHNESS_GATE_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+  min(ts) AS oldest_ts, max(ts) AS newest_ts,
+  CAST((epoch_us(TIMESTAMP '2024-01-31 12:00:00') - epoch_us(max(ts)))
+       // 1000000 AS BIGINT) AS lag_floor_s,
+  (epoch_us(TIMESTAMP '2024-01-31 12:00:00') - epoch_us(max(ts)))
+    <= CAST(12.5 * 3600 * 1000000 AS BIGINT) AS passed
+FROM events GROUP BY event_type
+"""
+
+
+def rollup_day_by_type(spark, sf_dir):
+    """Hypertable rollup cascade (`operators/incremental.py::
+    rollup_cascade`): hour → day continuous aggregates where the day
+    level is built FROM the hourly level (sum-mergeable measures), and
+    the oracle aggregates the raw facts directly — the equality IS the
+    cascade-correctness proof. Value sums ride exact decimals so the
+    two aggregation orders cannot diverge."""
+    from ..operators.incremental import rollup_cascade
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "v_dec", F.col("value").cast("decimal(12,4)")
+    )
+    levels = rollup_cascade(
+        ev,
+        "ts",
+        keys=["event_type"],
+        measures=[("n_events", "count"), ("v_dec", "sum"), ("value", "max")],
+        granularities=["hour", "day"],
+    )
+    return levels["day"].select(
+        "event_type",
+        "bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("v_dec").cast("decimal(18,4)").cast("double").alias("v_sum"),
+        F.col("value").alias("v_max"),
+    )
+
+
+ROLLUP_DAY_BY_TYPE_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS DOUBLE)
+    AS v_sum,
+  max(value) AS v_max
+FROM events GROUP BY 1, 2
+"""
+
+
+def mg_heavy_hitter_tokens(spark, sf_dir):
+    """Misra-Gries heavy hitters with exact recount
+    (`operators/sketches.py::frequent_items`): every token above 0.5%
+    corpus share, EXACT counts — candidate generation is per-partition
+    bounded-memory MG summaries (Arrow-batched), so the shuffle carries
+    npartitions × capacity candidate rows instead of one row per
+    distinct token; pigeonhole guarantees no true heavy hitter is
+    missed, so the result equals the oracle's full groupBy."""
+    from ..llm.text import words_of
+    from ..operators.sketches import frequent_items
+
+    toks = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select(F.explode(words_of(F.col("text"))).alias("token"))
+    )
+    return frequent_items(toks, "token", min_share=0.005)
+
+
+MG_HEAVY_HITTER_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> len(w) >= 1)) AS token
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(floor(count(*) * 1000000.0 / n) AS BIGINT) AS share_ppm
+FROM toks, tot
+GROUP BY token, n
+HAVING count(*) > n * 0.005
 """
 
 
@@ -418,6 +590,30 @@ QUERIES = {
         "salted_agg_lineitem", salted_agg_lineitem, SALTED_AGG_LINEITEM_SQL,
         "Skew-salted two-phase aggregation (== plain groupBy)",
         ("skew", "agg", "operators"),
+    ),
+    "orders_expectation_gate": QuerySpec(
+        "orders_expectation_gate", orders_expectation_gate,
+        ORDERS_EXPECTATION_GATE_SQL,
+        "Single-pass expectation rules incl. a tolerated band and a "
+        "genuinely failing date rule",
+        ("quality", "operators"),
+    ),
+    "events_freshness_gate": QuerySpec(
+        "events_freshness_gate", events_freshness_gate,
+        EVENTS_FRESHNESS_GATE_SQL,
+        "Per-source freshness gate against an injected as-of",
+        ("quality", "operators"),
+    ),
+    "rollup_day_by_type": QuerySpec(
+        "rollup_day_by_type", rollup_day_by_type, ROLLUP_DAY_BY_TYPE_SQL,
+        "Hour->day rollup cascade == direct aggregation of raw facts",
+        ("timeseries", "agg", "operators"),
+    ),
+    "mg_heavy_hitter_tokens": QuerySpec(
+        "mg_heavy_hitter_tokens", mg_heavy_hitter_tokens,
+        MG_HEAVY_HITTER_TOKENS_SQL,
+        "Misra-Gries heavy hitters with exact recount == full groupBy",
+        ("sketch", "text", "operators"),
     ),
     "salted_join_hotkey": QuerySpec(
         "salted_join_hotkey", salted_join_hotkey, SALTED_JOIN_HOTKEY_SQL,

@@ -228,6 +228,13 @@ DRIVER_WINDOW = (
     "salted_join_hotkey",
     "corpus_build_funnel",
     "streaming_user_ewma",
+    # second round-7 wave: operator-consumer queries for the four
+    # operators that had no registry row (expectation/freshness gates,
+    # rollup cascade, Misra-Gries heavy hitters)
+    "orders_expectation_gate",
+    "events_freshness_gate",
+    "rollup_day_by_type",
+    "mg_heavy_hitter_tokens",
     # stalest: last green driver row round 3 (32) --
     "event_type_daily_pivot",
     "events_tumbling_agg",
@@ -261,7 +268,7 @@ DRIVER_WINDOW = (
     "value_outlier_fences",
     "window_rank_family",
     "window_running_and_lag",
-    # next-stalest: last green driver row round 4 (14 of 44) --
+    # next-stalest: last green driver row round 4 (10 of 44) --
     "agg_topk_quantities",
     "array_functions_gallery",
     "asof_join_clicks",
@@ -272,10 +279,6 @@ DRIVER_WINDOW = (
     "disjunctive_bracket_revenue",
     "dominant_part_suppliers",
     "exists_returned_orders",
-    "filtered_aggregates",
-    "grouping_sets_revenue",
-    "idle_rich_customers",
-    "large_volume_orders",
 )
 
 

@@ -61,6 +61,9 @@ def test_driver_window_is_first_50_registry_entries():
     assert DRIVER_WINDOW[1] == "salted_join_hotkey"
     assert DRIVER_WINDOW[2] == "corpus_build_funnel"  # repetition fold
     assert DRIVER_WINDOW[3] == "streaming_user_ewma"  # 2-stage replay
+    for new_r07b in ("orders_expectation_gate", "events_freshness_gate",
+                     "rollup_day_by_type", "mg_heavy_hitter_tokens"):
+        assert new_r07b in DRIVER_WINDOW
     for r03 in (
         "timestamp_parse_roundtrip", "token_counts", "text_stats",
         "stat_moments_gallery", "event_type_daily_pivot",
