@@ -151,23 +151,25 @@ def run_pass(spark, d: str, names) -> dict:
     return out
 
 
-def run_one_scale(blowup: int) -> None:
-    """Child-process entry: one scale, fresh JVM — a 12-run shared
-    session accumulates heap/codegen/page-cache state that distorted
-    the first measurement (warm pass slower than cold); per-scale
-    process isolation keeps the growth ratio a property of the PLAN."""
-    m = SparkManager(
+def _session(blowup: int) -> "SparkManager":
+    # shuffle partitioning sized to the DATA like a production job (the
+    # bench.py rule): ~10x more bytes per shuffle at 100x gets ~10x the
+    # reduce partitions; AQE coalesces the small ones back at runtime
+    base = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
+    return SparkManager(
         app_name=f"scale-bench-{blowup}x",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64")),
+        shuffle_partitions=max(base, base * blowup // 10),
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_SMOKE_DRIVER_MEM", "16g")
         },
     )
+
+
+def child_build(blowup: int) -> None:
+    """Build the blow-up + telemetry for one scale."""
+    m = _session(blowup)
     spark = m.spark
     ship_package(spark)
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
-        "overwrite"
-    ).save()
     d = f"{WORK}/x{blowup}"
     os.makedirs(d, exist_ok=True)
     print(f"building {blowup}x blow-up …", flush=True)
@@ -175,50 +177,90 @@ def run_one_scale(blowup: int) -> None:
     print(f"telemetry at {blowup}x:", flush=True)
     telemetry = band_bucket_telemetry(spark, d)
     print(f"  {telemetry}", flush=True)
-    print(f"spark cold pass at {blowup}x:", flush=True)
-    cold = run_pass(spark, d, QUERIES)
-    print(f"spark warm pass at {blowup}x:", flush=True)
-    warm = run_pass(spark, d, QUERIES)
-    with open(f"{WORK}/partial_{blowup}.json", "w") as f:
-        json.dump({"telemetry": telemetry, "cold": cold, "warm": warm}, f)
+    with open(f"{WORK}/telemetry_{blowup}.json", "w") as f:
+        json.dump(telemetry, f)
+
+
+def child_query(blowup: int, name: str) -> None:
+    """Measure ONE query at one scale in a FRESH JVM (cold + warm).
+
+    The first artifact's shared 12-run session showed ±2-4x
+    order-of-execution effects (one query's warm pass 2x slower than
+    its cold, a neighbor's 4x faster — accumulated heap/page-cache/GC
+    state). Per-query process isolation makes each number a property
+    of the PLAN; the in-process warm repeat still reports the
+    JVM-amortized figure."""
+    m = _session(blowup)
+    spark = m.spark
+    ship_package(spark)
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    d = f"{WORK}/x{blowup}"
+    specs = registry()
+    walls = []
+    for _ in range(2):
+        with scoped_caches(spark):
+            t0 = time.perf_counter()
+            specs[name].spark(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.append(round(time.perf_counter() - t0, 3))
+    print(f"    {name} at {blowup}x: cold {walls[0]:.1f}s warm {walls[1]:.1f}s",
+          flush=True)
+    with open(f"{WORK}/q_{blowup}_{name}.json", "w") as f:
+        json.dump({"cold": walls[0], "warm": walls[1]}, f)
 
 
 def main() -> None:
-    scale_env = os.environ.get("SPARK_GRAFT_100X_SCALE")
-    if scale_env:
-        run_one_scale(int(scale_env))
+    mode = os.environ.get("SPARK_GRAFT_100X_MODE")
+    if mode:
+        kind, rest = mode.split(":", 1)
+        if kind == "build":
+            child_build(int(rest))
+        else:
+            scale, name = rest.split(":", 1)
+            child_query(int(scale), name)
         return
 
     import subprocess
 
-    shutil.rmtree(WORK, ignore_errors=True)
-    os.makedirs(WORK, exist_ok=True)
-    for blowup in SCALES:
-        env = dict(os.environ, SPARK_GRAFT_100X_SCALE=str(blowup))
+    def run_child(mode_str: str) -> None:
+        env = dict(os.environ, SPARK_GRAFT_100X_MODE=mode_str)
         subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, check=True
         )
 
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+    for blowup in SCALES:
+        run_child(f"build:{blowup}")
+        for name in QUERIES:
+            run_child(f"query:{blowup}:{name}")
+
     result = {
         "sf_dir": SF_DIR,
         "scales": list(SCALES),
+        "isolation": "fresh JVM per (scale, query); cold + in-JVM warm",
         "queries": {},
         "telemetry": {},
     }
     walls = {}
     for blowup in SCALES:
-        with open(f"{WORK}/partial_{blowup}.json") as f:
-            part = json.load(f)
-        result["telemetry"][str(blowup)] = part["telemetry"]
-        walls[blowup] = part
+        with open(f"{WORK}/telemetry_{blowup}.json") as f:
+            result["telemetry"][str(blowup)] = json.load(f)
+        walls[blowup] = {}
+        for name in QUERIES:
+            with open(f"{WORK}/q_{blowup}_{name}.json") as f:
+                walls[blowup][name] = json.load(f)
 
     for name in QUERIES:
-        w10 = walls[10]["warm"][name]
-        w100 = walls[100]["warm"][name]
+        w10 = walls[10][name]["warm"]
+        w100 = walls[100][name]["warm"]
         result["queries"][name] = {
-            "wall_10x_cold": walls[10]["cold"][name],
+            "wall_10x_cold": walls[10][name]["cold"],
             "wall_10x_warm": w10,
-            "wall_100x_cold": walls[100]["cold"][name],
+            "wall_100x_cold": walls[100][name]["cold"],
             "wall_100x_warm": w100,
             "growth_10x_to_100x": round(w100 / w10, 2) if w10 else None,
             "sublinear": bool(w10 and w100 / w10 <= 10.0),

@@ -206,6 +206,12 @@ def exactsubstr_dup_lens(
     # one array shipment per duplicated DOC (not per position): group the
     # surviving positions, join the doc's token array once, then slice a
     # ≤cap-token context per position
+    # persisted at the CONTEXT granularity, not the ladder: ctx is one
+    # row per surviving position (a ≤cap-token slice), while the ladder
+    # below is (cap - min_len + 1)× that — at the 100x bench scale the
+    # ladder persist spilled to disk and its round-trip cost more than
+    # recomputing the md5 projection from the cached ctx (the ladder's
+    # two consumers re-derive it with zero shuffles above ctx)
     ctx = (
         surv.groupBy(id_col)
         .agg(F.collect_list("pos").alias("__plist"))
@@ -220,6 +226,7 @@ def exactsubstr_dup_lens(
             "pos",
             F.expr(f"slice(__words, pos + 1, {cap})").alias("__ctx"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ladder = ctx.select(
         id_col,
@@ -236,7 +243,7 @@ def exactsubstr_dup_lens(
         "pos",
         (F.col("__li") + min_len).alias("glen"),
         "h",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dup_grams = (
         ladder.groupBy("glen", "h")
         .agg(F.count(F.lit(1)).alias("n"))
