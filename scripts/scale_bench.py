@@ -86,6 +86,9 @@ TOP_QUERIES = [
     # round-6 close: the composed 4-stage corpus build (quality →
     # exact → near-dup → decontam) is top-cost by construction
     "corpus_build_funnel",
+    # round-7: true ExactSubstr (seed-pruned length ladder) joins the
+    # top-cost set
+    "exactsubstr_spans",
 ]
 
 
@@ -134,10 +137,15 @@ def run_spark(spark, names) -> dict:
     return out
 
 
-def run_duck(names) -> dict:
+def _duck_connect():
     con = duckdb.connect()
     con.execute(
         f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}"
+    )
+    # explicit ceiling so an oracle that cannot run at this scale fails
+    # with a clean OOM record instead of taking the host down
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '100GB')}'"
     )
     for t in TABLES:
         # the blow-up writes Spark-style parquet DIRECTORIES
@@ -145,25 +153,72 @@ def run_duck(names) -> dict:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{WORK}/{t}.parquet/*.parquet')"
         )
-    specs = registry()
+    return con
+
+
+def duck_one(name: str) -> None:
+    """Child-process entry: ONE oracle. An OOM at this scale poisons
+    the whole process (even a fresh connection cannot allocate until
+    the dying one unwinds), so each oracle gets its own process and a
+    failure is a recorded result, not a crashed artifact."""
+    con = _duck_connect()
+    timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+    timer.start()
+    t0 = time.perf_counter()
+    try:
+        con.execute(registry()[name].oracle).fetchall()
+        print(f"DUCK_RESULT {round(time.perf_counter() - t0, 3)}",
+              flush=True)
+    except duckdb.InterruptException:
+        print("DUCK_RESULT timeout", flush=True)
+    except duckdb.Error as e:
+        print(f"DUCK_RESULT error {type(e).__name__}", flush=True)
+    finally:
+        timer.cancel()
+
+
+def run_duck(names) -> dict:
+    import subprocess
+
     out = {}
     for name in names:
-        timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
-        timer.start()
-        t0 = time.perf_counter()
+        env = dict(os.environ, SPARK_GRAFT_SCALE_DUCK_ONE=name)
         try:
-            con.execute(specs[name].oracle).fetchall()
-            out[name] = round(time.perf_counter() - t0, 3)
-            print(f"  duck  {name}: {out[name]:.1f}s", flush=True)
-        except duckdb.InterruptException:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=ORACLE_TIMEOUT_S + 120,
+            )
+        except subprocess.TimeoutExpired:
+            out[name] = None
+            print(f"  duck  {name}: KILLED >{ORACLE_TIMEOUT_S}s", flush=True)
+            continue
+        token = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("DUCK_RESULT "):
+                token = line.split(" ", 2)[1]
+        if token is None:  # crashed before reporting (e.g. hard OOM)
+            out[name] = None
+            print(f"  duck  {name}: CRASHED (rc={proc.returncode})",
+                  flush=True)
+        elif token in ("timeout",):
             out[name] = None
             print(f"  duck  {name}: TIMEOUT >{ORACLE_TIMEOUT_S}s", flush=True)
-        finally:
-            timer.cancel()
+        elif token == "error":
+            out[name] = None
+            print(f"  duck  {name}: FAILED (engine error — see child)",
+                  flush=True)
+        else:
+            out[name] = float(token)
+            print(f"  duck  {name}: {out[name]:.1f}s", flush=True)
     return out
 
 
 def main() -> None:
+    one = os.environ.get("SPARK_GRAFT_SCALE_DUCK_ONE")
+    if one:
+        duck_one(one)
+        return
     names = [
         n
         for n in (
