@@ -47,6 +47,7 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    train_ngrams: DataFrame = None,
 ) -> DataFrame:
     """Per-training-document contamination report against a benchmark.
 
@@ -60,8 +61,18 @@ def ngram_contamination(
     with fewer than ``n`` words produce no row (no n-grams → nothing to
     check — callers wanting them report ``n_total_m = 0`` via a left
     join from the corpus).
+
+    Pass ``train_ngrams`` (a distinct ``(id, ngram)`` frame for exactly
+    the ``train`` documents — e.g. a persisted ``dedup.shingle_table``
+    restricted to the training ids, renamed to ``ngram``) to skip the
+    train-side tokenize + explode entirely; only the column contract is
+    the caller's responsibility, the probe/aggregate shape is unchanged.
     """
-    t = doc_ngrams(train, text_col, id_col, n)
+    t = (
+        train_ngrams
+        if train_ngrams is not None
+        else doc_ngrams(train, text_col, id_col, n)
+    )
     b = doc_ngrams(bench, text_col, id_col, n).select("ngram").distinct()
     # LEFT broadcast join + conditional count: one pass, one shuffle
     # (the per-doc agg). A left_semi would need a second join for the

@@ -99,6 +99,28 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_from_shingle_table(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """MinHash signatures computed from an existing distinct
+    ``(id, shingle)`` table (``shingle_table``) instead of re-tokenizing
+    the corpus: min over the distinct shingle set equals min over the
+    shingle multiset, so the signatures are identical to
+    ``minhash_signatures`` — except that shingle-less documents (which
+    there carry an all-NULL signature row) are simply absent here. Both
+    shapes band to the same candidate set (NULL signatures are dropped
+    before banding), so pipelines that already built a shingle table
+    (the corpus funnel) save one full tokenize + explode pass over the
+    corpus by deriving the signatures from it."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -917,28 +917,44 @@ def gopher_repetition_rules(
     counted = items.groupBy(id_col, "n_chars", "kind", "val").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    per_kind = counted.groupBy(id_col, "n_chars", "kind").agg(
-        F.sum("cnt").alias("n_items"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(
-            F.when(
-                F.col("cnt") >= 2, F.col("cnt") * F.length("val").cast("long")
-            ).otherwise(F.lit(0))
-        ).alias("dup_chars"),
-        F.max(F.col("cnt") * F.length("val").cast("long")).alias("top_chars"),
-        F.sum(F.col("cnt") * F.length("val").cast("long")).alias("total_chars"),
-    )
 
-    def pick(kind: str, col: str) -> Column:
-        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+    # Collapse the per-(doc, kind) rollup and the per-doc pivot into ONE
+    # conditional aggregation keyed by the doc id: ``counted`` already
+    # carries the kind tag on every row, so each per-kind statistic is a
+    # kind-gated aggregate — one exchange instead of two, at every scale
+    # (the intermediate per-(doc, kind) frame was ~6 rows per doc; the
+    # stage barrier it cost was pure overhead).
+    def kind_sum(kind: str, expr: Column) -> Column:
+        return F.sum(F.when(F.col("kind") == kind, expr).otherwise(F.lit(0)))
 
-    per_doc = per_kind.groupBy(id_col, "n_chars").agg(
-        pick("L", "n_items").alias("_l_items"),
-        pick("L", "n_distinct").alias("_l_distinct"),
-        pick("L", "dup_chars").alias("_l_dup_chars"),
-        pick("L", "total_chars").alias("_l_total_chars"),
-        *[pick(f"G{n}", "top_chars").alias(f"_g{n}_top") for n in _REP_TOP_NS],
-        *[pick(f"G{n}", "dup_chars").alias(f"_g{n}_dup") for n in _REP_DUP_NS],
+    def kind_max(kind: str, expr: Column) -> Column:
+        return F.max(F.when(F.col("kind") == kind, expr))
+
+    # groupBy the id ALONE (n_chars is functionally dependent on it and
+    # rides along as max): the output is then hash-partitioned by the
+    # id, which downstream id-keyed joins (the funnel's gate join-back)
+    # can reuse without another exchange — grouping by (id, n_chars)
+    # would partition on the pair and force a re-shuffle.
+    gram_chars = F.col("cnt") * F.length("val").cast("long")
+    per_doc = counted.groupBy(id_col).agg(
+        F.max("n_chars").alias("n_chars"),
+        kind_sum("L", F.col("cnt")).alias("_l_items"),
+        kind_sum("L", F.lit(1)).alias("_l_distinct"),
+        kind_sum(
+            "L", F.when(F.col("cnt") >= 2, gram_chars).otherwise(F.lit(0))
+        ).alias("_l_dup_chars"),
+        kind_sum("L", gram_chars).alias("_l_total_chars"),
+        *[
+            kind_max(f"G{n}", gram_chars).alias(f"_g{n}_top")
+            for n in _REP_TOP_NS
+        ],
+        *[
+            kind_sum(
+                f"G{n}",
+                F.when(F.col("cnt") >= 2, gram_chars).otherwise(F.lit(0)),
+            ).alias(f"_g{n}_dup")
+            for n in _REP_DUP_NS
+        ],
     )
     signals = per_doc.select(
         id_col,
