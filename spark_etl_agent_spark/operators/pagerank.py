@@ -109,6 +109,7 @@ def pagerank(
     checkpoint_every: int = 2,
     checkpoint_mode: str = "auto",
     checkpoint_dir: Optional[str] = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Run ``iters`` integer PageRank rounds over the directed edge
     list and return ``(node, degree, rank_micro)`` for every node that
@@ -129,25 +130,46 @@ def pagerank(
     cluster posture (``reliable``: FS checkpoints under
     ``checkpoint_dir`` that survive executor loss). The default
     ``auto`` resolves by master — see :func:`_resolve_checkpointer`.
+
+    ``symmetric=True`` declares that the edge list is symmetric (every
+    node with out-edges also has in-edges — the undirected encoding).
+    That makes the inbound aggregation itself cover EVERY ranked node,
+    so the per-round join back to the degree table is dead weight: the
+    (static) destination degree is attached to the edge list once and
+    rebuilt in the round aggregation as a ``max`` — one join fewer per
+    round, iters fewer joins per run. On a directed graph this would
+    silently drop source-only nodes (no in-edges → no aggregation row →
+    their next-round contribution vanishes), so it must stay opt-in.
     """
     spark = edges.sparkSession
-    npart = spark.sparkContext.defaultParallelism
+    # Partition the loop state by the SESSION's shuffle partitioning,
+    # not defaultParallelism: the shuffle conf is sized to the data
+    # (the session contract sizes it to ~64 MB reduce partitions at any
+    # scale), while core count is a machine property — on a small input
+    # a core-count fan-out just multiplies per-stage task-scheduling
+    # floor across every one of the loop's ~2·iters stages.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ckpt = _resolve_checkpointer(spark, checkpoint_mode, checkpoint_dir)
 
-    # One shuffle of the big table, reused by every round: persist the
-    # edge list hash-partitioned on src so the per-round join against
-    # per-source contributions lines up with the cached exchange.
+    # Collapse the (possibly deep) upstream plan to an RDD leaf FIRST
+    # (every round's compile re-traverses the full analyzed plan
+    # otherwise — measured as the dominant driver cost of the loop),
+    # THEN hash-partition on src and persist. Order matters: a
+    # checkpoint taken under AQE erases the plan's outputPartitioning
+    # (the RDD scan reports Unknown), so checkpointing AFTER the
+    # repartition re-shuffles the full edge list in EVERY round's join
+    # — the E-sized-per-round shuffle this operator exists to avoid.
+    # The persisted exchange, by contrast, surfaces as an
+    # InMemoryTableScan that still advertises hashpartitioning(src), so
+    # each round's edges⋈contributions join reuses it exchange-free.
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        ckpt(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            eager=True,
+        )
         .repartition(npart, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # collapse the (possibly deep) upstream plan to an RDD leaf: every
-    # round's compile re-traverses e's full analyzed plan otherwise —
-    # measured as the dominant driver cost of the loop (~1.5 s/round at
-    # a join+distinct+union upstream). persist-before-checkpoint keeps
-    # the reliable mode from computing the edge shuffle twice.
-    e = ckpt(e, eager=True)
 
     # Checkpoint semantics under AQE (measured, not assumed): even
     # localCheckpoint(eager=False) materializes the subplan's query
@@ -168,9 +190,9 @@ def pagerank(
     # the rank frame CARRIES the (static) degree so each round needs no
     # ranks⋈deg join — per round: one node-sized projection (rank ÷
     # degree), the edges⋈contrib join (edges exchange reused from the
-    # persist), one groupBy(dst), and one deg⋈inbound join to rebuild
-    # the carried degree. That is one join fewer per round than the
-    # naive formulation — 6 fewer shuffles at iters=6.
+    # persist), one groupBy(dst), and — directed graphs only — one
+    # deg⋈inbound join to rebuild the carried degree (the symmetric
+    # path rebuilds it inside the aggregation instead).
     ranks = ckpt(
         deg.select(
             "node",
@@ -180,33 +202,62 @@ def pagerank(
         eager=False,
     )
 
+    if symmetric:
+        # static per-destination degree attached to the edges ONCE
+        # (setup-time join + re-partition on src), repaid as one join
+        # fewer in every round
+        e = (
+            e.join(deg, e.dst == deg.node)
+            .select("src", "dst", F.col("degree").alias("dst_degree"))
+            .repartition(npart, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
     for it in range(iters):
         # node-sized: rank ÷ degree once per node, not once per edge
         contrib = ranks.select(
             "node",
             F.expr("rank_micro div degree").cast("long").alias("contrib"),
         )
-        inbound = (
-            e.join(contrib, e.src == contrib.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("contrib").alias("acc"))
-        )
-        ranks = deg.join(inbound, "node", "left").select(
-            "node",
-            "degree",
-            (
-                F.lit(int(teleport_micro))
-                + F.expr(
-                    f"({int(damping_pm)} * coalesce(acc, 0L)) div 1000"
+        if symmetric:
+            ranks = (
+                e.join(contrib, e.src == contrib.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.max("dst_degree").alias("degree"),
+                    (
+                        F.lit(int(teleport_micro))
+                        + F.expr(
+                            f"({int(damping_pm)} * sum(contrib)) div 1000"
+                        )
+                    ).cast("long").alias("rank_micro"),
                 )
-            ).cast("long").alias("rank_micro"),
-        )
+            )
+        else:
+            inbound = (
+                e.join(contrib, e.src == contrib.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("contrib").alias("acc"))
+            )
+            ranks = deg.join(inbound, "node", "left").select(
+                "node",
+                "degree",
+                (
+                    F.lit(int(teleport_micro))
+                    + F.expr(
+                        f"({int(damping_pm)} * coalesce(acc, 0L)) div 1000"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
         # checkpoint every k rounds: each lazy checkpoint still pays a
         # full physical compile (df → RDD) at build time, so a
         # per-round checkpoint makes the DRIVER cost quadratic-ish in
         # rounds; every-other-round halves the compiles while keeping
-        # lineage depth (and thus each compile) bounded at k rounds
-        if (it + 1) % max(1, checkpoint_every) == 0 or it == iters - 1:
+        # lineage depth (and thus each compile) bounded at k rounds.
+        # The LAST round is deliberately not forced: the caller's
+        # terminal action consumes a ≤k-round lineage directly, saving
+        # one materialization job per run.
+        if (it + 1) % max(1, checkpoint_every) == 0 and it != iters - 1:
             ranks = ckpt(ranks, eager=False)
 
     return ranks.select("node", "degree", "rank_micro")

@@ -41,7 +41,7 @@ def supplier_pagerank(spark, sf_dir):
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    pr = pagerank(edges, iters=N_ROUNDS)
+    pr = pagerank(edges, iters=N_ROUNDS, symmetric=True)
     supplier = load(spark, sf_dir, "supplier")
     return (
         pr.join(

@@ -44,6 +44,16 @@ def test_pagerank_mass_bounded_and_deterministic_any_npart(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_pagerank_symmetric_path_matches_directed_path(spark):
+    """symmetric=True (degree rebuilt inside the round aggregation, no
+    per-round deg join) must be value-identical to the generic path on
+    a symmetric edge list — same int64 algebra, one join fewer."""
+    edges = _sym(spark, [(i, (i * 7) % 23) for i in range(1, 23)])
+    a = sorted(map(tuple, pagerank(edges, iters=4).collect()))
+    b = sorted(map(tuple, pagerank(edges, iters=4, symmetric=True).collect()))
+    assert a == b
+
+
 def test_semantic_dedup_cell_width_guard(spark):
     """k=1 puts every vector in one cell — the guard must refuse the
     quadratic compare, naming the width."""
