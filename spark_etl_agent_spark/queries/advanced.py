@@ -347,7 +347,7 @@ SELECT token, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(floor(count(*) * 1000000.0 / n) AS BIGINT) AS share_ppm
 FROM toks, tot
 GROUP BY token, n
-HAVING count(*) > n * 0.005
+HAVING count(*) > n * CAST(0.005 AS DOUBLE)
 """
 
 

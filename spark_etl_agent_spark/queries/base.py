@@ -215,70 +215,69 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 7 rotation: new/result-changed queries first (4:
-    #    exactsubstr_spans + salted_join_hotkey are new;
-    #    corpus_build_funnel folded the repetition battery into its
-    #    stage-1 gate, changing every stage row; streaming_user_ewma
-    #    re-staged to two replay ranges — same result, re-checked
-    #    anyway), then ALL 32 remaining r03-era rows (the verdict's #1
-    #    ask — this clears the staleness tail completely: after this
-    #    round no name's latest green driver row predates r04), then
-    #    the 14 alphabetically-first r04-era rows. --
-    "exactsubstr_spans",
-    "salted_join_hotkey",
+    # -- round 8 rotation: plan- or oracle-changed queries first (5:
+    #    corpus_build_funnel restructured around one shared shingle
+    #    frame; gopher_repetition_rules collapsed to one conditional
+    #    aggregation; supplier_pagerank gained the symmetric fast path
+    #    and the cached-exchange edge list; mg_heavy_hitter_tokens'
+    #    oracle literal was cast to DOUBLE; streaming_running_totals
+    #    re-measured for the floor analysis — results unchanged for
+    #    all five, re-checked anyway), then ALL 34 remaining r04-era
+    #    rows (the verdict's #3 ask — after this round no name's
+    #    latest green driver row predates r05), then the 11
+    #    alphabetically-first r05-era rows. --
     "corpus_build_funnel",
-    "streaming_user_ewma",
-    # second round-7 wave: operator-consumer queries for the four
-    # operators that had no registry row (expectation/freshness gates,
-    # rollup cascade, Misra-Gries heavy hitters)
-    "orders_expectation_gate",
-    "events_freshness_gate",
-    "rollup_day_by_type",
+    "gopher_repetition_rules",
+    "supplier_pagerank",
     "mg_heavy_hitter_tokens",
-    # stalest: last green driver row round 3 (32) --
-    "event_type_daily_pivot",
-    "events_tumbling_agg",
-    "filter_in_upper",
-    "fk_integrity_audit",
-    "forecast_revenue",
-    "gap_fill_daily",
-    "having_big_spenders",
-    "incremental_revenue_agg",
-    "json_extraction",
-    "key_skew_report",
-    "language_id",
-    "local_supplier_volume",
-    "multiset_operations",
-    "pivot_linestatus",
-    "poc_projection",
-    "retailprice_histogram",
-    "revenue_concentration",
-    "rolling_active_users",
-    "rollup_returns",
-    "scalar_function_gallery",
-    "scd2_temporal_join",
-    "semi_anti_join",
-    "stat_moments_gallery",
-    "text_stats",
-    "timestamp_parse_roundtrip",
-    "token_counts",
-    "top_accounts_global_sort",
-    "top_revenue_orders",
-    "unigram_doc_logprob",
-    "value_outlier_fences",
-    "window_rank_family",
-    "window_running_and_lag",
-    # next-stalest: last green driver row round 4 (10 of 44) --
-    "agg_topk_quantities",
-    "array_functions_gallery",
-    "asof_join_clicks",
-    "band_join_parts",
-    "corpus_quality_filter",
-    "customer_order_distribution",
-    "deterministic_sample_docs",
-    "disjunctive_bracket_revenue",
-    "dominant_part_suppliers",
-    "exists_returned_orders",
+    "streaming_running_totals",
+    # stalest: last green driver row round 4 (all 34) --
+    "filtered_aggregates",
+    "grouping_sets_revenue",
+    "idle_rich_customers",
+    "large_volume_orders",
+    "lone_returner_suppliers",
+    "market_share",
+    "min_cost_supplier",
+    "multimodal_wav_decode",
+    "nation_trade_volume",
+    "nation_year_profit",
+    "orders_table_profile",
+    "parts_supplier_counts",
+    "promo_revenue_share",
+    "quantity_profile",
+    "returned_item_revenue",
+    "revenue_share_parts",
+    "salted_agg_lineitem",
+    "scd2_priority_history",
+    "shipmode_priority_counts",
+    "small_quantity_revenue",
+    "snapshot_diff_orders",
+    "stratified_sample_docs",
+    "streaming_session_agg",
+    "streaming_sliding_agg",
+    "streaming_static_enrichment",
+    "streaming_watermark_dedup",
+    "string_similarity_pairs",
+    "tfidf_top_terms",
+    "top_supplier_quarter",
+    "trailing_interval_revenue",
+    "train_val_test_counts",
+    "unpivot_quarterly",
+    "weighted_sample_docs",
+    "window_value_functions",
+    # next-stalest: last green driver row round 5 (11 of 48) --
+    "ann_ivf_topk",
+    "approx_distinct_parts",
+    "bloom_ingest_dedup",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "chunk_documents",
+    "corpus_cluster_quality",
+    "corpus_datacard",
+    "corpus_shuffle_order",
+    "decontaminate_corpus",
+    "drift_psi_report",
 )
 
 

@@ -523,8 +523,12 @@ def exactsubstr_spans(spark, sf_dir):
     starting at each position, for ANY length in [5, 24] tokens — no
     fixed-shingle floor. ``max_duplen < span_tokens`` exposes chimera
     regions whose parts match different partners
-    (``llm/spans.py::exactsubstr_spans``, chunked suffix ranking +
-    binary descent — no corpus-global sort)."""
+    (``llm/spans.py::exactsubstr_spans``: a seed-pruned exhaustive
+    length ladder — duplicated min-gram seeds regain bounded context,
+    then one (len, hash) groupBy per ladder rung takes the max
+    duplicated length per position; no corpus-global sort. Greedy
+    binary descent is documented WRONG in that module: an occurrence
+    can extend further with a different partner mid-descent)."""
     from ..llm.spans import exactsubstr_spans as spans
 
     return spans(fan_out(load(spark, sf_dir, "documents")), min_len=5, cap=24)

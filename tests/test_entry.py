@@ -54,28 +54,31 @@ def test_driver_window_is_first_50_registry_entries():
 
     assert list(registry())[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     assert len(DRIVER_WINDOW) == 50
-    # round-7 rotation contract: new/result-changed queries lead, then
-    # ALL 32 remaining r03-era rows (clearing the staleness tail — the
-    # r06 verdict's #1 ask), then 14 r04-era rows
-    assert DRIVER_WINDOW[0] == "exactsubstr_spans"
-    assert DRIVER_WINDOW[1] == "salted_join_hotkey"
-    assert DRIVER_WINDOW[2] == "corpus_build_funnel"  # repetition fold
-    assert DRIVER_WINDOW[3] == "streaming_user_ewma"  # 2-stage replay
-    for new_r07b in ("orders_expectation_gate", "events_freshness_gate",
-                     "rollup_day_by_type", "mg_heavy_hitter_tokens"):
-        assert new_r07b in DRIVER_WINDOW
-    for r03 in (
-        "timestamp_parse_roundtrip", "token_counts", "text_stats",
-        "stat_moments_gallery", "event_type_daily_pivot",
-        "events_tumbling_agg", "filter_in_upper", "fk_integrity_audit",
-        "forecast_revenue", "gap_fill_daily", "having_big_spenders",
-        "incremental_revenue_agg", "json_extraction", "key_skew_report",
-        "language_id", "local_supplier_volume", "multiset_operations",
-        "pivot_linestatus", "poc_projection", "retailprice_histogram",
-        "revenue_concentration", "rolling_active_users", "rollup_returns",
-        "scalar_function_gallery", "scd2_temporal_join", "semi_anti_join",
-        "top_accounts_global_sort", "top_revenue_orders",
-        "unigram_doc_logprob", "value_outlier_fences",
-        "window_rank_family", "window_running_and_lag",
+    # round-8 rotation contract: plan/oracle-changed queries lead, then
+    # ALL 34 remaining r04-era rows (draining the staleness tail — the
+    # r07 verdict's #3 ask), then 11 r05-era rows
+    assert DRIVER_WINDOW[0] == "corpus_build_funnel"   # shared shingles
+    assert DRIVER_WINDOW[1] == "gopher_repetition_rules"  # one-agg fold
+    assert DRIVER_WINDOW[2] == "supplier_pagerank"     # symmetric path
+    assert DRIVER_WINDOW[3] == "mg_heavy_hitter_tokens"  # oracle cast
+    assert DRIVER_WINDOW[4] == "streaming_running_totals"  # floor recheck
+    for r04 in (
+        "filtered_aggregates", "grouping_sets_revenue",
+        "idle_rich_customers", "large_volume_orders",
+        "lone_returner_suppliers", "market_share", "min_cost_supplier",
+        "multimodal_wav_decode", "nation_trade_volume",
+        "nation_year_profit", "orders_table_profile",
+        "parts_supplier_counts", "promo_revenue_share",
+        "quantity_profile", "returned_item_revenue",
+        "revenue_share_parts", "salted_agg_lineitem",
+        "scd2_priority_history", "shipmode_priority_counts",
+        "small_quantity_revenue", "snapshot_diff_orders",
+        "stratified_sample_docs", "streaming_session_agg",
+        "streaming_sliding_agg", "streaming_static_enrichment",
+        "streaming_watermark_dedup", "string_similarity_pairs",
+        "tfidf_top_terms", "top_supplier_quarter",
+        "trailing_interval_revenue", "train_val_test_counts",
+        "unpivot_quarterly", "weighted_sample_docs",
+        "window_value_functions",
     ):
-        assert r03 in DRIVER_WINDOW, r03
+        assert r04 in DRIVER_WINDOW, r04
