@@ -51,45 +51,55 @@ BLOWUP = int(os.environ.get("SPARK_GRAFT_BLOWUP", "10"))
 WORK = "/tmp/spark_graft_scale_bench"
 ORACLE_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "600"))
 
-# top-cost queries by the sf0.1 inventory bench (BENCH_SUMMARY_sf0.1),
-# overridable for spot checks: SPARK_GRAFT_SCALE_QUERIES="a,b,c"
-TOP_QUERIES = [
+# Shapes that must be in every scale gate regardless of their current
+# bench rank: each is the canonical representative of a distinct
+# scaling risk (iterative loop, banded LSH self-join, keyed streaming
+# state, composed multi-stage pipeline, seed-pruned ladder).
+ALWAYS_QUERIES = [
+    "supplier_pagerank",
+    "minhash_near_duplicates",
+    "simhash_near_duplicates",
+    "ngram_jaccard_dedup",
+    "lsh_band_calibration",
     "streaming_ingest_dedup_audit",
     "streaming_user_ewma",
-    "simhash_near_duplicates",
-    "supplier_pagerank",
-    "ngram_jaccard_dedup",
-    "streaming_drift_audit",
-    "minhash_near_duplicates",
-    "incremental_neardup_probe",
-    "streaming_stream_join",
-    "streaming_pack_manifest",
-    "semantic_dedup_embeddings",
-    "bloom_ingest_dedup",
-    "quantity_profile",
-    "value_outlier_fences",
-    "bpe_encode_corpus",
-    "streaming_running_totals",
-    "bpe_train_merges",
-    "neardup_components",
-    "streaming_session_agg",
-    "agg_topk_quantities",
-    # round-6 addition: the ExactSubstr rewrite enters the top-cost set
-    "scrub_duplicate_spans",
-    # round-6 late wave: the 4-config band profile re-minhashes and
-    # self-joins per config — top-cost by the sf0.1 bench
-    "lsh_band_calibration",
-    # round-6 final wave: three-family agreement (runs all three
-    # fingerprinting pipelines) and the near-dup split-leakage audit
-    "dedup_family_agreement",
-    "split_leakage_audit",
-    # round-6 close: the composed 4-stage corpus build (quality →
-    # exact → near-dup → decontam) is top-cost by construction
     "corpus_build_funnel",
-    # round-7: true ExactSubstr (seed-pruned length ladder) joins the
-    # top-cost set
     "exactsubstr_spans",
 ]
+
+TOP_N = int(os.environ.get("SPARK_GRAFT_SCALE_TOP_N", "22"))
+
+
+def top_queries() -> list:
+    """The scale-gate query set, derived from the LATEST committed
+    sf0.1 bench summary instead of a hand-maintained list (a static
+    list silently under-covers as soon as a new query tops the cost
+    table — the round-7 failure mode this replaces): the top
+    ``TOP_N``-cost registry names from BENCH_SUMMARY_sf0.1.json,
+    unioned with :data:`ALWAYS_QUERIES` (one canonical representative
+    per distinct scaling risk), bench order preserved. Names that left
+    the registry since the summary was committed are dropped loudly."""
+    summary = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SUMMARY_sf0.1.json",
+    )
+    specs = registry()
+    with open(summary) as f:
+        walls = json.load(f)["queries"]
+    stale = sorted(n for n in walls if n not in specs)
+    if stale:
+        print(f"  (bench summary names no longer in registry: {stale})",
+              flush=True)
+    ranked = [
+        n for n, _ in sorted(walls.items(), key=lambda kv: -kv[1])
+        if n in specs
+    ]
+    names = ranked[:TOP_N]
+    names += [n for n in ALWAYS_QUERIES if n not in names]
+    missing = sorted(n for n in ALWAYS_QUERIES if n not in specs)
+    if missing:
+        raise SystemExit(f"ALWAYS_QUERIES not in registry: {missing}")
+    return names
 
 
 def blow_up_events(spark, out_dir: str) -> None:
@@ -224,7 +234,7 @@ def main() -> None:
         for n in (
             os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "").split(",")
             if os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
-            else TOP_QUERIES
+            else top_queries()
         )
         if n
     ]

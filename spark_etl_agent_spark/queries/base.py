@@ -222,10 +222,13 @@ DRIVER_WINDOW = (
     #    and the cached-exchange edge list; mg_heavy_hitter_tokens'
     #    oracle literal was cast to DOUBLE; streaming_running_totals
     #    re-measured for the floor analysis — results unchanged for
-    #    all five, re-checked anyway), then ALL 34 remaining r04-era
-    #    rows (the verdict's #3 ask — after this round no name's
-    #    latest green driver row predates r05), then the 11
-    #    alphabetically-first r05-era rows. --
+    #    all five, re-checked anyway; corpus_release_e2e is NEW: the
+    #    release job run end-to-end, audited from its published
+    #    artifacts), then ALL 34 remaining r04-era rows (the verdict's
+    #    #3 ask — after this round no name's latest green driver row
+    #    predates r05), then the 10 alphabetically-first r05-era
+    #    rows. --
+    "corpus_release_e2e",
     "corpus_build_funnel",
     "gopher_repetition_rules",
     "supplier_pagerank",
@@ -266,7 +269,7 @@ DRIVER_WINDOW = (
     "unpivot_quarterly",
     "weighted_sample_docs",
     "window_value_functions",
-    # next-stalest: last green driver row round 5 (11 of 48) --
+    # next-stalest: last green driver row round 5 (10 of 48) --
     "ann_ivf_topk",
     "approx_distinct_parts",
     "bloom_ingest_dedup",
@@ -277,7 +280,6 @@ DRIVER_WINDOW = (
     "corpus_datacard",
     "corpus_shuffle_order",
     "decontaminate_corpus",
-    "drift_psi_report",
 )
 
 
