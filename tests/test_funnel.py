@@ -166,10 +166,11 @@ def test_repetition_gate_matches_standalone_battery(spark):
 
 def test_folded_stage1_reads_persisted_battery_not_corpus(spark, sf_dir):
     """One-corpus-scan contract for the folded stage 1: the repetition
-    branch must hang off the PERSISTED battery frame (4 persisted
-    frames total: battery + s1/s2/s3), and once the funnel runs, the
-    final plan reads the battery from cache (InMemoryTableScan), not
-    from a second corpus scan."""
+    branch must hang off the PERSISTED flag-gated survivor frame (5
+    persisted frames total: s1_flags + s1 + s2 + the shared shingle
+    table + s3), and once the funnel runs, the final plan reads the
+    survivors from cache (InMemoryTableScan), not from a second
+    corpus scan."""
     from spark_etl_agent_spark.core.cache import (
         _persistent_rdd_ids,
         scoped_caches,
@@ -182,7 +183,7 @@ def test_folded_stage1_reads_persisted_battery_not_corpus(spark, sf_dir):
             load(spark, sf_dir, "documents"), quality_flags=FLAGS
         )
         out.collect()
-        # battery + s1 + s2 + s3 + the dedup-internal shingle table
+        # s1_flags + s1 + s2 + shared shingle table + s3
         assert len(_persistent_rdd_ids(spark)) - len(before) == 5
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan

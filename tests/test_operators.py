@@ -153,6 +153,39 @@ def test_lsh_short_docs_never_band(spark):
     assert pairs == {(100, 101)}  # no short-doc clique
 
 
+def test_minhash_from_shingle_table_matches_signatures(spark):
+    """The shingle-table-derived signatures must equal the direct ones
+    for every shingle-bearing doc (min over the distinct set == min
+    over the multiset); shingle-less docs are absent instead of
+    all-NULL — both shapes band identically."""
+    from spark_etl_agent_spark.llm.dedup import (
+        minhash_from_shingle_table,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),   # repeated shingles
+            (2, "one two three four"),
+            (3, "x y"),                    # < 3 words: no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    direct = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+        for r in minhash_signatures(docs).collect()
+    }
+    via_table = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+        for r in minhash_from_shingle_table(shingle_table(docs)).collect()
+    }
+    assert set(direct) == {1, 2, 3}
+    assert direct[3] == (None,) * 8
+    assert set(via_table) == {1, 2}
+    assert via_table == {k: v for k, v in direct.items() if k != 3}
+
+
 def test_snapshot_diff_change_types(spark):
     """CDC verb: inserts/deletes/updates classified; unchanged rows
     dropped; NULL→value and value→NULL count as updates (null-safe
