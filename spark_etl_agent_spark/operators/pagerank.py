@@ -162,14 +162,23 @@ def pagerank(
     # The persisted exchange, by contrast, surfaces as an
     # InMemoryTableScan that still advertises hashpartitioning(src), so
     # each round's edges⋈contributions join reuses it exchange-free.
-    e = (
-        ckpt(
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-            eager=True,
-        )
-        .repartition(npart, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    raw = ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        eager=True,
     )
+    if symmetric:
+        # The loop only ever joins the DEGREE-ANNOTATED edge list, so
+        # persisting a bare src-partitioned copy first would store the
+        # edges twice for nothing — build degrees straight off the raw
+        # checkpoint and persist ONLY the annotated, src-partitioned
+        # list the rounds consume (one E-sized cache instead of two;
+        # same exchange count: the groupBy shuffles raw once either
+        # way, and the annotation join + repartition happen once).
+        e = None
+    else:
+        e = raw.repartition(npart, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     # Checkpoint semantics under AQE (measured, not assumed): even
     # localCheckpoint(eager=False) materializes the subplan's query
@@ -181,8 +190,9 @@ def pagerank(
     # checkpointing every round buys nothing and every-2-rounds
     # measured fastest (4.9 → 2.5 s warm at sf0.1); lineage depth
     # stays bounded at `checkpoint_every` rounds either way.
+    deg_src = e if e is not None else raw
     deg = (
-        e.groupBy(F.col("src").alias("node"))
+        deg_src.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     deg = ckpt(deg, eager=False)
@@ -207,7 +217,7 @@ def pagerank(
         # (setup-time join + re-partition on src), repaid as one join
         # fewer in every round
         e = (
-            e.join(deg, e.dst == deg.node)
+            raw.join(deg, raw.dst == deg.node)
             .select("src", "dst", F.col("degree").alias("dst_degree"))
             .repartition(npart, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
