@@ -121,6 +121,45 @@ def minhash_from_shingle_table(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def ingest_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+) -> DataFrame:
+    """Per-document ingest-time dedup artifacts: ``content_hash`` plus
+    the MinHash signature (``mh0..mh{n-1}``) and the distinct-shingle
+    count, computed ONCE when a document enters the corpus so an ingest
+    index never re-derives them — at 100 TB, re-minhashing the accepted
+    corpus on every micro-batch is the difference between a pruned
+    column scan and a corpus-wide explode/aggregate per trigger.
+
+    Shape: one explode → groupBy(id) aggregation (the proven
+    ``minhash_signatures`` shape, extended with the shingle count),
+    joined back to the document row on the uniform id key. The min is
+    taken over the DISTINCT shingle set, which equals the min over the
+    multiset (``minhash_from_shingle_table`` equivalence). Documents
+    with no shingles (< k words) carry ``n_shingles = 0`` and an
+    all-NULL signature, exactly like ``minhash_signatures``.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(shingles_of(F.col(text_col)))
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(
+        *aggs, F.count("shingle").cast("int").alias("n_shingles")
+    )
+    return df.withColumn("content_hash", F.md5(F.col(text_col))).join(
+        sig, id_col
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -479,6 +518,20 @@ def incremental_neardup_verdicts(
         index_docs.select(id_col, text_col)
     )
     verified = jaccard_verify(both, pairs, text_col, id_col)
+    return _novelty_verdicts(
+        batch_docs.select(F.col(id_col)), verified, id_col, min_jaccard
+    )
+
+
+def _novelty_verdicts(
+    batch_ids: DataFrame,
+    verified: DataFrame,
+    id_col: str,
+    min_jaccard: float,
+) -> DataFrame:
+    """Shared tail of the incremental-verdict shapes: fold verified
+    candidate pairs into per-batch-document ``(n_matches, best_match_id,
+    best_jaccard, is_novel)`` rows; non-candidates are novel."""
     matches = verified.filter(F.col("jaccard") >= min_jaccard)
     from pyspark.sql import Window
 
@@ -499,7 +552,7 @@ def incremental_neardup_verdicts(
         )
     )
     return (
-        batch_docs.select(F.col(id_col))
+        batch_ids
         .join(best.withColumnRenamed("id_a", id_col), id_col, "left")
         .select(
             id_col,
@@ -508,6 +561,59 @@ def incremental_neardup_verdicts(
             "best_jaccard",
             (F.coalesce(F.col("n_matches"), F.lit(0)) == 0).alias("is_novel"),
         )
+    )
+
+
+def incremental_neardup_verdicts_indexed(
+    index_art: DataFrame,
+    batch_art: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.6,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """``incremental_neardup_verdicts`` against a PRE-COMPUTED index:
+    both sides carry ``ingest_artifacts`` columns (``mh*``,
+    ``content_hash``), so the band probe reads STORED signatures instead
+    of re-minhashing the corpus, and the exact-Jaccard verify
+    re-shingles ONLY the candidate documents (the batch docs and the
+    index docs some band collided with). Per micro-batch the index pays
+    one pruned column scan (ids + 8 signature columns for banding, text
+    for candidate rows only) — never a corpus-wide explode/aggregate.
+
+    Contract: batch and index ids are disjoint (the ingest sink's id
+    anti-join establishes this); same output schema and values as
+    ``incremental_neardup_verdicts`` on the same documents.
+
+    The candidate-pair table feeds four consumers (both candidate-id
+    projections and both sides of the verify), so it is persisted;
+    callers in long-lived sessions release it via ``scoped_caches``
+    (the ``shingle_table`` discipline).
+    """
+    from pyspark import StorageLevel
+
+    pairs = (
+        lsh_probe_pairs(
+            index_art, batch_art, id_col, broadcast_batch=broadcast_batch
+        )
+        .select(
+            F.col("id_batch").alias("id_a"),
+            F.col("id_index").alias("id_b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand_a = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    cand_b = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if broadcast_batch:
+        cand_a, cand_b = F.broadcast(cand_a), F.broadcast(cand_b)
+    both = (
+        batch_art.join(cand_a, id_col)
+        .select(id_col, text_col)
+        .unionByName(index_art.join(cand_b, id_col).select(id_col, text_col))
+    )
+    verified = jaccard_verify(both, pairs, text_col, id_col)
+    return _novelty_verdicts(
+        batch_art.select(F.col(id_col)), verified, id_col, min_jaccard
     )
 
 

@@ -121,15 +121,18 @@ def streaming_ingest_dedup_audit(spark, sf_dir) -> DataFrame:
     (``doc_id % 4 == 0`` — the sink's correctness is what this query
     driver-checks; its scale posture is gated separately in
     ``scripts/scale_smoke.py`` and the probe plan tests) streamed as
-    three micro-batches through ``streaming_dedup_ingest_sink`` with
-    an index that grows with accepted documents; returns the per-batch
-    audit envelopes ``(batch_id, n_in, n_exact_dups,
+    three micro-batches through ``streaming_dedup_ingest_sink_indexed``
+    — the accepted table carries ingest-time dedup artifacts (content
+    hash, MinHash signature), so each batch probes stored columns
+    instead of re-minhashing the whole accepted corpus; returns the
+    per-batch audit envelopes ``(batch_id, n_in, n_exact_dups,
     n_dropped_vs_index, n_novel)`` — the counts a production ingest
     alerts on. The oracle unrolls the three rounds in SQL (round N's
-    probe targets the accepted union of rounds < N)."""
+    probe targets the accepted union of rounds < N); verdict values
+    are identical to the unindexed sink, so the oracle is unchanged."""
     from ..streaming.pipeline import (
         run_available_now,
-        streaming_dedup_ingest_sink,
+        streaming_dedup_ingest_sink_indexed,
     )
 
     docs = (
@@ -167,7 +170,7 @@ def streaming_ingest_dedup_audit(spark, sf_dir) -> DataFrame:
     run_available_now(
         stream,
         output_mode="append",
-        foreach_batch=streaming_dedup_ingest_sink(
+        foreach_batch=streaming_dedup_ingest_sink_indexed(
             index_provider, novel_writer, audit=audit, min_jaccard=0.6
         ),
     )

@@ -372,6 +372,101 @@ def streaming_dedup_ingest_sink(
     return ingest_batch
 
 
+def streaming_dedup_ingest_sink_indexed(
+    index_provider: Callable[[], DataFrame],
+    novel_writer: Callable[[DataFrame, int], None],
+    audit: Optional[list] = None,
+    min_jaccard: float = 0.6,
+) -> Callable[[DataFrame, int], None]:
+    """Indexed variant of ``streaming_dedup_ingest_sink``: the sink
+    persists each accepted document's dedup artifacts (content hash,
+    MinHash signature, shingle count — ``llm.dedup.ingest_artifacts``)
+    alongside the document, so a micro-batch probes the STORED index
+    instead of re-tokenizing and re-minhashing the whole accepted corpus
+    per trigger. At 100 TB this is the production posture: signatures
+    are computed once at ingest; per batch the index pays a pruned
+    column scan (hash for the exact probe, 8 signature columns for the
+    band probe, text only for the few band-collided candidate rows) —
+    never a corpus-wide explode/aggregate.
+
+    ``index_provider`` returns the accepted ARTIFACT table (or None when
+    empty); ``novel_writer`` receives the artifact-extended accepted
+    frame — append it as-is and the artifacts persist with the corpus.
+    Audit envelope semantics and verdict values are identical to the
+    unindexed sink (same signatures, same probe, same exact-Jaccard
+    verify).
+    """
+    from ..core.cache import scoped_caches
+    from ..llm.dedup import (
+        incremental_neardup_verdicts_indexed,
+        ingest_artifacts,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with scoped_caches(batch_df.sparkSession):
+            _ingest_batch(batch_df, batch_id)
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # artifacts computed ONCE per batch; the eager checkpoint both
+        # enforces stream-source-read-once and materializes the
+        # artifact columns for the several consumers below
+        art = ingest_artifacts(batch_df).localCheckpoint()
+        # n_in and the within-batch exact-dedup survivor count in ONE
+        # aggregation job (keeper keeps the first id per content hash,
+        # so count(keeper) == countDistinct(content_hash))
+        n_in, n_exact = art.agg(
+            F.count(F.lit(1)), F.countDistinct("content_hash")
+        ).first()
+        if n_in == 0:
+            if audit is not None:
+                audit.append((batch_id, 0, 0, 0, 0))
+            return
+        keeper = (
+            art.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("content_hash").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        index_df = index_provider()
+        if index_df is None or not index_df.columns:
+            novel = keeper
+        else:
+            # exact-hash probe against the STORED hash column (the
+            # unindexed sink recomputes md5 over the index text here)
+            index_hashes = index_df.select(
+                F.col("content_hash").alias("__ih")
+            ).distinct()
+            keeper = keeper.join(
+                index_hashes,
+                F.col("content_hash") == F.col("__ih"),
+                "left_anti",
+            )
+            # id probe second (replayed id with changed text is not
+            # novel and must not reach the LSH probe — see the
+            # unindexed sink)
+            index_ids = index_df.select("doc_id").distinct()
+            keeper = keeper.join(index_ids, "doc_id", "left_anti")
+            verdicts = incremental_neardup_verdicts_indexed(
+                index_df, keeper, min_jaccard=min_jaccard
+            ).select("doc_id", "is_novel")
+            novel = keeper.join(verdicts, "doc_id").filter(
+                F.col("is_novel")
+            ).drop("is_novel")
+        novel = novel.localCheckpoint()  # verdict computed once
+        n_novel = novel.count()
+        novel_writer(novel, batch_id)
+        if audit is not None:
+            audit.append(
+                (batch_id, n_in, n_in - n_exact, n_exact - n_novel, n_novel)
+            )
+
+    return ingest_batch
+
+
 def streaming_packing_sink(
     state_path: str,
     manifest_writer: Callable[[DataFrame, int], None],

@@ -455,6 +455,81 @@ def test_incremental_probe_large_batch_path_equals_broadcast(spark):
     assert a == b and len(a) == 2
 
 
+def test_ingest_artifacts_signatures_match_minhash_signatures(spark):
+    """The ingest-time artifact signature (min over the DISTINCT shingle
+    set, explode/agg shape) equals ``minhash_signatures`` (multiset),
+    including the all-NULL row for a too-short doc; content_hash and
+    n_shingles are exact."""
+    import hashlib
+
+    from spark_etl_agent_spark.llm.dedup import (
+        ingest_artifacts,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta alpha beta gamma"),
+        (2, "short doc"),  # < k words: no shingles
+        (3, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    art = {r["doc_id"]: r for r in ingest_artifacts(df).collect()}
+    sig = {r["doc_id"]: r for r in minhash_signatures(df).collect()}
+    assert set(art) == set(sig) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert tuple(art[i][f"mh{j}"] for j in range(8)) == tuple(
+            sig[i][f"mh{j}"] for j in range(8)
+        )
+    assert art[2]["n_shingles"] == 0 and art[2]["mh0"] is None
+    # doc 1 has 7 shingle positions, 2 duplicated -> 6 distinct
+    assert art[1]["n_shingles"] == 6
+    assert art[1]["content_hash"] == hashlib.md5(
+        rows[0][1].encode()
+    ).hexdigest()
+
+
+def test_indexed_verdicts_match_unindexed(spark):
+    """``incremental_neardup_verdicts_indexed`` over precomputed
+    artifacts returns the exact rows of the text-derived verdicts —
+    matches, best-match ties, novel non-candidates, short docs."""
+    from spark_etl_agent_spark.llm.dedup import (
+        incremental_neardup_verdicts,
+        incremental_neardup_verdicts_indexed,
+        ingest_artifacts,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    index = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "totally different words here about nothing shared"),
+            (3, base + " extra"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base + " lambda"),
+            (101, "novel content unseen anywhere else at all"),
+            (102, "tiny doc"),  # < k words: novel by construction
+        ],
+        ["doc_id", "text"],
+    )
+    want = sorted(
+        tuple(r)
+        for r in incremental_neardup_verdicts(
+            index, batch, min_jaccard=0.5
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in incremental_neardup_verdicts_indexed(
+            ingest_artifacts(index), ingest_artifacts(batch), min_jaccard=0.5
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+
+
 def test_simhash_near_pairs_planted_and_lossless_contract(spark):
     from spark_etl_agent_spark.llm.dedup import simhash_near_pairs
 

@@ -460,6 +460,92 @@ def test_streaming_dedup_ingest_accepts_only_novel(spark, tmp_path):
     assert by_counts == [(2, 0, 0, 2), (3, 0, 2, 1), (3, 1, 1, 1)]
 
 
+def test_indexed_ingest_sink_matches_unindexed(spark, tmp_path):
+    """The indexed sink (stored content hash + MinHash signature, probe
+    against artifact columns, candidate-only re-shingling) accepts the
+    SAME documents and emits the SAME audit envelopes as the unindexed
+    sink on an identical batch sequence — including within-batch dups,
+    cross-batch exact/near dups, a short (< k words) doc, and an
+    id-replay with changed text. The accepted table carries the
+    artifacts so no consumer ever re-derives them."""
+    import os
+    import shutil
+
+    from spark_etl_agent_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_dedup_ingest_sink,
+        streaming_dedup_ingest_sink_indexed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different subject matter covering spark shuffles and joins"
+    batches = [
+        [(1, base), (2, other), (3, "tiny doc")],      # short doc accepted
+        [(4, base),                                    # exact dup of 1
+         (5, other + " tomorrow"),                     # near-dup of 2
+         (3, "replayed id with completely changed words"),  # id replay
+         (6, "fresh content with entirely new words"),
+         (7, "fresh content with entirely new words")],  # within-batch dup
+        [(8, "tiny doc")],                             # exact dup of short 3
+    ]
+
+    def stage(srcdir):
+        srcdir.mkdir()
+        for i, rows in enumerate(batches):
+            st = srcdir.parent / f"{srcdir.name}_stage{i}"
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode("overwrite").parquet(str(st))
+            dst = srcdir / f"f{i}.parquet"
+            shutil.copy(next(st.glob("*.parquet")), dst)
+            os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        return srcdir
+
+    def run(sink_factory, src, sink):
+        def index_provider():
+            if not sink.exists() or not any(sink.glob("*.parquet")):
+                return None
+            return spark.read.parquet(str(sink))
+
+        def novel_writer(df, batch_id):
+            df.coalesce(1).write.mode("append").parquet(str(sink))
+
+        audit: list = []
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_available_now(
+            stream,
+            output_mode="append",
+            foreach_batch=sink_factory(
+                index_provider, novel_writer, audit=audit, min_jaccard=0.6
+            ),
+        )
+        return sorted(audit), sorted(
+            r["doc_id"] for r in spark.read.parquet(str(sink)).collect()
+        )
+
+    audit_old, ids_old = run(
+        streaming_dedup_ingest_sink, stage(tmp_path / "src_a"),
+        tmp_path / "acc_a",
+    )
+    audit_new, ids_new = run(
+        streaming_dedup_ingest_sink_indexed, stage(tmp_path / "src_b"),
+        tmp_path / "acc_b",
+    )
+    assert audit_new == audit_old
+    assert ids_new == ids_old == [1, 2, 3, 6]
+    # the accepted table IS the index: artifacts stored with the corpus
+    idx = spark.read.parquet(str(tmp_path / "acc_b"))
+    assert {"content_hash", "n_shingles"}.issubset(set(idx.columns))
+    assert all(f"mh{i}" in idx.columns for i in range(8))
+    short = idx.filter("doc_id = 3").first()
+    assert short["n_shingles"] == 0 and short["mh0"] is None
+
+
 def test_ingest_sink_drops_replayed_id_and_spares_foreign_caches(
     spark, tmp_path
 ):
