@@ -224,11 +224,15 @@ DRIVER_WINDOW = (
     #    re-measured for the floor analysis — results unchanged for
     #    all five, re-checked anyway; corpus_release_e2e is NEW: the
     #    release job run end-to-end, audited from its published
-    #    artifacts), then ALL 34 remaining r04-era rows (the verdict's
-    #    #3 ask — after this round no name's latest green driver row
-    #    predates r05), then the 10 alphabetically-first r05-era
-    #    rows. --
+    #    artifacts; streaming_ingest_dedup_audit switched to the
+    #    INDEXED ingest sink — stored signatures probed instead of
+    #    re-minhashing the corpus, values proven identical but the
+    #    plan is new), then ALL 34 remaining r04-era rows (the
+    #    verdict's #3 ask — after this round no name's latest green
+    #    driver row predates r05), then the 9 alphabetically-first
+    #    r05-era rows. --
     "corpus_release_e2e",
+    "streaming_ingest_dedup_audit",
     "corpus_build_funnel",
     "gopher_repetition_rules",
     "supplier_pagerank",
@@ -279,7 +283,6 @@ DRIVER_WINDOW = (
     "corpus_cluster_quality",
     "corpus_datacard",
     "corpus_shuffle_order",
-    "decontaminate_corpus",
 )
 
 
