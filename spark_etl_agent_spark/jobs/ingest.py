@@ -1,0 +1,172 @@
+"""Job 8: ``corpus_ingest_etl`` — CONTINUOUS corpus ingest with dedup
+as a first-class orchestrated job: drain the files currently staged in
+the incoming table directory as micro-batches through the INDEXED
+ingest sink (``streaming.pipeline.streaming_dedup_ingest_sink_indexed``),
+appending only novel documents — plus their ingest-time dedup
+artifacts — to the accepted table, and return the reference-style
+result envelope (``services/jcap_pa_etl_service.py:40-107`` is the
+envelope model) with the aggregated per-batch audit counts.
+
+This is the job-surface twin of the ``streaming_ingest_dedup_audit``
+query: the same sink, but catalog-in / catalog-out with alerting. The
+accepted table IS the dedup index — each accepted document carries its
+content hash, MinHash signature, and shingle count
+(``llm.dedup.ingest_artifacts``), so no future batch ever re-tokenizes
+or re-minhashes the corpus; per micro-batch the index pays a pruned
+column scan plus candidate-only re-shingling.
+
+Scale posture: per batch, one index column scan + batch-sized work —
+independent of corpus size beyond the scan. The availableNow trigger
+makes the job a bounded drain (the Control-M/cron posture: each
+scheduled run ingests what has arrived since the last); pointing the
+same code at a live directory with a processing-time trigger is the
+24/7 posture, unchanged operators.
+
+Alerting: a batch whose drop ratio (non-novel fraction) exceeds
+``max_drop_ratio`` fires the variance alert — a sudden duplicate flood
+usually means an upstream replay or a crawler loop, the thing an
+ingest operator wants paged on.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog, TableNotFoundError
+from .alerts import Alerter, LogAlerter
+
+
+class CorpusIngestService:
+    def __init__(
+        self,
+        catalog: Catalog,
+        incoming_table: str = "corpus.incoming",
+        accepted_table: str = "corpus.accepted",
+        min_jaccard: float = 0.6,
+        max_drop_ratio: float = 0.5,
+        alerter: Optional[Alerter] = None,
+    ) -> None:
+        self.catalog = catalog
+        self.incoming_table = incoming_table
+        self.accepted_table = accepted_table
+        self.min_jaccard = min_jaccard
+        self.max_drop_ratio = max_drop_ratio
+        self.alerter = alerter or LogAlerter()
+
+    def _index_provider(self):
+        """The accepted table is the index; absent (or still empty —
+        ``write_table`` may have created the directory without commits
+        yet) means bootstrap."""
+        if not self.catalog.table_exists(self.accepted_table):
+            return None
+        try:
+            return self.catalog.read_table(self.accepted_table)
+        except Exception:  # dir exists but holds no readable parquet yet
+            return None
+
+    def run_corpus_ingest(
+        self, load_date: Optional[str] = None
+    ) -> Dict[str, Any]:
+        from ..streaming.pipeline import (
+            run_available_now,
+            streaming_dedup_ingest_sink_indexed,
+        )
+
+        start_time = datetime.now()
+        if not load_date:
+            load_date = datetime.now().strftime("%Y-%m-%d")
+        if not self.catalog.table_exists(self.incoming_table):
+            raise TableNotFoundError(self.incoming_table)
+
+        spark = self.catalog.spark
+        incoming_path = self.catalog.path(self.incoming_table)
+        schema = spark.read.parquet(incoming_path).schema
+        required = {"doc_id", "text"}
+        if not required.issubset({f.name for f in schema.fields}):
+            raise RuntimeError(
+                f"incoming table {self.incoming_table} must carry "
+                f"{sorted(required)}; has {[f.name for f in schema.fields]}"
+            )
+        # one staged file per micro-batch: the bounded-drain posture —
+        # each file is one upstream delivery, replayed in arrival order
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming_path)
+        )
+
+        def novel_writer(df, batch_id: int) -> None:
+            self.catalog.write_table(
+                df.withColumn("load_date", F.lit(load_date)),
+                self.accepted_table,
+                mode="append",
+            )
+
+        audit: list = []
+        # the streaming checkpoint makes repeated scheduled runs
+        # INCREMENTAL: each run drains only files that arrived since
+        # the last. Crash-safety note: a batch replayed after a crash
+        # between the append and the checkpoint commit is re-probed
+        # against an index that already holds its docs — the id/hash
+        # anti-joins drop every one, so the accepted table cannot
+        # accumulate duplicates (the index makes the append
+        # effectively idempotent).
+        run_available_now(
+            stream,
+            output_mode="append",
+            foreach_batch=streaming_dedup_ingest_sink_indexed(
+                self._index_provider,
+                novel_writer,
+                audit=audit,
+                min_jaccard=self.min_jaccard,
+            ),
+            checkpoint_dir=self.catalog.path(
+                "_checkpoints.corpus_ingest_etl"
+            ),
+        )
+
+        n_in = sum(a[1] for a in audit)
+        n_exact_dups = sum(a[2] for a in audit)
+        n_dropped_vs_index = sum(a[3] for a in audit)
+        n_novel = sum(a[4] for a in audit)
+        alerted_batches = []
+        for batch_id, b_in, b_exact, b_index, b_novel in audit:
+            if b_in > 0 and (b_in - b_novel) / b_in > self.max_drop_ratio:
+                self.alerter.send_variance_alert(
+                    job_name=f"corpus_ingest_etl[batch {batch_id}]",
+                    variance_percentage=round(
+                        100.0 * (b_in - b_novel) / b_in, 2
+                    ),
+                    previous_count=b_in,
+                    current_count=b_novel,
+                )
+                alerted_batches.append(batch_id)
+
+        end_time = datetime.now()
+        duration = (end_time - start_time).total_seconds()
+        self.alerter.send_completion_notification(
+            job_name="corpus_ingest_etl",
+            status="Success",
+            rows_processed=n_novel,
+            duration=duration,
+        )
+        return {
+            "status": "Success",
+            "rows_processed": n_novel,
+            "start_time": start_time,
+            "end_time": end_time,
+            "duration_seconds": duration,
+            "source_table": self.incoming_table,
+            "destination_table": self.accepted_table,
+            "load_date": load_date,
+            "n_batches": len(audit),
+            "n_input": n_in,
+            "n_exact_dups_in_batch": n_exact_dups,
+            "n_dropped_vs_index": n_dropped_vs_index,
+            "n_novel": n_novel,
+            "min_jaccard": self.min_jaccard,
+            "drop_alert_batches": alerted_batches,
+        }

@@ -13,6 +13,7 @@ from ..sources.catalog import Catalog
 from .alerts import Alerter
 from .corpus import CorpusDedupService
 from .etl import EtlService
+from .ingest import CorpusIngestService
 from .jcap import JcapPaEtlService
 from .monitor import QualityMonitorService
 from .release import CorpusReleaseService
@@ -37,6 +38,16 @@ JOB_TYPE_INFO: Dict[str, Dict[str, Any]] = {
         "description": (
             "Corpus dedup ETL - quality gate, exact + MinHash near-dup "
             "dedup, cluster survivors"
+        ),
+        "parameters": ["load_date"],
+        "environment": "Corpus",
+    },
+    "corpus_ingest_etl": {
+        "method": "run_corpus_ingest",
+        "description": (
+            "Corpus ingest ETL - drain staged document batches through "
+            "the indexed dedup sink; novel docs + dedup artifacts "
+            "append to the accepted table, drop-flood alerts"
         ),
         "parameters": ["load_date"],
         "environment": "Corpus",
@@ -113,6 +124,9 @@ class JobService:
             catalog, stage_path=stage_path, alerter=alerter
         )
         self.corpus_dedup_service = CorpusDedupService(catalog)
+        self.corpus_ingest_service = CorpusIngestService(
+            catalog, alerter=alerter
+        )
         self.corpus_prep_service = CorpusPrepService(catalog)
         self.incremental_sync_service = IncrementalSyncService(catalog)
         self.quality_monitor_service = QualityMonitorService(
@@ -124,6 +138,7 @@ class JobService:
         services = {
             "control_m_poc_etl": self.etl_service,
             "corpus_dedup_etl": self.corpus_dedup_service,
+            "corpus_ingest_etl": self.corpus_ingest_service,
             "corpus_prep_etl": self.corpus_prep_service,
             "incremental_sync_etl": self.incremental_sync_service,
             "corpus_release_etl": self.corpus_release_service,

@@ -226,16 +226,25 @@ def run_available_now(
     output_mode: str = "complete",
     foreach_batch: Optional[Callable] = None,
     timeout_s: int = 120,
+    checkpoint_dir: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Run a streaming frame over all currently-available input and stop
     (``Trigger.AvailableNow`` — the batch-equivalent execution used by
     tests and backfills). Returns the result as a batch DataFrame when
-    sinking to memory, else None."""
+    sinking to memory, else None.
+
+    ``checkpoint_dir`` (foreachBatch runs) persists source progress
+    across INVOCATIONS: a later call with the same checkpoint drains
+    only input that arrived since the previous run — the scheduled
+    incremental-ingest posture — instead of replaying the whole
+    directory. Without it every call processes all available input."""
     spark = df.sparkSession
     if foreach_batch is not None:
+        writer = df.writeStream.outputMode(output_mode)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
         q = (
-            df.writeStream.outputMode(output_mode)
-            .foreachBatch(foreach_batch)
+            writer.foreachBatch(foreach_batch)
             .trigger(availableNow=True)
             .start()
         )

@@ -928,3 +928,89 @@ def test_corpus_release_etl_end_to_end(spark, sf_dir, tmp_path):
     env3 = svc.run_corpus_release(load_date="2024-02-03")
     assert env3["status"] == "Failed"
     assert vt.current_version() == 1  # nothing new was published
+
+
+# -- corpus ingest job (job 8): continuous indexed-dedup ingest ------------------
+
+def _stage_delivery(spark, rows, incoming_dir, i):
+    """One upstream delivery = one single-file parquet with ascending
+    mtime, so maxFilesPerTrigger=1 drains deliveries in arrival order."""
+    import os
+    import shutil
+
+    stage = incoming_dir.parent.parent.parent / f"ingest_stage{i}"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(stage))
+    dst = incoming_dir / f"d{i}.parquet"
+    shutil.copy(next(stage.glob("*.parquet")), dst)
+    os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+
+def test_corpus_ingest_job_end_to_end(spark, tmp_path):
+    """Job 8 drains staged deliveries through the indexed dedup sink:
+    novel docs + their artifacts append to the accepted table, a
+    duplicate-flood batch fires the drop alert, and a SECOND run with
+    the streaming checkpoint processes ONLY newly-arrived files while
+    the stored index dedups a re-delivered doc."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different subject matter covering spark shuffles and joins"
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    incoming = tmp_path / "wh" / "corpus" / "incoming"
+    incoming.mkdir(parents=True)
+    _stage_delivery(spark, [(1, base), (2, other)], incoming, 0)
+    _stage_delivery(
+        spark,
+        [(3, base),                    # exact dup of accepted 1
+         (4, other + " tomorrow"),     # near-dup of accepted 2
+         (5, "yet another unrelated document about parquet footers")],
+        incoming, 1,
+    )
+    alerter = LogAlerter()
+    svc = JobService(cat, stage_path=str(tmp_path / "stage"), alerter=alerter)
+
+    env = run_single_job(
+        svc, {"type": "corpus_ingest_etl", "id": "i1",
+              "load_date": "2026-08-15"},
+    )
+    assert env["status"] == "Success", env.get("error")
+    assert ENVELOPE_KEYS <= set(env)
+    assert env["n_batches"] == 2 and env["n_input"] == 5
+    assert env["n_novel"] == 3 and env["rows_processed"] == 3
+    acc = cat.read_table("corpus.accepted")
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 2, 5]
+    # the accepted table IS the index: artifacts + load_date stored
+    assert {"content_hash", "n_shingles", "mh0", "load_date"} <= set(
+        acc.columns
+    )
+    # delivery 1 dropped 2 of 3 (> max_drop_ratio 0.5) -> flood alert
+    assert env["drop_alert_batches"] == [1]
+    assert any(r["kind"] == "variance_alert" for r in alerter.sent)
+    assert any(r["kind"] == "completion" for r in alerter.sent)
+
+    # second scheduled run: only the new delivery is processed (the
+    # checkpoint skips d0/d1); the re-delivered doc 1 is dropped by the
+    # stored-hash probe, doc 6 is accepted
+    _stage_delivery(
+        spark,
+        [(6, "fresh content with entirely new words"), (1, base)],
+        incoming, 2,
+    )
+    env2 = run_single_job(
+        svc, {"type": "corpus_ingest_etl", "id": "i2",
+              "load_date": "2026-08-16"},
+    )
+    assert env2["status"] == "Success", env2.get("error")
+    assert env2["n_batches"] == 1 and env2["n_input"] == 2
+    assert env2["n_novel"] == 1 and env2["drop_alert_batches"] == []
+    rows = cat.read_table("corpus.accepted").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 5, 6]
+    by_id = {r["doc_id"]: r["load_date"] for r in rows}
+    assert by_id[6] == "2026-08-16" and by_id[1] == "2026-08-15"
+
+
+def test_corpus_ingest_registered_and_listed(job_service):
+    listing = job_service.list_supported_job_types()
+    assert "corpus_ingest_etl" in listing
+    assert "Corpus" in listing["corpus_ingest_etl"]
