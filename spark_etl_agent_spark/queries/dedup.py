@@ -318,6 +318,34 @@ WHERE d.doc_id % 10 = 0
 """
 
 
+def indexed_ingest_probe(spark, sf_dir):
+    """The ``incremental_neardup_probe`` verdicts computed the INDEXED
+    way (``llm/dedup.py::ingest_artifacts`` +
+    ``incremental_neardup_verdicts_indexed``): the corpus index's dedup
+    artifacts (content hash, MinHash signature, shingle count) are
+    computed once and STORED as a parquet artifact table — the
+    ingest-time posture of ``streaming_dedup_ingest_sink_indexed`` and
+    the ``corpus_ingest_etl`` job — then the batch probes the STORED
+    columns: band keys from the stored signatures (a 9-column pruned
+    scan, never a corpus re-minhash), exact-Jaccard verify re-shingling
+    only the band-collided candidates. Verdict values equal the
+    text-derived probe bit-for-bit (distinct-set min == multiset min),
+    so the same oracle pins the indexed path end-to-end through a real
+    parquet round-trip of the artifact table."""
+    import tempfile
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="spark_graft_ingest_index_")
+    D.ingest_artifacts(docs.filter(F.col("doc_id") % 10 != 0)).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/index")
+    index_art = spark.read.parquet(f"{work}/index")
+    batch_art = D.ingest_artifacts(docs.filter(F.col("doc_id") % 10 == 0))
+    return D.incremental_neardup_verdicts_indexed(
+        index_art, batch_art, min_jaccard=0.6
+    )
+
+
 def bloom_ingest_dedup(spark, sf_dir):
     """Bloom-gated ingest dedup: which arriving-batch documents are new
     vs the standing corpus index, where the index side is only ever
@@ -689,6 +717,12 @@ QUERIES = {
         INCREMENTAL_NEARDUP_PROBE_SQL,
         "Ingest-time LSH probe of a new batch against the corpus index",
         ("dedup", "llm", "join"),
+    ),
+    "indexed_ingest_probe": QuerySpec(
+        "indexed_ingest_probe", indexed_ingest_probe,
+        INCREMENTAL_NEARDUP_PROBE_SQL,
+        "Same verdicts via STORED index artifacts (hash+signature columns)",
+        ("dedup", "llm", "join", "streaming"),
     ),
     "bloom_ingest_dedup": QuerySpec(
         "bloom_ingest_dedup", bloom_ingest_dedup, BLOOM_INGEST_DEDUP_SQL,
