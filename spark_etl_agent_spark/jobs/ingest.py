@@ -123,8 +123,13 @@ class CorpusIngestService:
                 audit=audit,
                 min_jaccard=self.min_jaccard,
             ),
+            # keyed by the incoming table: two services configured over
+            # different staging directories must not share stream
+            # progress (a shared checkpoint would silently skip one
+            # side's files)
             checkpoint_dir=self.catalog.path(
-                "_checkpoints.corpus_ingest_etl"
+                "_checkpoints.corpus_ingest_etl__"
+                + self.incoming_table.replace(".", "_")
             ),
         )
 
