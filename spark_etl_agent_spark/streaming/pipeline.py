@@ -416,10 +416,24 @@ def streaming_dedup_ingest_sink_indexed(
             _ingest_batch(batch_df, batch_id)
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # A micro-batch often arrives as ONE file (maxFilesPerTrigger=1
+        # staging, a single upstream delivery) → one input partition —
+        # and the artifact derivation below (tokenize + 8 MD5s per
+        # shingle) is the sink's dominant map-side compute, so without
+        # a fan-out it runs on a single core regardless of cluster
+        # size (measured at 10x sf0.1: the whole audit run serialized
+        # behind this stage). Repartition the RAW batch first: one
+        # batch-sized exchange of text rows — strictly smaller than the
+        # exploded shingle rows the artifact groupBy would shuffle
+        # anyway — buys a fully parallel explode/hash stage.
+        spark = batch_df.sparkSession
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # artifacts computed ONCE per batch; the eager checkpoint both
         # enforces stream-source-read-once and materializes the
         # artifact columns for the several consumers below
-        art = ingest_artifacts(batch_df).localCheckpoint()
+        art = ingest_artifacts(
+            batch_df.repartition(npart)
+        ).localCheckpoint()
         # n_in and the within-batch exact-dedup survivor count in ONE
         # aggregation job (keeper keeps the first id per content hash,
         # so count(keeper) == countDistinct(content_hash))
