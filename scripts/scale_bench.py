@@ -187,10 +187,14 @@ def duck_one(name: str) -> None:
         timer.cancel()
 
 
-def run_duck(names) -> dict:
+def run_duck(names) -> "tuple[dict, dict]":
+    """Returns (walls, causes): ``walls[name]`` is the oracle wall or
+    None; for None rows ``causes[name]`` records WHY (timeout vs engine
+    error vs crash) so the artifact never mislabels an OOM as a
+    timeout."""
     import subprocess
 
-    out = {}
+    out, causes = {}, {}
     for name in names:
         env = dict(os.environ, SPARK_GRAFT_SCALE_DUCK_ONE=name)
         try:
@@ -201,6 +205,7 @@ def run_duck(names) -> dict:
             )
         except subprocess.TimeoutExpired:
             out[name] = None
+            causes[name] = f"oracle_killed>{ORACLE_TIMEOUT_S}s"
             print(f"  duck  {name}: KILLED >{ORACLE_TIMEOUT_S}s", flush=True)
             continue
         token = None
@@ -209,19 +214,22 @@ def run_duck(names) -> dict:
                 token = line.split(" ", 2)[1]
         if token is None:  # crashed before reporting (e.g. hard OOM)
             out[name] = None
+            causes[name] = f"oracle_crashed rc={proc.returncode}"
             print(f"  duck  {name}: CRASHED (rc={proc.returncode})",
                   flush=True)
         elif token in ("timeout",):
             out[name] = None
+            causes[name] = f"oracle_timeout>{ORACLE_TIMEOUT_S}s"
             print(f"  duck  {name}: TIMEOUT >{ORACLE_TIMEOUT_S}s", flush=True)
         elif token == "error":
             out[name] = None
+            causes[name] = "oracle_engine_error"
             print(f"  duck  {name}: FAILED (engine error — see child)",
                   flush=True)
         else:
             out[name] = float(token)
             print(f"  duck  {name}: {out[name]:.1f}s", flush=True)
-    return out
+    return out, causes
 
 
 def main() -> None:
@@ -275,7 +283,7 @@ def main() -> None:
     spark_wall = round(time.perf_counter() - t0, 3)
     print("duckdb pass:", flush=True)
     t0 = time.perf_counter()
-    du = run_duck(names)
+    du, causes = run_duck(names)
     duck_wall = round(time.perf_counter() - t0, 3)
 
     queries = {}
@@ -283,8 +291,14 @@ def main() -> None:
         d = du[n]
         entry = {"spark_s": sp[n], "spark_cold_s": sp_cold[n], "duck_s": d}
         if d is None:
-            entry["note"] = f"oracle_timeout>{ORACLE_TIMEOUT_S}s"
-            entry["ratio_upper_bound"] = round(sp[n] / ORACLE_TIMEOUT_S, 3)
+            entry["note"] = causes[n]
+            # an upper bound on the ratio is only sound for timeouts
+            # (the oracle provably ran >= the timeout); an engine
+            # error/crash says nothing about the oracle's wall
+            if "timeout" in causes[n] or "killed" in causes[n]:
+                entry["ratio_upper_bound"] = round(
+                    sp[n] / ORACLE_TIMEOUT_S, 3
+                )
         else:
             entry["ratio"] = round(sp[n] / d, 3) if d > 0 else None
         queries[n] = entry
