@@ -167,6 +167,60 @@ def cell_profile(assignment: DataFrame) -> DataFrame:
     )
 
 
+def append_assign(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index APPEND: train cells on the STANDING index, then assign
+    an arriving batch of vectors to the frozen final centroids without
+    retraining — the incremental index-maintenance posture (retraining
+    on every append touches the whole corpus; frozen-codebook
+    assignment touches only the batch — the vector twin of the
+    document ingest index). Returns the per-cell growth audit
+    ``(cell, n_before, n_appended, appended_checksum, min_appended)``
+    an embedding store alerts on: one cell absorbing most of an append
+    usually means drift or a degenerate codebook.
+
+    Scale shape: the trainer's bounded rounds over the index, then ONE
+    codegen'd literal-codebook projection over the batch (no shuffle,
+    no ×k fan-out) and two k-row aggregates. Determinism: identical
+    integer-grid math and tie-breaks as :func:`train_cells`, so the
+    DuckDB oracle replays the rounds and the frozen assignment
+    exactly."""
+    assigned = train_cells(index_df, k, iters, vec_col, id_col, full=True)
+    cents = _recompute(assigned)
+    base_new = batch_df.select(
+        F.col(id_col).alias("vec_id"), scaled(F.col(vec_col)).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+    if k <= MAX_LITERAL_CELLS:
+        newly = _assign_literal(base_new, cents.collect())
+    else:
+        newly = _assign(base_new, cents)
+    before = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    app = newly.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_appended"),
+        F.sum("vec_id").cast("long").alias("appended_checksum"),
+        F.min("vec_id").alias("min_appended"),
+    )
+    return before.join(app, "cell", "left").select(
+        "cell",
+        "n_before",
+        F.coalesce(F.col("n_appended"), F.lit(0)).cast("long").alias(
+            "n_appended"
+        ),
+        F.coalesce(F.col("appended_checksum"), F.lit(0)).cast("long").alias(
+            "appended_checksum"
+        ),
+        "min_appended",
+    )
+
+
 def outlier_report(
     df: DataFrame,
     k: int = 4,

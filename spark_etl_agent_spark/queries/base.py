@@ -229,12 +229,13 @@ DRIVER_WINDOW = (
     #    re-minhashing the corpus, values proven identical but the
     #    plan is new), then ALL 34 remaining r04-era rows (the
     #    verdict's #3 ask — after this round no name's latest green
-    #    driver row predates r05), then the 8 alphabetically-first
-    #    r05-era rows. indexed_ingest_probe is NEW this round (the
-    #    stored-artifact probe path through a real parquet round-trip,
-    #    oracled by the same SQL as the text-derived probe). --
+    #    driver row predates r05), then the 7 alphabetically-first
+    #    r05-era rows. indexed_ingest_probe and ivf_append_assign are
+    #    NEW this round (the stored-artifact document probe and the
+    #    frozen-codebook vector-index append). --
     "corpus_release_e2e",
     "indexed_ingest_probe",
+    "ivf_append_assign",
     "streaming_ingest_dedup_audit",
     "corpus_build_funnel",
     "gopher_repetition_rules",
@@ -284,7 +285,6 @@ DRIVER_WINDOW = (
     "bpe_train_merges",
     "chunk_documents",
     "corpus_cluster_quality",
-    "corpus_datacard",
 )
 
 

@@ -244,6 +244,63 @@ FROM assign1 GROUP BY cell
 """
 
 
+def ivf_append_assign(spark, sf_dir):
+    """IVF index append (`llm/kmeans.py::append_assign`): cells trained
+    on the standing index (vec_id % 10 != 0), the arriving tenth
+    assigned to the FROZEN final centroids without retraining — the
+    incremental vector-index maintenance audit. The oracle replays the
+    identical trainer rounds on the index slice, then the frozen
+    argmax assignment of the batch."""
+    from ..llm import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans.append_assign(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        k=4,
+        iters=2,
+    )
+
+
+IVF_APPEND_ASSIGN_SQL = f"""
+WITH allb AS (
+  SELECT vec_id, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, {{_SVEC}} AS svec FROM embeddings)
+),
+base AS (SELECT * FROM allb WHERE vec_id % 10 <> 0),
+cent0 AS (
+  SELECT vec_id AS cell, svec AS cvec, norm_sq AS cnorm
+  FROM base ORDER BY vec_id LIMIT 4
+),
+{{round0}},
+{{round1}},
+newv AS (SELECT * FROM allb WHERE vec_id % 10 = 0),
+nass AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cell,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        list_dot_product(n.svec, c.cvec) / (sqrt(n.norm_sq) * sqrt(c.cnorm))
+          DESC, c.cell) AS r
+    FROM newv n, cent2 c
+  ) WHERE r = 1
+),
+before AS (SELECT cell, count(*) AS n_before FROM assign1 GROUP BY cell),
+app AS (
+  SELECT cell, count(*) AS n_appended,
+    CAST(sum(vec_id) AS BIGINT) AS appended_checksum,
+    min(vec_id) AS min_appended
+  FROM nass GROUP BY cell
+)
+SELECT b.cell, CAST(b.n_before AS BIGINT) AS n_before,
+  CAST(coalesce(a.n_appended, 0) AS BIGINT) AS n_appended,
+  CAST(coalesce(a.appended_checksum, 0) AS BIGINT) AS appended_checksum,
+  a.min_appended
+FROM before b LEFT JOIN app a USING (cell)
+""".format(
+    _SVEC=_SVEC, round0=_kmeans_round_sql(0), round1=_kmeans_round_sql(1)
+)
+
+
 def embedding_outlier_report(spark, sf_dir):
     """Distance-to-centroid outliers: per trained k-means cell, the 3
     members farthest from their own final centroid (lowest cosine, id
@@ -549,6 +606,11 @@ QUERIES = {
         "ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL,
         "IVF two-level ANN: centroid codebook, nprobe=2 cell search",
         ("similarity", "llm"),
+    ),
+    "ivf_append_assign": QuerySpec(
+        "ivf_append_assign", ivf_append_assign, IVF_APPEND_ASSIGN_SQL,
+        "IVF append: batch assigned to frozen trained cells, growth audit",
+        ("similarity", "kmeans", "llm"),
     ),
     "kmeans_cell_profile": QuerySpec(
         "kmeans_cell_profile", kmeans_cell_profile, KMEANS_CELL_PROFILE_SQL,

@@ -56,15 +56,16 @@ def test_driver_window_is_first_50_registry_entries():
     assert len(DRIVER_WINDOW) == 50
     # round-8 rotation contract: plan/oracle-changed queries lead, then
     # ALL 34 remaining r04-era rows (draining the staleness tail — the
-    # r07 verdict's #3 ask), then the 8 alphabetically-first r05-era rows
+    # r07 verdict's #3 ask), then the 7 alphabetically-first r05-era rows
     assert DRIVER_WINDOW[0] == "corpus_release_e2e"   # new: job e2e
     assert DRIVER_WINDOW[1] == "indexed_ingest_probe"  # new: stored artifacts
-    assert DRIVER_WINDOW[2] == "streaming_ingest_dedup_audit"  # indexed sink
-    assert DRIVER_WINDOW[3] == "corpus_build_funnel"   # shared shingles
-    assert DRIVER_WINDOW[4] == "gopher_repetition_rules"  # one-agg fold
-    assert DRIVER_WINDOW[5] == "supplier_pagerank"     # symmetric path
-    assert DRIVER_WINDOW[6] == "mg_heavy_hitter_tokens"  # oracle cast
-    assert DRIVER_WINDOW[7] == "streaming_running_totals"  # floor recheck
+    assert DRIVER_WINDOW[2] == "ivf_append_assign"     # new: frozen-codebook
+    assert DRIVER_WINDOW[3] == "streaming_ingest_dedup_audit"  # indexed sink
+    assert DRIVER_WINDOW[4] == "corpus_build_funnel"   # shared shingles
+    assert DRIVER_WINDOW[5] == "gopher_repetition_rules"  # one-agg fold
+    assert DRIVER_WINDOW[6] == "supplier_pagerank"     # symmetric path
+    assert DRIVER_WINDOW[7] == "mg_heavy_hitter_tokens"  # oracle cast
+    assert DRIVER_WINDOW[8] == "streaming_running_totals"  # floor recheck
     for r04 in (
         "filtered_aggregates", "grouping_sets_revenue",
         "idle_rich_customers", "large_volume_orders",
