@@ -92,17 +92,36 @@ def scrub_documents(
     return df.select(*others, scrubbed.alias(text_col), *counts)
 
 
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable bucket id: first 8 hex chars of ``md5`` → uint32
+    → ``% n_buckets``. Spark's default ``hash`` (Murmur3-32, seed 42)
+    is JVM-private; this bucketing is reproducible bit-for-bit by any
+    engine with md5 — the property the DuckDB oracle needs, and the
+    property that keeps a stored feature table valid across engine
+    versions at 100 TB (a Murmur seed change would silently re-map
+    every bucket)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
 def hashed_features(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_features: int = 1024,
+    bucket_of=None,
 ) -> DataFrame:
     """Feature hashing (the 'hashing trick'): token → ``hash(token) mod
     D`` bucket, value = count — the fixed-width sparse representation
     for linear classifiers/dedup signals with NO vocabulary to build,
     broadcast, or keep consistent across batches (the property that
     matters at 100 TB: the featurizer is stateless).
+
+    ``bucket_of`` (token Column → bucket Column) overrides the default
+    Murmur3 bucketing; pass ``lambda t: md5_bucket(t, D)`` for an
+    engine-portable layout.
 
     Output: (id, features map<int,int>) built by one explode + one
     groupBy(id, bucket) + one map-assembling groupBy(id) — two bounded
@@ -112,9 +131,12 @@ def hashed_features(
     toks = df.select(
         F.col(id_col), F.explode(words_of(F.col(text_col))).alias("tok")
     )
-    buckets = toks.select(
-        id_col, F.pmod(F.hash("tok"), F.lit(n_features)).alias("bucket")
+    bucket = (
+        F.pmod(F.hash("tok"), F.lit(n_features))
+        if bucket_of is None
+        else bucket_of(F.col("tok"))
     )
+    buckets = toks.select(id_col, bucket.alias("bucket"))
     per_bucket = buckets.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )

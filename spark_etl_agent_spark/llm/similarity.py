@@ -602,3 +602,88 @@ def hard_negatives_topk(
             "cosine_sim",
         )
     )
+
+
+def knn_label_eval(
+    df: DataFrame,
+    n_probes: int = 100,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classifier evaluation — the label-quality probe a curated
+    embedding table ships with: a FIXED-SIZE probe panel
+    (``id < n_probes``, held OUT of the train side) is classified by
+    the majority label of its k nearest train vectors (exact
+    scaled-integer cosine); output is per-true-label accuracy.
+
+    Scale shape: the panel is bounded by construction (~n_probes · dim
+    · 8 bytes broadcast, independent of index size), so the join is one
+    broadcast × one linear index scan — embarrassingly parallel, no
+    pair matrix ever shuffled; only the panel-keyed top-k rows move.
+    Ties are total-ordered everywhere (cosine desc → neighbor_id asc;
+    vote count desc → smaller label), so the result is deterministic
+    and oracle-reproducible.
+    """
+    base = df.select(
+        F.col(id_col), F.col(label_col), scaled(F.col(vec_col)).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+    probes = F.broadcast(
+        base.filter(F.col(id_col) < n_probes).select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("true_label"),
+            F.col("svec").alias("q_svec"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    train = base.filter(F.col(id_col) >= n_probes).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("svec").alias("c_svec"),
+        F.col("norm_sq").alias("c_norm"),
+    )
+    pairs = probes.crossJoin(train).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(
+            dot(F.col("q_svec"), F.col("c_svec")),
+            F.col("q_norm"),
+            F.col("c_norm"),
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    top = pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    votes = top.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    pick = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        pick.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                (F.col("neighbor_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_probes",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_probes")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )

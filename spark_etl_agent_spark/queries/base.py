@@ -160,6 +160,7 @@ def _collect_modules():
         centrality,
         dedup,
         events,
+        hygiene,
         jcap,
         lifecycle,
         multimodal,
@@ -203,6 +204,7 @@ def _collect_modules():
         tpch_final,
         pretrain,
         centrality,
+        hygiene,
     )
 
 
@@ -229,10 +231,20 @@ DRIVER_WINDOW = (
     #    re-minhashing the corpus, values proven identical but the
     #    plan is new), then ALL 34 remaining r04-era rows (the
     #    verdict's #3 ask — after this round no name's latest green
-    #    driver row predates r05), then the 7 alphabetically-first
+    #    driver row predates r05), then the 4 alphabetically-first
     #    r05-era rows. indexed_ingest_probe and ivf_append_assign are
     #    NEW this round (the stored-artifact document probe and the
-    #    frozen-codebook vector-index append). --
+    #    frozen-codebook vector-index append). Late round-8 additions
+    #    pii_scrub_report / feature_hash_buckets / union_by_name_migration
+    #    (the hygiene module) / knn_label_eval / cdc_apply_orders are
+    #    NEW and lead; five r05-era names (bloom_ingest_dedup,
+    #    bpe_encode_corpus, bpe_train_merges, chunk_documents,
+    #    corpus_cluster_quality) rotated out to keep the window at 50. --
+    "pii_scrub_report",
+    "feature_hash_buckets",
+    "union_by_name_migration",
+    "knn_label_eval",
+    "cdc_apply_orders",
     "corpus_release_e2e",
     "indexed_ingest_probe",
     "ivf_append_assign",
@@ -277,14 +289,9 @@ DRIVER_WINDOW = (
     "unpivot_quarterly",
     "weighted_sample_docs",
     "window_value_functions",
-    # next-stalest: last green driver row round 5 (10 of 48) --
+    # next-stalest: last green driver row round 5 (2 of 48) --
     "ann_ivf_topk",
     "approx_distinct_parts",
-    "bloom_ingest_dedup",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "chunk_documents",
-    "corpus_cluster_quality",
 )
 
 

@@ -1,0 +1,345 @@
+"""Corpus-hygiene consumers: PII scrubbing audit, portable feature
+hashing, and schema-evolution union (north-star extensions — the
+reference has no text hygiene at all; its only string op is UPPER,
+``/root/reference`` SURVEY.md §2.8).
+
+The ``documents`` testdata is digit-free word soup, so the PII query
+deterministically injects typed PII spans derived from ``doc_id``
+arithmetic BEFORE scrubbing, and the oracle replays the identical
+injection — the hash match therefore pins the scrubber's actual
+replacement behavior (match spans, placeholder text, chained rule
+order), not a vacuous zero-redaction pass. Injected shapes are chosen
+so no natural text ambiguity exists (base text has zero digits,
+verified at import by nothing — guarded instead by the parity suite's
+non-vacuous-result assertion plus ``tests/test_hygiene.py``'s
+all-rules-fire check).
+
+Regex-dialect note: every PII pattern uses only syntax with identical
+semantics in Java regex (Spark) and RE2 (DuckDB) — character classes,
+bounded repetition, ``\\b``, non-capturing groups. The injected spans
+are unambiguous (single viable parse), so Java's leftmost-first and
+RE2's leftmost-longest agree on every match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..llm.scrub import PII_RULES, hashed_features, md5_bucket, scrub_documents
+from .base import QuerySpec, fan_out, load
+
+# ---------------------------------------------------------------------------
+# pii_scrub_report
+# ---------------------------------------------------------------------------
+
+# Deterministic PII injection, keyed on doc_id arithmetic. Mirrored
+# EXACTLY by _PII_ENRICH_SQL below — any edit must change both.
+
+
+def _pii_enriched(doc_id, text):
+    sid = doc_id.cast("string")
+    four = F.lpad((doc_id % 10000).cast("string"), 4, "0")
+
+    def when_mod(m, col):
+        return F.when(doc_id % m == 0, col).otherwise(F.lit(""))
+
+    return F.concat(
+        text,
+        when_mod(
+            3, F.concat(F.lit(" contact user"), sid, F.lit("@example.com now"))
+        ),
+        when_mod(5, F.concat(F.lit(" ssn 123-45-"), four, F.lit(" ok"))),
+        when_mod(13, F.lit(" pay 4111 1111 1111 1111 done")),
+        when_mod(11, F.concat(F.lit(" call (555) 123-"), four, F.lit(" soon"))),
+        when_mod(
+            7,
+            F.concat(
+                F.lit(" host 10."),
+                (doc_id % 90).cast("string"),
+                F.lit("."),
+                (doc_id % 80).cast("string"),
+                F.lit("."),
+                (doc_id % 70).cast("string"),
+                F.lit(" up"),
+            ),
+        ),
+    )
+
+
+_PII_ENRICH_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||"
+    " CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN"
+    " ' pay 4111 1111 1111 1111 done' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call (555) 123-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' ||"
+    " CAST(doc_id % 90 AS VARCHAR) || '.' || CAST(doc_id % 80 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 70 AS VARCHAR) || ' up' ELSE '' END"
+)
+
+
+def pii_scrub_report(spark, sf_dir):
+    """PII redaction audit over the (deterministically enriched) corpus:
+    per-language counts of each redaction type, docs touched, and the
+    net character delta of the rewrite. One enrichment+scrub projection
+    (chained ``regexp_replace``, whole-stage codegen, zero Python) and
+    one small groupBy — scan-bandwidth-bound at 100 TB.
+
+    The per-rule counts come from ``llm/scrub.py::scrub_documents``'s
+    audit columns, which count each rule against the text AS THAT RULE
+    SEES IT (after earlier rules' replacements) — the chars_delta column
+    cross-checks that both engines rewrote identical spans, not merely
+    counted the same."""
+    docs = load(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        _pii_enriched(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    scrubbed = scrub_documents(enriched, keep_original=True)
+    any_hit = (
+        F.col("n_email")
+        + F.col("n_ssn")
+        + F.col("n_credit_card")
+        + F.col("n_phone")
+        + F.col("n_ipv4")
+        > 0
+    ).cast("long")
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(any_hit).alias("docs_redacted"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_ssn").alias("ssns"),
+            F.sum("n_credit_card").alias("cards"),
+            F.sum("n_phone").alias("phones"),
+            F.sum("n_ipv4").alias("ips"),
+            F.sum(
+                (F.length("text_raw") - F.length("text")).cast("long")
+            ).alias("chars_delta"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Chained-CTE oracle: one CTE per PII rule, each counting matches
+    and rewriting the text the NEXT rule sees — the exact semantics of
+    the Spark scrubber's chained audit."""
+    parts = [
+        "WITH s0 AS (\n"
+        "  SELECT doc_id, lang, " + _PII_ENRICH_SQL + " AS t0\n"
+        "  FROM documents\n)"
+    ]
+    prev = "t0"
+    for i, (name, pattern, repl) in enumerate(PII_RULES, start=1):
+        parts.append(
+            f", s{i} AS (\n"
+            f"  SELECT *,\n"
+            f"    len(regexp_extract_all({prev}, '{pattern}')) AS n_{name},\n"
+            f"    regexp_replace({prev}, '{pattern}', '{repl}', 'g') AS t{i}\n"
+            f"  FROM s{i - 1}\n)"
+        )
+        prev = f"t{i}"
+    parts.append(
+        f"""
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_email + n_ssn + n_credit_card + n_phone + n_ipv4
+                     > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+  CAST(SUM(n_email) AS BIGINT) AS emails,
+  CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+  CAST(SUM(n_credit_card) AS BIGINT) AS cards,
+  CAST(SUM(n_phone) AS BIGINT) AS phones,
+  CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+  CAST(SUM(length(t0) - length({prev})) AS BIGINT) AS chars_delta
+FROM s{len(PII_RULES)}
+GROUP BY lang
+ORDER BY lang
+"""
+    )
+    return "".join(parts)
+
+
+PII_SCRUB_REPORT_SQL = _pii_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_buckets
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 256
+
+
+def feature_hash_buckets(spark, sf_dir):
+    """Stateless feature hashing over the corpus with the PORTABLE md5
+    bucketer, then a per-language bucket-load profile: how full is the
+    fixed-width feature space, and how hot is its heaviest bucket.
+
+    Consumes ``llm/scrub.py::hashed_features`` end-to-end (the
+    map<bucket,count> representation is built, then exploded back for
+    the audit) — the hash-match against the oracle pins the full
+    tokenize → bucket → per-doc map pipeline, not just the counts.
+    Shape: explode + two uniform groupBys + one id-keyed join to
+    recover lang + one 5-row final agg. No vocabulary state anywhere —
+    the property that matters for a 100 TB featurizer."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    hf = hashed_features(
+        docs,
+        n_features=_FH_BUCKETS,
+        bucket_of=lambda t: md5_bucket(t, _FH_BUCKETS),
+    )
+    exploded = hf.select(
+        "doc_id", F.explode("features").alias("bucket", "cnt")
+    )
+    with_lang = exploded.join(docs.select("doc_id", "lang"), "doc_id")
+    loads = with_lang.groupBy("lang", "bucket").agg(
+        F.sum("cnt").alias("load")
+    )
+    per_lang = loads.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum("load").alias("n_tokens"),
+        F.max("load").alias("max_bucket_tokens"),
+    )
+    n_docs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_lang.join(n_docs, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "buckets_used",
+            "max_bucket_tokens",
+            (
+                F.col("n_tokens").cast("double") / F.col("buckets_used")
+            ).alias("avg_bucket_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+FEATURE_HASH_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM toks
+),
+loads AS (
+  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS load
+  FROM b GROUP BY lang, bucket
+),
+per_lang AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS buckets_used,
+    CAST(SUM(load) AS BIGINT) AS n_tokens,
+    CAST(MAX(load) AS BIGINT) AS max_bucket_tokens
+  FROM loads GROUP BY lang
+),
+nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY lang)
+SELECT per_lang.lang, nd.n_docs, per_lang.n_tokens, per_lang.buckets_used,
+  per_lang.max_bucket_tokens,
+  CAST(per_lang.n_tokens AS DOUBLE) / per_lang.buckets_used
+    AS avg_bucket_tokens
+FROM per_lang JOIN nd USING (lang)
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# union_by_name_migration
+# ---------------------------------------------------------------------------
+
+
+def union_by_name_migration(spark, sf_dir):
+    """Schema-evolution union: two 'generations' of the orders table
+    with different column subsets (the v1 extract kept the price, the
+    v2 extract kept status + priority) merged with
+    ``unionByName(allowMissingColumns=True)`` — missing columns become
+    typed NULLs — then audited per status group.
+
+    This is the standing 100 TB concern the operator exists for:
+    a partitioned table whose early partitions predate a schema change
+    must be readable alongside the new ones without rewriting history.
+    Both generation filters push down to the parquet scan; the union is
+    plan-level (no shuffle); the only exchange is the final tiny agg."""
+    orders = load(spark, sf_dir, "orders")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    merged = gen1.unionByName(gen2, allowMissingColumns=True)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderstatus", F.lit("LEGACY")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("sum_total"),
+        )
+        .orderBy("status")
+    )
+
+
+UNION_BY_NAME_MIGRATION_SQL = """
+WITH merged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+         o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(o_orderstatus, 'LEGACY') AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price,
+  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+  COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                     AS DECIMAL(18,4)) AS DOUBLE), CAST(0 AS DOUBLE))
+    AS sum_total
+FROM merged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "pii_scrub_report": QuerySpec(
+        "pii_scrub_report",
+        pii_scrub_report,
+        PII_SCRUB_REPORT_SQL,
+        "PII redaction audit: per-lang counts per rule + char delta",
+        ("text", "hygiene", "llm"),
+    ),
+    "feature_hash_buckets": QuerySpec(
+        "feature_hash_buckets",
+        feature_hash_buckets,
+        FEATURE_HASH_BUCKETS_SQL,
+        "Portable feature hashing: per-lang bucket-load profile",
+        ("text", "hygiene", "llm"),
+    ),
+    "union_by_name_migration": QuerySpec(
+        "union_by_name_migration",
+        union_by_name_migration,
+        UNION_BY_NAME_MIGRATION_SQL,
+        "Schema-evolution unionByName across two table generations",
+        ("relational", "schema-evolution"),
+    ),
+}

@@ -451,3 +451,119 @@ QUERIES = {
         ("agg", "validation", "operators"),
     ),
 }
+
+
+def cdc_apply_orders(spark, sf_dir):
+    """CDC APPLY through the real catalog verb
+    (``sources/catalog.py::apply_cdc``) against a real on-disk table —
+    the apply-direction twin of ``snapshot_diff_orders`` (which tests
+    the diff direction). The orders snapshot is published into a
+    throwaway catalog root, then a deterministic change feed derived
+    from the same table is applied:
+
+    - ``o_orderkey % 17 = 0`` → **update** (totalprice + 100.00)
+    - ``o_orderkey % 17 = 1`` → **delete**
+    - ``o_orderkey % 17 = 2`` → **insert** (synthetic twin at
+      ``key + 10^10``, outside the real key range)
+
+    The audit frame is aggregated FROM the post-apply table read back
+    off disk, so the oracle hash-match proves the staged-write +
+    rename promotion carried exactly the merged rows (anti-join on the
+    changed keys ∪ upserts): deletes shrink the counts, every update
+    shifts sum_total by +100, inserts surface as ``n_synthetic``.
+
+    Scale shape: one anti-join shuffle on the merge key (one-sided for
+    a bucketed target), cost ∝ delta size not table size — the verb a
+    100 TB warehouse uses instead of the reference's truncate+reload
+    (``/root/reference/services/jcap_pa_etl_service.py``)."""
+    import uuid
+
+    from ..sources.catalog import Catalog
+
+    root = f"/tmp/spark_graft_cdc_apply/{uuid.uuid4().hex[:12]}"
+    cat = Catalog(spark, root)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    cat.write_table(orders, "ops.orders", mode="overwrite")
+    k = F.col("o_orderkey")
+    updates = orders.filter(k % 17 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("update").alias("change_type"),
+    )
+    deletes = orders.filter(k % 17 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lit("delete").alias("change_type"),
+    )
+    inserts = orders.filter(k % 17 == 2).select(
+        (k + F.lit(10_000_000_000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lit("insert").alias("change_type"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    cat.apply_cdc(changes, "ops.orders", ["o_orderkey"])
+    after = cat.read_table("ops.orders")
+    from ..functions.deterministic import dsum
+
+    return (
+        after.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.col("o_orderkey") >= 10_000_000_000).cast("long")).alias(
+                "n_synthetic"
+            ),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+CDC_APPLY_ORDERS_SQL = """
+WITH changes AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         o_totalprice + 100.0 AS o_totalprice, 'update' AS change_type
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+         'delete' AS change_type
+  FROM orders WHERE o_orderkey % 17 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000000, o_orderstatus, o_orderpriority,
+         o_totalprice, 'insert' AS change_type
+  FROM orders WHERE o_orderkey % 17 = 2
+),
+merged AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority, o.o_totalprice
+  FROM orders o
+  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+  FROM changes WHERE change_type IN ('insert', 'update')
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN o_orderkey >= 10000000000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_synthetic,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(18,4))
+       AS DOUBLE) AS sum_total
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["cdc_apply_orders"] = QuerySpec(
+    "cdc_apply_orders",
+    cdc_apply_orders,
+    CDC_APPLY_ORDERS_SQL,
+    "CDC apply (update/delete/insert) via the real catalog verb",
+    ("lifecycle", "cdc", "operators"),
+)

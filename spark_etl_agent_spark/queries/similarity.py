@@ -1294,3 +1294,58 @@ QUERIES["ann_ivfpq_topk"] = QuerySpec(
     "IVF-PQ residual-ADC top-k: coarse k-means cells + PQ codes (IVFADC)",
     ("similarity", "quantize", "iterative", "llm"),
 )
+
+
+def knn_label_eval(spark, sf_dir):
+    return sim.knn_label_eval(load(spark, sf_dir, "embeddings"))
+
+
+KNN_LABEL_EVAL_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, label, svec, list_dot_product(svec, svec) AS norm_sq
+  FROM (SELECT vec_id, label, {_SVEC} AS svec FROM embeddings)
+),
+probes AS (SELECT * FROM normed WHERE vec_id < 100),
+train AS (SELECT * FROM normed WHERE vec_id >= 100),
+pairs AS (
+  SELECT p.vec_id AS query_id, p.label AS true_label,
+    t.vec_id AS neighbor_id, t.label AS neighbor_label,
+    list_dot_product(p.svec, t.svec)
+      / (sqrt(p.norm_sq) * sqrt(t.norm_sq)) AS cosine_sim
+  FROM probes p JOIN train t ON TRUE
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM pairs
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+  FROM ranked WHERE rnk <= 5
+  GROUP BY query_id, true_label, neighbor_label
+),
+pick AS (
+  SELECT query_id, true_label, neighbor_label,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY n_votes DESC, neighbor_label) AS vr
+  FROM votes
+)
+SELECT true_label,
+  CAST(COUNT(*) AS BIGINT) AS n_probes,
+  CAST(SUM(CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_correct,
+  CAST(SUM(CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END)
+       AS DOUBLE) / COUNT(*) AS accuracy
+FROM pick WHERE vr = 1
+GROUP BY true_label
+ORDER BY true_label
+"""
+
+
+QUERIES["knn_label_eval"] = QuerySpec(
+    "knn_label_eval",
+    knn_label_eval,
+    KNN_LABEL_EVAL_SQL,
+    "k-NN classifier eval: per-label accuracy from a held-out panel",
+    ("similarity", "eval", "llm"),
+)

@@ -1,0 +1,146 @@
+"""Semantic pins for the hygiene queries (oracle parity itself is
+covered for every QuerySpec by tests/test_oracle_parity.py — these
+tests pin the invariants a hash match alone could satisfy vacuously)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from spark_etl_agent_spark.llm.scrub import hashed_features, md5_bucket
+from spark_etl_agent_spark.queries.base import load
+from spark_etl_agent_spark.queries.hygiene import (
+    feature_hash_buckets,
+    pii_scrub_report,
+    union_by_name_migration,
+)
+
+
+def test_pii_report_every_rule_fires(spark, sf_dir):
+    """The injection must exercise ALL five PII rules — a pattern typo
+    that matches nothing would still hash-match an oracle with the same
+    typo'd behavior, so the non-vacuous guard lives here."""
+    rows = pii_scrub_report(spark, sf_dir).collect()
+    totals = {
+        c: sum(r[c] for r in rows)
+        for c in ("emails", "ssns", "cards", "phones", "ips")
+    }
+    assert all(v > 0 for v in totals.values()), totals
+    n_docs = sum(r["n_docs"] for r in rows)
+    redacted = sum(r["docs_redacted"] for r in rows)
+    assert 0 < redacted <= n_docs
+    # every rewrite replaces a longer span with a short placeholder,
+    # so the corpus must strictly shrink
+    assert sum(r["chars_delta"] for r in rows) > 0
+
+
+def test_pii_scrubbed_text_carries_no_residue(spark, sf_dir):
+    """No injected PII survives the scrub — checked on the scrubbed
+    TEXT, not the audit counts."""
+    from spark_etl_agent_spark.llm.scrub import scrub_documents
+    from spark_etl_agent_spark.queries.hygiene import _pii_enriched
+
+    docs = load(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id", _pii_enriched(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    residue = (
+        scrub_documents(enriched)
+        .filter(
+            F.col("text").rlike(r"@example\.com")
+            | F.col("text").rlike(r"\d{3}-\d{2}-\d{4}")
+            | F.col("text").rlike(r"4111")
+            | F.col("text").rlike(r"\(555\)")
+            | F.col("text").rlike(r"host 10\.")
+        )
+        .count()
+    )
+    assert residue == 0
+
+
+def test_md5_bucket_matches_reference_hash(spark):
+    """The portable bucketer must equal hashlib's md5 — the contract
+    that lets DuckDB (or any engine) reproduce the bucket layout."""
+    toks = ["filter", "merge", "slow", "vector", ""]
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    got = {
+        r["tok"]: r["b"]
+        for r in df.select(
+            "tok", md5_bucket(F.col("tok"), 256).alias("b")
+        ).collect()
+    }
+    for t in toks:
+        expect = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 256
+        assert got[t] == expect, (t, got[t], expect)
+
+
+def test_hashed_features_portable_bucketer_partition_independent(
+    spark, sf_dir
+):
+    docs = load(spark, sf_dir, "documents").limit(50)
+    a = {
+        r["doc_id"]: dict(r["features"])
+        for r in hashed_features(
+            docs, n_features=64, bucket_of=lambda t: md5_bucket(t, 64)
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: dict(r["features"])
+        for r in hashed_features(
+            docs.repartition(7),
+            n_features=64,
+            bucket_of=lambda t: md5_bucket(t, 64),
+        ).collect()
+    }
+    assert a == b and len(a) == 50
+
+
+def test_feature_hash_buckets_shape(spark, sf_dir):
+    rows = feature_hash_buckets(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["buckets_used"] <= 256
+        assert r["max_bucket_tokens"] >= 1
+        assert r["n_tokens"] >= r["buckets_used"]
+
+
+def test_union_by_name_migration_conserves_rows(spark, sf_dir):
+    rows = union_by_name_migration(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    by_status = {r["status"]: r for r in rows}
+    legacy = by_status["LEGACY"]
+    # gen1 (even keys) carries the price and no status/priority
+    assert legacy["n_with_price"] == legacy["n_rows"]
+    assert legacy["n_priorities"] == 0
+    assert legacy["sum_total"] > 0
+    # gen2 groups carry status/priority and no price
+    for s, r in by_status.items():
+        if s != "LEGACY":
+            assert r["n_with_price"] == 0
+            assert r["sum_total"] == 0.0
+            assert r["n_priorities"] > 0
+
+
+def test_knn_label_eval_panel_accounting(spark, sf_dir):
+    from spark_etl_agent_spark.queries.similarity import knn_label_eval
+
+    rows = knn_label_eval(spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    n_panel = emb.filter(F.col("vec_id") < 100).count()
+    assert sum(r["n_probes"] for r in rows) == n_panel
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_probes"]
+        assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_cdc_apply_orders_conservation(spark, sf_dir):
+    from spark_etl_agent_spark.queries.lifecycle import cdc_apply_orders
+
+    rows = cdc_apply_orders(spark, sf_dir).collect()
+    orders = load(spark, sf_dir, "orders")
+    n_base = orders.count()
+    k = F.col("o_orderkey")
+    n_del = orders.filter(k % 17 == 1).count()
+    n_ins = orders.filter(k % 17 == 2).count()
+    assert sum(r["n_orders"] for r in rows) == n_base - n_del + n_ins
+    assert sum(r["n_synthetic"] for r in rows) == n_ins
