@@ -231,20 +231,22 @@ DRIVER_WINDOW = (
     #    re-minhashing the corpus, values proven identical but the
     #    plan is new), then ALL 34 remaining r04-era rows (the
     #    verdict's #3 ask — after this round no name's latest green
-    #    driver row predates r05), then the 4 alphabetically-first
-    #    r05-era rows. indexed_ingest_probe and ivf_append_assign are
+    #    driver row predates r05). indexed_ingest_probe and ivf_append_assign are
     #    NEW this round (the stored-artifact document probe and the
     #    frozen-codebook vector-index append). Late round-8 additions
     #    pii_scrub_report / feature_hash_buckets / union_by_name_migration
-    #    (the hygiene module) / knn_label_eval / cdc_apply_orders are
-    #    NEW and lead; five r05-era names (bloom_ingest_dedup,
-    #    bpe_encode_corpus, bpe_train_merges, chunk_documents,
-    #    corpus_cluster_quality) rotated out to keep the window at 50. --
+    #    (the hygiene module) / knn_label_eval / cdc_apply_orders /
+    #    partition_pruning_probe / compact_small_files_audit are NEW
+    #    and lead; the whole r05-era tail (7 names) rotated out to keep
+    #    the window at 50 — the r05 staleness cohort is round 9's
+    #    window fill. --
     "pii_scrub_report",
     "feature_hash_buckets",
     "union_by_name_migration",
     "knn_label_eval",
     "cdc_apply_orders",
+    "partition_pruning_probe",
+    "compact_small_files_audit",
     "corpus_release_e2e",
     "indexed_ingest_probe",
     "ivf_append_assign",
@@ -289,9 +291,6 @@ DRIVER_WINDOW = (
     "unpivot_quarterly",
     "weighted_sample_docs",
     "window_value_functions",
-    # next-stalest: last green driver row round 5 (2 of 48) --
-    "ann_ivf_topk",
-    "approx_distinct_parts",
 )
 
 

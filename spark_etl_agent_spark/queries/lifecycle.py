@@ -567,3 +567,129 @@ QUERIES["cdc_apply_orders"] = QuerySpec(
     "CDC apply (update/delete/insert) via the real catalog verb",
     ("lifecycle", "cdc", "operators"),
 )
+
+
+def partition_pruning_probe(spark, sf_dir):
+    """Partition-layout round trip + partition pruning — the single
+    most important scan feature at 100 TB (a year-partitioned fact
+    table means a one-year query reads 1/Nth of the bytes, enforced by
+    the directory layout, not by row filters): orders are published
+    PARTITIONED BY derived ``o_year`` into a throwaway catalog root
+    (``sources/catalog.py::write_table(partition_by=...)``), read back,
+    and one year is aggregated.
+
+    The oracle hash-match proves the hive-layout round trip carried
+    every row into the right partition directory (a row landing in the
+    wrong o_year directory would shift the 1997 aggregate); the
+    pruning itself — only the ``o_year=1997`` directory is ever read —
+    is pinned by ``tests/test_hygiene.py::
+    test_partition_pruning_reads_only_selected_year`` via
+    ``inputFiles()``, and dynamic partition pruning (runtime pruning
+    from a joined dim filter) by ``test_dynamic_partition_pruning``.
+    """
+    import uuid
+
+    from ..functions.deterministic import dsum
+    from ..sources.catalog import Catalog
+
+    root = f"/tmp/spark_graft_part_probe/{uuid.uuid4().hex[:12]}"
+    cat = Catalog(spark, root)
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    cat.write_table(
+        orders, "ops.orders_by_year", mode="overwrite",
+        partition_by=["o_year"],
+    )
+    t = cat.read_table("ops.orders_by_year")
+    return (
+        t.filter(F.col("o_year") == 1997)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PARTITION_PRUNING_PROBE_SQL = """
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(18,4))
+       AS DOUBLE) AS sum_total
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["partition_pruning_probe"] = QuerySpec(
+    "partition_pruning_probe",
+    partition_pruning_probe,
+    PARTITION_PRUNING_PROBE_SQL,
+    "Hive-partitioned publish + one-year pruned aggregate",
+    ("lifecycle", "layout", "operators"),
+)
+
+
+def compact_small_files_audit(spark, sf_dir):
+    """Small-file compaction verb (``sources/catalog.py::
+    compact_table``) through a registry query: the maintenance pass
+    every streaming/incremental sink needs at scale — micro-batch
+    appends leave thousands of KB-files whose open/footer cost
+    dominates later scans. Orders are written deliberately fragmented
+    (48-way round-robin), compacted with ``sort_within_by=o_orderkey``
+    (so per-file min/max stats become selective), and the audit is
+    aggregated FROM the compacted table read back off disk — the
+    oracle hash-match proves the rewrite+rename promotion preserved
+    every row and value. File-count reduction and the clustering are
+    pinned in ``tests/test_hygiene.py``."""
+    import uuid
+
+    from ..functions.deterministic import dsum
+    from ..sources.catalog import Catalog
+
+    root = f"/tmp/spark_graft_compact/{uuid.uuid4().hex[:12]}"
+    cat = Catalog(spark, root)
+    orders = load(spark, sf_dir, "orders")
+    cat.write_table(
+        orders.repartition(48), "ops.orders_frag", mode="overwrite"
+    )
+    cat.compact_table("ops.orders_frag", sort_within_by=["o_orderkey"])
+    t = cat.read_table("ops.orders_frag")
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+COMPACT_SMALL_FILES_AUDIT_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(18,4))
+       AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["compact_small_files_audit"] = QuerySpec(
+    "compact_small_files_audit",
+    compact_small_files_audit,
+    COMPACT_SMALL_FILES_AUDIT_SQL,
+    "Fragmented write → compaction verb → audit from the compacted table",
+    ("lifecycle", "layout", "operators"),
+)

@@ -56,22 +56,24 @@ def test_driver_window_is_first_50_registry_entries():
     assert len(DRIVER_WINDOW) == 50
     # round-8 rotation contract: new + plan/oracle-changed queries lead,
     # then ALL 34 remaining r04-era rows (draining the staleness tail —
-    # the r07 verdict's #3 ask), then the 2 alphabetically-first
-    # r05-era rows that still fit in the 50-slot window
+    # the r07 verdict's #3 ask); the r05-era tail rotated out entirely
+    # to make room for the 7 late-round-8 additions
     assert DRIVER_WINDOW[0] == "pii_scrub_report"      # new: hygiene
     assert DRIVER_WINDOW[1] == "feature_hash_buckets"  # new: hygiene
     assert DRIVER_WINDOW[2] == "union_by_name_migration"  # new: hygiene
     assert DRIVER_WINDOW[3] == "knn_label_eval"        # new: embedding eval
     assert DRIVER_WINDOW[4] == "cdc_apply_orders"      # new: CDC apply verb
-    assert DRIVER_WINDOW[5] == "corpus_release_e2e"   # new: job e2e
-    assert DRIVER_WINDOW[6] == "indexed_ingest_probe"  # new: stored artifacts
-    assert DRIVER_WINDOW[7] == "ivf_append_assign"     # new: frozen-codebook
-    assert DRIVER_WINDOW[8] == "streaming_ingest_dedup_audit"  # indexed sink
-    assert DRIVER_WINDOW[9] == "corpus_build_funnel"   # shared shingles
-    assert DRIVER_WINDOW[10] == "gopher_repetition_rules"  # one-agg fold
-    assert DRIVER_WINDOW[11] == "supplier_pagerank"     # symmetric path
-    assert DRIVER_WINDOW[12] == "mg_heavy_hitter_tokens"  # oracle cast
-    assert DRIVER_WINDOW[13] == "streaming_running_totals"  # floor recheck
+    assert DRIVER_WINDOW[5] == "partition_pruning_probe"   # new: layout
+    assert DRIVER_WINDOW[6] == "compact_small_files_audit"  # new: layout
+    assert DRIVER_WINDOW[7] == "corpus_release_e2e"   # new: job e2e
+    assert DRIVER_WINDOW[8] == "indexed_ingest_probe"  # new: stored artifacts
+    assert DRIVER_WINDOW[9] == "ivf_append_assign"     # new: frozen-codebook
+    assert DRIVER_WINDOW[10] == "streaming_ingest_dedup_audit"  # indexed sink
+    assert DRIVER_WINDOW[11] == "corpus_build_funnel"   # shared shingles
+    assert DRIVER_WINDOW[12] == "gopher_repetition_rules"  # one-agg fold
+    assert DRIVER_WINDOW[13] == "supplier_pagerank"     # symmetric path
+    assert DRIVER_WINDOW[14] == "mg_heavy_hitter_tokens"  # oracle cast
+    assert DRIVER_WINDOW[15] == "streaming_running_totals"  # floor recheck
     for r04 in (
         "filtered_aggregates", "grouping_sets_revenue",
         "idle_rich_customers", "large_volume_orders",
