@@ -247,6 +247,7 @@ DRIVER_WINDOW = (
     "cdc_apply_orders",
     "partition_pruning_probe",
     "compact_small_files_audit",
+    "hll_union_daily_users",
     "corpus_release_e2e",
     "indexed_ingest_probe",
     "ivf_append_assign",
@@ -255,7 +256,10 @@ DRIVER_WINDOW = (
     "gopher_repetition_rules",
     "supplier_pagerank",
     "mg_heavy_hitter_tokens",
-    "streaming_running_totals",
+    # (streaming_running_totals rotated back out: the round-8 entry was
+    #  only a re-MEASURE — the floor analysis — with result and oracle
+    #  unchanged and its r07 driver row green; its slot goes to the new
+    #  hll_union_daily_users, which has no driver row at all yet.)
     # stalest: last green driver row round 4 (all 34) --
     "filtered_aggregates",
     "grouping_sets_revenue",

@@ -65,15 +65,15 @@ def test_driver_window_is_first_50_registry_entries():
     assert DRIVER_WINDOW[4] == "cdc_apply_orders"      # new: CDC apply verb
     assert DRIVER_WINDOW[5] == "partition_pruning_probe"   # new: layout
     assert DRIVER_WINDOW[6] == "compact_small_files_audit"  # new: layout
-    assert DRIVER_WINDOW[7] == "corpus_release_e2e"   # new: job e2e
-    assert DRIVER_WINDOW[8] == "indexed_ingest_probe"  # new: stored artifacts
-    assert DRIVER_WINDOW[9] == "ivf_append_assign"     # new: frozen-codebook
-    assert DRIVER_WINDOW[10] == "streaming_ingest_dedup_audit"  # indexed sink
-    assert DRIVER_WINDOW[11] == "corpus_build_funnel"   # shared shingles
-    assert DRIVER_WINDOW[12] == "gopher_repetition_rules"  # one-agg fold
-    assert DRIVER_WINDOW[13] == "supplier_pagerank"     # symmetric path
-    assert DRIVER_WINDOW[14] == "mg_heavy_hitter_tokens"  # oracle cast
-    assert DRIVER_WINDOW[15] == "streaming_running_totals"  # floor recheck
+    assert DRIVER_WINDOW[7] == "hll_union_daily_users"  # new: sketch union
+    assert DRIVER_WINDOW[8] == "corpus_release_e2e"   # new: job e2e
+    assert DRIVER_WINDOW[9] == "indexed_ingest_probe"  # new: stored artifacts
+    assert DRIVER_WINDOW[10] == "ivf_append_assign"     # new: frozen-codebook
+    assert DRIVER_WINDOW[11] == "streaming_ingest_dedup_audit"  # indexed sink
+    assert DRIVER_WINDOW[12] == "corpus_build_funnel"   # shared shingles
+    assert DRIVER_WINDOW[13] == "gopher_repetition_rules"  # one-agg fold
+    assert DRIVER_WINDOW[14] == "supplier_pagerank"     # symmetric path
+    assert DRIVER_WINDOW[15] == "mg_heavy_hitter_tokens"  # oracle cast
     for r04 in (
         "filtered_aggregates", "grouping_sets_revenue",
         "idle_rich_customers", "large_volume_orders",

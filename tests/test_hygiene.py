@@ -207,3 +207,17 @@ def test_compact_small_files_audit_compacts(spark, sf_dir):
     assert 0 < n_files < 48, n_files
     total = load(spark, sf_dir, "orders").count()
     assert sum(r["n_orders"] for r in rows) == total
+
+
+def test_hll_union_daily_users_merges_multiple_sketches(spark, sf_dir):
+    """The union path must actually MERGE (>1 sketch per day) and every
+    engine-side estimate must sit in the 5% band — a sketch that
+    silently degenerated would flip band_ok and fail parity, but the
+    multi-sketch precondition is pinned here."""
+    from spark_etl_agent_spark.queries.events import hll_union_daily_users
+
+    rows = hll_union_daily_users(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["n_types"] > 1 for r in rows), "union would be a no-op"
+    assert all(r["band_ok"] for r in rows)
+    assert all(r["exact_uniques"] > 0 for r in rows)
