@@ -1,0 +1,45 @@
+"""Privacy-preserving publication: k-anonymity cell suppression.
+
+A published dataset is k-anonymous over a quasi-identifier (QI) tuple
+when every distinct QI combination is shared by at least k rows — the
+standard bar before releasing per-group statistics derived from user
+data (a group of 3 users' account balances is traceable; a group of
+10 000 is not). The suppression verb masks the QI cells of every row
+whose group is too small, keeping the row itself (counts stay honest)
+while removing its re-identifying combination.
+
+Scale shape: one groupBy on the QI columns + one equi-join back on the
+same key — the join reuses the groupBy's hash partitioning, so the
+whole pass costs a single QI-keyed shuffle of the input (AQE broadcasts
+the size table instead when it is small). No window over the full
+table, no collect.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kanon_suppress(
+    df: DataFrame, qi_cols: List[str], k: int, flag_col: str = "suppressed"
+) -> DataFrame:
+    """Mask (set to NULL) the QI columns of every row whose QI group
+    has fewer than ``k`` members; append a boolean ``flag_col``.
+    Column order and non-QI values are preserved; row count is
+    conserved (suppression never drops rows — dropping them would bias
+    every downstream aggregate)."""
+    sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__gsize"))
+    joined = df.join(sizes, qi_cols)
+    hit = F.col("__gsize") < k
+    out_cols = []
+    for c in df.columns:
+        if c in qi_cols:
+            out_cols.append(
+                F.when(hit, F.lit(None)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols, hit.alias(flag_col))

@@ -343,3 +343,78 @@ QUERIES = {
         ("relational", "schema-evolution"),
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# kanon_publish_audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 55
+
+
+def kanon_publish_audit(spark, sf_dir):
+    """k-anonymity suppression before publication
+    (``operators/privacy.py::kanon_suppress``): customers grouped by
+    the quasi-identifier (region band, market segment); any group
+    smaller than k=55 has its QI cells masked, and the published audit
+    aggregates per (segment-or-masked, suppressed) — so small groups
+    surface only as one indistinct '*' bucket while their rows still
+    count. Row conservation (suppression never drops rows) is pinned
+    in ``tests/test_hygiene.py``.
+
+    One QI-keyed shuffle (groupBy + same-key join back, AQE broadcasts
+    the tiny size table) + one small agg — the publication-hygiene pass
+    a user-derived corpus runs before any per-group stat release."""
+    from ..operators.privacy import kanon_suppress
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).alias("region_band"),
+    )
+    sup = kanon_suppress(cust, ["region_band", "c_mktsegment"], _KANON_K)
+    return (
+        sup.groupBy(
+            F.coalesce("c_mktsegment", F.lit("*")).alias("segment"),
+            "suppressed",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("region_band").alias("n_bands"),
+            F.coalesce(dsum("c_acctbal"), F.lit(0.0)).alias("sum_acctbal"),
+        )
+        .orderBy("segment", "suppressed")
+    )
+
+
+KANON_PUBLISH_AUDIT_SQL = """
+WITH qi AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+    c_nationkey % 5 AS region_band,
+    COUNT(*) OVER (PARTITION BY c_nationkey % 5, c_mktsegment) AS gsize
+  FROM customer
+)
+SELECT
+  COALESCE(CASE WHEN gsize < 55 THEN NULL ELSE c_mktsegment END, '*')
+    AS segment,
+  gsize < 55 AS suppressed,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT CASE WHEN gsize < 55 THEN NULL
+                           ELSE region_band END) AS BIGINT) AS n_bands,
+  COALESCE(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
+                     AS DECIMAL(18,4)) AS DOUBLE), CAST(0 AS DOUBLE))
+    AS sum_acctbal
+FROM qi
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES["kanon_publish_audit"] = QuerySpec(
+    "kanon_publish_audit",
+    kanon_publish_audit,
+    KANON_PUBLISH_AUDIT_SQL,
+    "k-anonymity cell suppression: masked publication audit",
+    ("hygiene", "privacy", "operators"),
+)

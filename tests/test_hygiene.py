@@ -221,3 +221,31 @@ def test_hll_union_daily_users_merges_multiple_sketches(spark, sf_dir):
     assert all(r["n_types"] > 1 for r in rows), "union would be a no-op"
     assert all(r["band_ok"] for r in rows)
     assert all(r["exact_uniques"] > 0 for r in rows)
+
+
+def test_kanon_suppress_conserves_rows_and_masks_small_groups(spark, sf_dir):
+    """Suppression must never drop rows, and NO below-k group may
+    survive with its quasi-identifier intact."""
+    from spark_etl_agent_spark.operators.privacy import kanon_suppress
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).alias("region_band"),
+    )
+    out = kanon_suppress(cust, ["region_band", "c_mktsegment"], 55)
+    assert out.count() == cust.count()
+    # every surviving (unmasked) QI group must have >= k members
+    survivors = (
+        out.filter(~F.col("suppressed"))
+        .groupBy("region_band", "c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] >= 55 for r in survivors)
+    # masked rows carry NULL QI cells
+    leaked = out.filter(
+        F.col("suppressed")
+        & (F.col("region_band").isNotNull() | F.col("c_mktsegment").isNotNull())
+    ).count()
+    assert leaked == 0
