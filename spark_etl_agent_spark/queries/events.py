@@ -357,3 +357,76 @@ QUERIES["hll_union_daily_users"] = QuerySpec(
     "Per-day uniques answered by UNIONING per-(day,type) HLL sketches",
     ("events", "sketch", "agg"),
 )
+
+
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the activation/stickiness view every
+    event warehouse serves: users grouped by FIRST-ACTIVE day (their
+    cohort), then for each later day the share of the cohort still
+    active. Day-0 retention is 1.0 by construction (the built-in
+    sanity row).
+
+    Shape: one groupBy(user) for first-touch, joined back on user_id
+    (the join reuses the groupBy's hash partitioning — one user-keyed
+    shuffle total for a 100 TB event log), then a bounded
+    (cohort_day × offset) aggregate — never a per-user window over the
+    whole history. Retention is an exact-int division (distinct actives
+    / cohort size), bitwise deterministic."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = ev.join(first, "user_id")
+    matrix = joined.groupBy(
+        "cohort_day", F.datediff("day", F.col("cohort_day")).alias("day_offset")
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    size = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        matrix.join(size, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+),
+matrix AS (
+  SELECT f.cohort_day,
+    CAST(e.day - f.cohort_day AS INT) AS day_offset,
+    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+  FROM ev e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+size AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_day
+)
+SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_size,
+  CAST(m.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM matrix m JOIN size s USING (cohort_day)
+ORDER BY m.cohort_day, m.day_offset
+"""
+
+
+QUERIES["cohort_retention"] = QuerySpec(
+    "cohort_retention",
+    cohort_retention,
+    COHORT_RETENTION_SQL,
+    "First-active cohort x day-offset retention matrix",
+    ("events", "agg", "analytics"),
+)

@@ -1192,3 +1192,82 @@ QUERIES["hll_distinct_trigrams"] = QuerySpec(
     "HyperLogLog distinct-trigram estimate vs exact, per source",
     ("text", "sketch", "llm"),
 )
+
+
+def source_kl_divergence(spark, sf_dir):
+    """Per-source token-distribution divergence from the corpus mix —
+    D_KL(P_source || P_corpus) — the signal mixture curation reads to
+    see which source is most "unlike" the blend it feeds (high KL →
+    reweighting that source moves the mixture most). No smoothing
+    needed: the corpus distribution includes every source's tokens, so
+    q > 0 wherever p > 0, and absent-token terms vanish (0·ln0 = 0).
+
+    Determinism (the ``tfidf_micro`` idiom): the ln argument is formed
+    as ONE division of two exactly-representable int64 products
+    (c_sw·T) / (t_s·c_w), p likewise one exact division, and each
+    term is floored to integer micro-units before the per-source sum —
+    integer sums are order-independent and cross-engine stable. (At a
+    true 100 TB token count the int64 products need a rescale; the
+    shape — two bounded token-keyed shuffles + one scalar broadcast —
+    is unchanged.)"""
+    toks = fan_out(load(spark, sf_dir, "documents")).select(
+        "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    )
+    cs = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    tot_s = cs.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    cw = cs.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    t = cw.agg(F.sum("c_w").alias("t"))
+    joined = cs.join(tot_s, "source").join(cw, "w").crossJoin(F.broadcast(t))
+    term = (
+        (F.col("c_sw").cast("double") / F.col("t_s"))
+        * F.log(
+            (F.col("c_sw") * F.col("t")).cast("double")
+            / (F.col("t_s") * F.col("c_w")).cast("double")
+        )
+        * F.lit(1_000_000.0)
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("t_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.floor(term).cast("long")).alias("kl_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_KL_DIVERGENCE_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+  FROM documents
+),
+cs AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+       FROM toks GROUP BY source, w),
+tot_s AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s
+          FROM cs GROUP BY source),
+cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM cs GROUP BY w),
+t AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t FROM cw)
+SELECT cs.source,
+  CAST(MAX(tot_s.t_s) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_terms,
+  CAST(SUM(CAST(floor(
+    (CAST(c_sw AS DOUBLE) / t_s)
+    * ln(CAST(c_sw * t.t AS DOUBLE) / CAST(t_s * c_w AS DOUBLE))
+    * 1000000.0) AS BIGINT)) AS BIGINT) AS kl_micro
+FROM cs
+JOIN tot_s USING (source)
+JOIN cw USING (w)
+CROSS JOIN t
+GROUP BY cs.source
+ORDER BY cs.source
+"""
+
+
+QUERIES["source_kl_divergence"] = QuerySpec(
+    "source_kl_divergence",
+    source_kl_divergence,
+    SOURCE_KL_DIVERGENCE_SQL,
+    "Per-source KL divergence from the corpus token mix (micro-int)",
+    ("text", "llm", "analytics"),
+)

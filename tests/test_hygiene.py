@@ -249,3 +249,31 @@ def test_kanon_suppress_conserves_rows_and_masks_small_groups(spark, sf_dir):
         & (F.col("region_band").isNotNull() | F.col("c_mktsegment").isNotNull())
     ).count()
     assert leaked == 0
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Day-0 retention is exactly 1.0 for every cohort; actives never
+    exceed the cohort; offsets are non-negative."""
+    from spark_etl_agent_spark.queries.events import cohort_retention
+
+    rows = cohort_retention(spark, sf_dir).collect()
+    assert rows
+    day0 = [r for r in rows if r["day_offset"] == 0]
+    assert day0 and all(r["retention"] == 1.0 for r in day0)
+    assert all(0 <= r["n_active"] <= r["cohort_size"] for r in rows)
+    assert all(r["day_offset"] >= 0 for r in rows)
+
+
+def test_source_kl_divergence_positive_and_bounded(spark, sf_dir):
+    """KL >= 0 up to floor-quantization bias (at most 1 micro-unit per
+    term); every source must contribute a real distribution."""
+    from spark_etl_agent_spark.queries.text import source_kl_divergence
+
+    rows = source_kl_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_terms"] > 0 and r["n_tokens"] > 0
+        assert r["kl_micro"] >= -r["n_terms"]
+    # the corpus is heterogeneous by construction — at least one source
+    # must measurably diverge from the blend
+    assert max(r["kl_micro"] for r in rows) > 0
