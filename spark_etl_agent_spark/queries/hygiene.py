@@ -418,3 +418,90 @@ QUERIES["kanon_publish_audit"] = QuerySpec(
     "k-anonymity cell suppression: masked publication audit",
     ("hygiene", "privacy", "operators"),
 )
+
+
+# ---------------------------------------------------------------------------
+# pii_entity_linking
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = PII_RULES[0][1]
+
+
+def pii_entity_linking(spark, sf_dir):
+    """Privacy-preserving PII entity linking: emails are extracted,
+    FINGERPRINTED (first 8 hex of md5 — the raw value is never stored),
+    and the fingerprints are linked across documents — the signal a
+    dedup/provenance pipeline needs ("these 40 docs cite the same
+    contact") WITHOUT retaining the PII itself.
+
+    Injection differs from ``pii_scrub_report`` on purpose: the email
+    local part is ``doc_id % 37``, so entities genuinely repeat across
+    documents and the linking is non-trivial (~37 entities, each in
+    ~n/37·(2/3) docs). Extraction is native
+    ``regexp_extract_all`` + ``transform(md5)`` — one projection, one
+    explode, one bounded groupBy on the fingerprint key; no UDF, no
+    raw-PII shuffle (only 8-hex fingerprints move)."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    prints = docs.select(
+        "doc_id",
+        F.transform(
+            F.regexp_extract_all(text, F.lit(_EMAIL_RE), F.lit(0)),
+            lambda m: F.substring(F.md5(m), 1, 8),
+        ).alias("fps"),
+    )
+    exploded = prints.select("doc_id", F.explode("fps").alias("fp"))
+    return (
+        exploded.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("fp"))
+    )
+
+
+PII_ENTITY_LINKING_SQL = (
+    """
+WITH enriched AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' ||
+      CAST(doc_id % 37 AS VARCHAR) || '@example.com now' ELSE '' END AS t
+  FROM documents
+),
+fps AS (
+  SELECT doc_id,
+    unnest(list_transform(regexp_extract_all(t, '"""
+    + _EMAIL_RE
+    + """'), m -> substr(md5(m), 1, 8))) AS fp
+  FROM enriched
+)
+SELECT fp,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_mentions,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM fps
+GROUP BY fp
+ORDER BY n_docs DESC, fp ASC
+"""
+)
+
+
+QUERIES["pii_entity_linking"] = QuerySpec(
+    "pii_entity_linking",
+    pii_entity_linking,
+    PII_ENTITY_LINKING_SQL,
+    "Cross-doc PII entity linking via md5 fingerprints (raw PII never stored)",
+    ("hygiene", "privacy", "llm"),
+)

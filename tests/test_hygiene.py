@@ -277,3 +277,20 @@ def test_source_kl_divergence_positive_and_bounded(spark, sf_dir):
     # the corpus is heterogeneous by construction — at least one source
     # must measurably diverge from the blend
     assert max(r["kl_micro"] for r in rows) > 0
+
+
+def test_pii_entity_linking_stores_no_raw_pii(spark, sf_dir):
+    """The linking table must carry ONLY 8-hex fingerprints — no raw
+    email survives into the output — and the linking must be
+    non-trivial (entities shared across documents)."""
+    import re
+
+    from spark_etl_agent_spark.queries.hygiene import pii_entity_linking
+
+    rows = pii_entity_linking(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert re.fullmatch(r"[0-9a-f]{8}", r["fp"]), r["fp"]
+        assert r["n_mentions"] >= r["n_docs"] >= 1
+    assert len(rows) <= 37  # doc_id % 37 distinct local parts
+    assert max(r["n_docs"] for r in rows) > 1, "no cross-doc linking"
