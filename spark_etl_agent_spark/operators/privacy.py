@@ -17,6 +17,8 @@ table, no collect.
 
 from __future__ import annotations
 
+import functools
+import operator
 from typing import List
 
 from pyspark.sql import DataFrame
@@ -30,9 +32,27 @@ def kanon_suppress(
     has fewer than ``k`` members; append a boolean ``flag_col``.
     Column order and non-QI values are preserved; row count is
     conserved (suppression never drops rows — dropping them would bias
-    every downstream aggregate)."""
+    every downstream aggregate).
+
+    NULL QI values participate: ``groupBy`` already buckets NULL keys
+    together, and the join back uses null-safe equality (``<=>``) so a
+    row whose QI tuple contains NULL is sized, flagged, and (if its
+    group is small) suppressed like any other — a plain equi-join would
+    silently DROP those rows, breaking the row-conservation contract
+    and leaking exactly the small, re-identifiable groups this verb
+    exists to mask. Catalyst plans ``<=>`` keys as ordinary hash
+    equi-join keys, so the single-shuffle scale shape is unchanged."""
+    # Rename the size table's key columns before joining: `sizes` shares
+    # lineage with `df`, so `df[c] <=> sizes[c]` would resolve to a
+    # trivially-true self-comparison instead of a join key.
     sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__gsize"))
-    joined = df.join(sizes, qi_cols)
+    for c in qi_cols:
+        sizes = sizes.withColumnRenamed(c, f"__qi_{c}")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(c).eqNullSafe(F.col(f"__qi_{c}")) for c in qi_cols],
+    )
+    joined = df.join(sizes, cond)
     hit = F.col("__gsize") < k
     out_cols = []
     for c in df.columns:

@@ -332,10 +332,10 @@ def indexed_ingest_probe(spark, sf_dir):
     text-derived probe bit-for-bit (distinct-set min == multiset min),
     so the same oracle pins the indexed path end-to-end through a real
     parquet round-trip of the artifact table."""
-    import tempfile
+    from ..core.scratch import scratch_dir
 
     docs = fan_out(load(spark, sf_dir, "documents"))
-    work = tempfile.mkdtemp(prefix="spark_graft_ingest_index_")
+    work = scratch_dir("spark_graft_ingest_index_")
     D.ingest_artifacts(docs.filter(F.col("doc_id") % 10 != 0)).write.mode(
         "overwrite"
     ).parquet(f"{work}/index")

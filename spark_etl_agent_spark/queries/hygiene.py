@@ -9,10 +9,12 @@ arithmetic BEFORE scrubbing, and the oracle replays the identical
 injection — the hash match therefore pins the scrubber's actual
 replacement behavior (match spans, placeholder text, chained rule
 order), not a vacuous zero-redaction pass. Injected shapes are chosen
-so no natural text ambiguity exists (base text has zero digits,
-verified at import by nothing — guarded instead by the parity suite's
-non-vacuous-result assertion plus ``tests/test_hygiene.py``'s
-all-rules-fire check).
+so no natural text ambiguity exists: the base text has zero digits and
+zero '@' — pinned by ``tests/test_hygiene.py::
+test_documents_base_text_is_digit_and_at_free`` so a fixture
+regeneration that breaks the precondition fails loudly, plus the
+parity suite's non-vacuous-result assertion and the all-rules-fire
+check.
 
 Regex-dialect note: every PII pattern uses only syntax with identical
 semantics in Java regex (Spark) and RE2 (DuckDB) — character classes,

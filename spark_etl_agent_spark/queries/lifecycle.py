@@ -17,6 +17,23 @@ from ..operators.sketches import histogram
 from .base import QuerySpec, load
 
 
+def _materialize_and_cleanup(spark, df, root):
+    """Pin a scratch-catalog query's (bounded) audit frame to the
+    driver, then remove the scratch root so repeated bench/parity runs
+    don't accumulate /tmp copies of the staged tables. Every caller
+    returns a fixed-size audit summary (≤ ~100 rows by construction),
+    so the collect is driver-bounded; the returned frame carries the
+    exact schema and values of the lazy original but no longer
+    references the deleted files."""
+    import shutil
+
+    try:
+        rows = df.collect()
+        return spark.createDataFrame(rows, schema=df.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def scd2_priority_history(spark, sf_dir):
     """SCD Type-2 collapse of each customer's order-priority attribute
     observed per order date (max() pre-aggregation makes (key, ts)
@@ -367,12 +384,13 @@ def corpus_release_e2e(spark, sf_dir):
         stage("version"), F.lit("current").alias("item"),
         F.lit(int(vt.current_version())).cast("long").alias("value"),
     )
-    return (
+    audit = (
         gate_rows.unionByName(nrows_row)
         .unionByName(diff_rows)
         .unionByName(card_rows)
         .unionByName(version_row)
     )
+    return _materialize_and_cleanup(spark, audit, root)
 
 
 CORPUS_RELEASE_E2E_SQL = """
@@ -513,7 +531,7 @@ def cdc_apply_orders(spark, sf_dir):
     after = cat.read_table("ops.orders")
     from ..functions.deterministic import dsum
 
-    return (
+    audit = (
         after.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -524,6 +542,7 @@ def cdc_apply_orders(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+    return _materialize_and_cleanup(spark, audit, root)
 
 
 CDC_APPLY_ORDERS_SQL = """
@@ -583,10 +602,19 @@ def partition_pruning_probe(spark, sf_dir):
     wrong o_year directory would shift the 1997 aggregate); the
     pruning itself — only the ``o_year=1997`` directory is ever read —
     is pinned by ``tests/test_hygiene.py::
-    test_partition_pruning_reads_only_selected_year`` via
-    ``inputFiles()``, and dynamic partition pruning (runtime pruning
-    from a joined dim filter) by ``test_dynamic_partition_pruning``.
+    test_partition_pruning_reads_only_selected_year`` (on the lazy
+    inner frame, before materialization) and dynamic partition pruning
+    (runtime pruning from a joined dim filter) by
+    ``test_dynamic_partition_pruning``.
     """
+    audit, root = _partition_pruning_frame(spark, sf_dir)
+    return _materialize_and_cleanup(spark, audit, root)
+
+
+def _partition_pruning_frame(spark, sf_dir):
+    """Lazy inner: publish the partitioned table and build the pruned
+    aggregate; returns ``(frame, scratch_root)`` so the plan-pin test
+    can inspect the executed scan before the root is removed."""
     import uuid
 
     from ..functions.deterministic import dsum
@@ -602,7 +630,7 @@ def partition_pruning_probe(spark, sf_dir):
         partition_by=["o_year"],
     )
     t = cat.read_table("ops.orders_by_year")
-    return (
+    audit = (
         t.filter(F.col("o_year") == 1997)
         .groupBy("o_orderstatus")
         .agg(
@@ -612,6 +640,7 @@ def partition_pruning_probe(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+    return audit, root
 
 
 PARTITION_PRUNING_PROBE_SQL = """
@@ -647,7 +676,15 @@ def compact_small_files_audit(spark, sf_dir):
     aggregated FROM the compacted table read back off disk — the
     oracle hash-match proves the rewrite+rename promotion preserved
     every row and value. File-count reduction and the clustering are
-    pinned in ``tests/test_hygiene.py``."""
+    pinned in ``tests/test_hygiene.py`` (on the lazy inner frame)."""
+    audit, root = _compact_audit_frame(spark, sf_dir)
+    return _materialize_and_cleanup(spark, audit, root)
+
+
+def _compact_audit_frame(spark, sf_dir):
+    """Lazy inner: fragmented write → compaction → audit frame over the
+    compacted table; returns ``(frame, scratch_root)`` so the file-count
+    pin can call ``inputFiles()`` before the root is removed."""
     import uuid
 
     from ..functions.deterministic import dsum
@@ -661,7 +698,7 @@ def compact_small_files_audit(spark, sf_dir):
     )
     cat.compact_table("ops.orders_frag", sort_within_by=["o_orderkey"])
     t = cat.read_table("ops.orders_frag")
-    return (
+    audit = (
         t.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -671,6 +708,7 @@ def compact_small_files_audit(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+    return audit, root
 
 
 COMPACT_SMALL_FILES_AUDIT_SQL = """

@@ -1296,8 +1296,17 @@ QUERIES["ann_ivfpq_topk"] = QuerySpec(
 )
 
 
+# Panel cut / vote size shared by the Spark call AND the oracle SQL —
+# interpolated into both so a default change can never desynchronize
+# them (same pattern as _FH_BUCKETS / _KANON_K).
+_KNN_PROBES = 100
+_KNN_K = 5
+
+
 def knn_label_eval(spark, sf_dir):
-    return sim.knn_label_eval(load(spark, sf_dir, "embeddings"))
+    return sim.knn_label_eval(
+        load(spark, sf_dir, "embeddings"), n_probes=_KNN_PROBES, k=_KNN_K
+    )
 
 
 KNN_LABEL_EVAL_SQL = f"""
@@ -1305,8 +1314,8 @@ WITH normed AS (
   SELECT vec_id, label, svec, list_dot_product(svec, svec) AS norm_sq
   FROM (SELECT vec_id, label, {_SVEC} AS svec FROM embeddings)
 ),
-probes AS (SELECT * FROM normed WHERE vec_id < 100),
-train AS (SELECT * FROM normed WHERE vec_id >= 100),
+probes AS (SELECT * FROM normed WHERE vec_id < {_KNN_PROBES}),
+train AS (SELECT * FROM normed WHERE vec_id >= {_KNN_PROBES}),
 pairs AS (
   SELECT p.vec_id AS query_id, p.label AS true_label,
     t.vec_id AS neighbor_id, t.label AS neighbor_label,
@@ -1321,7 +1330,7 @@ ranked AS (
 ),
 votes AS (
   SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
-  FROM ranked WHERE rnk <= 5
+  FROM ranked WHERE rnk <= {_KNN_K}
   GROUP BY query_id, true_label, neighbor_label
 ),
 pick AS (

@@ -16,18 +16,22 @@ oracle can check value-for-value:
   rounds < N's accepted docs — the same LSH banding CTEs the
   ``incremental_neardup_probe`` oracle uses).
 
-Batch staging writes only to a per-call ``tempfile.mkdtemp`` dir; the
-returned frames read from the sink outputs (manifest parquet) or from
-the scalar audit envelopes — never a driver-side collect of data rows.
+Batch staging writes only to a per-call scratch dir
+(``core.scratch.scratch_dir`` — which also reaps stale same-prefix
+leftovers from prior runs, bounding /tmp growth across repeated bench /
+parity invocations); the returned frames read from the sink outputs
+(manifest parquet) or from the scalar audit envelopes — never a
+driver-side collect of data rows.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..core.scratch import scratch_dir
 
 from ..llm import dedup as D
 from ..llm.text import words_of
@@ -75,7 +79,7 @@ def streaming_pack_manifest(spark, sf_dir) -> DataFrame:
     b1, b2 = docs.agg(
         F.expr("percentile(doc_id, array(1.0D/3, 2.0D/3))")
     ).first()[0]
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_pack_")
+    work = scratch_dir("spark_graft_stream_pack_")
     src = _stage_batches(
         [
             docs.filter(F.col("doc_id") <= b1),
@@ -140,7 +144,7 @@ def streaming_ingest_dedup_audit(spark, sf_dir) -> DataFrame:
         .filter(F.col("doc_id") % 4 == 0)
         .select("doc_id", "text")
     )
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_ingest_")
+    work = scratch_dir("spark_graft_stream_ingest_")
     src = _stage_batches(
         [
             docs.filter(F.expr("(doc_id div 4) % 3") == i)
@@ -318,7 +322,7 @@ def streaming_drift_audit(spark, sf_dir) -> DataFrame:
     boundary = F.lit("2024-01-16").cast("timestamp")
     ref = ev.filter(F.col("ts") < boundary)
     cur = ev.filter(F.col("ts") >= boundary)
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_drift_")
+    work = scratch_dir("spark_graft_stream_drift_")
     src = _stage_batches(
         [cur.filter(F.col("event_id") % 3 == i) for i in range(3)], work
     )
@@ -447,7 +451,7 @@ def streaming_user_ewma(spark, sf_dir) -> DataFrame:
         "event_id", "ts", "user_id", "value"
     )
     t1 = F.lit("2024-01-16").cast("timestamp")
-    work = tempfile.mkdtemp(prefix="spark_graft_stream_ewma_")
+    work = scratch_dir("spark_graft_stream_ewma_")
     src = _stage_batches(
         [
             ev.filter(F.col("ts") < t1),

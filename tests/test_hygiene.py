@@ -150,20 +150,25 @@ def test_partition_pruning_reads_only_selected_year(spark, sf_dir):
     """The one-year probe must touch ONLY the o_year=1997 directory —
     the property that makes a year filter read 1/Nth of a 100 TB
     table. Pinned on the aggregate's actual scan file set."""
+    import shutil
+
     from spark_etl_agent_spark.queries.lifecycle import (
-        partition_pruning_probe,
+        _partition_pruning_frame,
     )
 
-    df = partition_pruning_probe(spark, sf_dir)
-    # inputFiles() snapshots the file index BEFORE partition filters
-    # apply, so the pin reads the executed plan: the scan must carry
-    # the year as a PartitionFilter (directory-level skip), and the
-    # data-filter list must NOT contain it (it never reaches rows).
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert scan and any("1997" in ln for ln in scan), plan[:2000]
-    rows = df.collect()
-    assert len(rows) > 0 and sum(r["n_orders"] for r in rows) > 0
+    df, root = _partition_pruning_frame(spark, sf_dir)
+    try:
+        # inputFiles() snapshots the file index BEFORE partition filters
+        # apply, so the pin reads the executed plan: the scan must carry
+        # the year as a PartitionFilter (directory-level skip), and the
+        # data-filter list must NOT contain it (it never reaches rows).
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert scan and any("1997" in ln for ln in scan), plan[:2000]
+        rows = df.collect()
+        assert len(rows) > 0 and sum(r["n_orders"] for r in rows) > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
@@ -197,16 +202,21 @@ def test_compact_small_files_audit_compacts(spark, sf_dir):
     """The audit query's scan must read the COMPACTED layout: a
     handful of files (vs the 48 fragments written), row count
     conserved."""
+    import shutil
+
     from spark_etl_agent_spark.queries.lifecycle import (
-        compact_small_files_audit,
+        _compact_audit_frame,
     )
 
-    df = compact_small_files_audit(spark, sf_dir)
-    rows = df.collect()
-    n_files = len(df.inputFiles())
-    assert 0 < n_files < 48, n_files
-    total = load(spark, sf_dir, "orders").count()
-    assert sum(r["n_orders"] for r in rows) == total
+    df, root = _compact_audit_frame(spark, sf_dir)
+    try:
+        rows = df.collect()
+        n_files = len(df.inputFiles())
+        assert 0 < n_files < 48, n_files
+        total = load(spark, sf_dir, "orders").count()
+        assert sum(r["n_orders"] for r in rows) == total
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def test_hll_union_daily_users_merges_multiple_sketches(spark, sf_dir):
@@ -249,6 +259,49 @@ def test_kanon_suppress_conserves_rows_and_masks_small_groups(spark, sf_dir):
         & (F.col("region_band").isNotNull() | F.col("c_mktsegment").isNotNull())
     ).count()
     assert leaked == 0
+
+
+def test_documents_base_text_is_digit_and_at_free(spark, sf_dir):
+    """PIN for pii_scrub_report's Java-vs-RE2 parity precondition: the
+    injected PII spans are the ONLY digit/'@' material in the text, so
+    leftmost-first (Java) and leftmost-longest (RE2) agree on every
+    match. If a fixture regeneration ever introduces digits or '@' into
+    the base documents, this fails with a clear message instead of a
+    confusing oracle hash mismatch."""
+    dirty = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("[0-9@]"))
+        .count()
+    )
+    assert dirty == 0, (
+        f"{dirty} documents contain digits or '@' — the pii_scrub_report "
+        "regex-dialect parity precondition no longer holds; revisit "
+        "queries/hygiene.py's injection design before trusting the oracle"
+    )
+
+
+def test_kanon_suppress_null_qi_rows_are_kept_and_suppressed(spark, sf_dir):
+    """Rows whose QI tuple contains NULL must NOT be dropped by the
+    size join (a plain equi-join would lose them); they form their own
+    group and are suppressed/flagged when that group is below k."""
+    from spark_etl_agent_spark.operators.privacy import kanon_suppress
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        # custkeys 0..3 get a NULL segment -> a below-k NULL-QI group
+        F.when(F.col("c_custkey") <= 3, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        (F.col("c_nationkey") % 5).alias("region_band"),
+    )
+    n = cust.count()
+    out = kanon_suppress(cust, ["region_band", "c_mktsegment"], 55)
+    assert out.count() == n, "NULL-QI rows were dropped by the size join"
+    null_rows = out.filter(F.col("c_custkey") <= 3).collect()
+    assert len(null_rows) == 4
+    # their groups (one per region_band among 4 rows) are far below k
+    assert all(r["suppressed"] for r in null_rows)
+    assert all(r["region_band"] is None for r in null_rows)
 
 
 def test_cohort_retention_invariants(spark, sf_dir):
