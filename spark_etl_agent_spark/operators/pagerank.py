@@ -10,10 +10,13 @@ programs" shape next to :mod:`..llm.kmeans` and
 
 Scale design (the 100 TB story):
 
-- The edge list is the big table; it is persisted ONCE with a hash
-  partitioning on ``src``, so every round's edges⋈contributions join
-  reuses the cached exchange — per round only the node-sized rank
-  table shuffles, never the edges.
+- The edge list is the big table; it is materialized ONCE and per
+  round only the node-sized rank state ever moves. Below a counted
+  node-total gate the rank frame is broadcast into each round's join
+  (edges scanned map-side, no per-round exchange or sort on the E
+  side); above it the edges are persisted hash-partitioned and sorted
+  by ``src`` so every round's sort-merge join reuses the cached
+  exchange AND ordering — either way, no round shuffles the edges.
 - Per-source contributions are computed on the node-sized rank frame
   (one join with the degree table, both node-keyed), THEN joined to
   edges — the rank÷degree division happens N times, not E times.
@@ -110,20 +113,41 @@ def pagerank(
     checkpoint_mode: str = "auto",
     checkpoint_dir: Optional[str] = None,
     symmetric: bool = False,
+    max_broadcast_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Run ``iters`` integer PageRank rounds over the directed edge
     list and return ``(node, degree, rank_micro)`` for every node that
     appears as a source (for an undirected graph pass the symmetric
     edge list — every node then has out-degree ≥ 1 and no mass dangles).
 
-    Deterministic for any edge order, partition count, and engine:
-    int64 algebra only (see module docstring).
+    Deterministic for any edge order, partition count, engine, and
+    join strategy: int64 algebra only (see module docstring), so the
+    broadcast/shuffle choice below can never change a value.
 
-    Cache lifetime: the symmetric edge list stays persisted (it backs
-    every round of the returned lazy-checkpoint chain, so it cannot be
-    released here); callers that loop pagerank in a long-lived session
-    release it with their scoped cache sweep (the bench harness idiom)
-    or ``spark.catalog.clearCache()`` at a job boundary.
+    Two physical round shapes, gated on the COUNTED node total (one
+    cheap node-sized action at setup — the only scalar the driver ever
+    reads):
+
+    - ``n_nodes ≤ max_broadcast_nodes`` — the rank frame is broadcast
+      into each round's join. The edge list is then scanned purely
+      map-side (no sort, no exchange on the E side, partial aggregation
+      before the node-keyed shuffle), so a round costs one cached-scan
+      + one node-sized exchange. The default gate (4M nodes ≈ tens of
+      MB hashed) keeps the broadcast well under executor memory; the
+      rank frame is node-sized by construction, never data-sized.
+    - larger graphs — the rank frame is the shuffled side of a
+      sort-merge join against the edge list persisted hash-partitioned
+      AND sorted by ``src`` (``sortWithinPartitions`` makes the cached
+      scan advertise the SMJ's required ordering, so no round ever
+      re-sorts the E side); only the node-sized contributions shuffle
+      per round. This is the 100 TB posture: nothing node-count-sized
+      is ever collected or broadcast.
+
+    Cache lifetime: the edge list stays persisted (it backs every round
+    of the returned lazy-checkpoint chain, so it cannot be released
+    here); callers that loop pagerank in a long-lived session release
+    it with their scoped cache sweep (the bench harness idiom) or
+    ``spark.catalog.clearCache()`` at a job boundary.
 
     Fault tolerance: ``checkpoint_mode`` picks between the local-mode
     fast path (``localCheckpoint``, executor block storage) and the
@@ -133,13 +157,15 @@ def pagerank(
 
     ``symmetric=True`` declares that the edge list is symmetric (every
     node with out-edges also has in-edges — the undirected encoding).
-    That makes the inbound aggregation itself cover EVERY ranked node,
-    so the per-round join back to the degree table is dead weight: the
-    (static) destination degree is attached to the edge list once and
-    rebuilt in the round aggregation as a ``max`` — one join fewer per
-    round, iters fewer joins per run. On a directed graph this would
-    silently drop source-only nodes (no in-edges → no aggregation row →
-    their next-round contribution vanishes), so it must stay opt-in.
+    Then in-degree == out-degree per node, so the per-destination
+    degree is attached to the edge list ONCE by a window count inside
+    the same job that materializes the edges (one eager E-pass instead
+    of checkpoint + annotation join + repartition), and each round
+    rebuilds the carried degree as a ``max`` inside its aggregation —
+    no per-round join back to a degree table at all. On a directed
+    graph this would silently drop source-only nodes (no in-edges → no
+    aggregation row → their next-round contribution vanishes), so it
+    must stay opt-in.
     """
     spark = edges.sparkSession
     # Partition the loop state by the SESSION's shuffle partitioning,
@@ -153,82 +179,111 @@ def pagerank(
 
     # Collapse the (possibly deep) upstream plan to an RDD leaf FIRST
     # (every round's compile re-traverses the full analyzed plan
-    # otherwise — measured as the dominant driver cost of the loop),
-    # THEN hash-partition on src and persist. Order matters: a
-    # checkpoint taken under AQE erases the plan's outputPartitioning
-    # (the RDD scan reports Unknown), so checkpointing AFTER the
-    # repartition re-shuffles the full edge list in EVERY round's join
-    # — the E-sized-per-round shuffle this operator exists to avoid.
-    # The persisted exchange, by contrast, surfaces as an
-    # InMemoryTableScan that still advertises hashpartitioning(src), so
-    # each round's edges⋈contributions join reuses it exchange-free.
-    raw = ckpt(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-        eager=True,
-    )
-    if symmetric:
-        # The loop only ever joins the DEGREE-ANNOTATED edge list, so
-        # persisting a bare src-partitioned copy first would store the
-        # edges twice for nothing — build degrees straight off the raw
-        # checkpoint and persist ONLY the annotated, src-partitioned
-        # list the rounds consume (one E-sized cache instead of two;
-        # same exchange count: the groupBy shuffles raw once either
-        # way, and the annotation join + repartition happen once).
-        e = None
-    else:
-        e = raw.repartition(npart, "src").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-
+    # otherwise — measured as the dominant driver cost of the loop).
     # Checkpoint semantics under AQE (measured, not assumed): even
     # localCheckpoint(eager=False) materializes the subplan's query
     # stages, because AdaptiveSparkPlanExec.execute() must run its
     # exchanges to pick the final plan — so every checkpoint is a real
-    # execution, and checkpoint cadence IS the loop's cost knob. With
-    # the edge list collapsed to an RDD leaf the round lineage is a
-    # linear chain (each rank frame consumed exactly once), so
-    # checkpointing every round buys nothing and every-2-rounds
-    # measured fastest (4.9 → 2.5 s warm at sf0.1); lineage depth
-    # stays bounded at `checkpoint_every` rounds either way.
-    deg_src = e if e is not None else raw
-    deg = (
-        deg_src.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    deg = ckpt(deg, eager=False)
-
-    # the rank frame CARRIES the (static) degree so each round needs no
-    # ranks⋈deg join — per round: one node-sized projection (rank ÷
-    # degree), the edges⋈contrib join (edges exchange reused from the
-    # persist), one groupBy(dst), and — directed graphs only — one
-    # deg⋈inbound join to rebuild the carried degree (the symmetric
-    # path rebuilds it inside the aggregation instead).
-    ranks = ckpt(
-        deg.select(
-            "node",
-            "degree",
-            F.lit(int(1_000_000)).cast("long").alias("rank_micro"),
-        ),
-        eager=False,
-    )
-
+    # execution, and checkpoint cadence IS the loop's cost knob.
     if symmetric:
-        # static per-destination degree attached to the edges ONCE
-        # (setup-time join + re-partition on src), repaid as one join
-        # fewer in every round
+        # Degree-annotate INSIDE the one eager setup job: a window
+        # count over dst (in-degree == out-degree by the symmetric
+        # contract) costs one dst-keyed exchange in the same pass that
+        # materializes the checkpoint — replacing the old three-step
+        # setup (bare checkpoint, degree join, src repartition) that
+        # stored the edge list twice and shuffled it three times.
+        from pyspark.sql import Window
+
+        e = ckpt(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .withColumn(
+                "dst_degree",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("dst"))
+                .cast("long"),
+            ),
+            eager=True,
+        )
+        # Fused round 1 (symmetric + uniform init): round-1
+        # contributions are the CONSTANT ``init div deg(u)``, and on a
+        # symmetric annotated edge list every in-edge (u→v) has a
+        # mirrored row (v, u, deg(u)) — so node v's inbound sum is just
+        # ``sum(init div dst_degree)`` grouped on ``src``, and its
+        # degree is the group count. One map-side aggregation replaces
+        # the degree build, the rank init, AND round 1's join; its
+        # node-sized output doubles as the broadcast-gate count. (A
+        # directed graph can't do this: the mirrored row need not
+        # exist.)
+        if iters >= 1:
+            ranks = ckpt(
+                e.groupBy(F.col("src").alias("node")).agg(
+                    F.count(F.lit(1)).alias("degree"),
+                    (
+                        F.lit(int(teleport_micro))
+                        + F.expr(
+                            f"({int(damping_pm)} * sum(1000000 div "
+                            "dst_degree)) div 1000"
+                        )
+                    ).cast("long").alias("rank_micro"),
+                ),
+                eager=False,
+            )
+        else:
+            ranks = e.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree"),
+                F.lit(int(1_000_000)).cast("long").alias("rank_micro"),
+            )
+        start_iter = 1
+    else:
+        e = ckpt(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+            eager=True,
+        )
+        deg = ckpt(
+            e.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).alias("degree")
+            ),
+            eager=False,
+        )
+        ranks = ckpt(
+            deg.select(
+                "node",
+                "degree",
+                F.lit(int(1_000_000)).cast("long").alias("rank_micro"),
+            ),
+            eager=False,
+        )
+        start_iter = 0
+
+    # The broadcast gate: the only scalar the driver ever reads — the
+    # node count, read off a frame the loop needs materialized anyway
+    # (the fused round-1 checkpoint on the symmetric path, the degree
+    # checkpoint on the directed path), so the gate costs no extra
+    # pass over the edges. Only the big-graph sort-merge path pays the
+    # repartition + persist re-shape.
+    n_nodes = (ranks if symmetric else deg).count()
+    use_broadcast = n_nodes <= int(max_broadcast_nodes)
+    if not use_broadcast:
         e = (
-            raw.join(deg, raw.dst == deg.node)
-            .select("src", "dst", F.col("degree").alias("dst_degree"))
-            .repartition(npart, "src")
+            e.repartition(npart, "src")
+            .sortWithinPartitions("src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-    for it in range(iters):
+    # the rank frame CARRIES the (static) degree so each round needs no
+    # ranks⋈deg join — per round: one node-sized projection (rank ÷
+    # degree), the edges⋈contrib join, one groupBy(dst), and — directed
+    # graphs only — one node-sized deg⋈inbound join to rebuild the
+    # carried degree (the symmetric path rebuilds it inside the
+    # aggregation instead).
+    for it in range(start_iter, iters):
         # node-sized: rank ÷ degree once per node, not once per edge
         contrib = ranks.select(
             "node",
             F.expr("rank_micro div degree").cast("long").alias("contrib"),
         )
+        if use_broadcast:
+            contrib = F.broadcast(contrib)
         if symmetric:
             ranks = (
                 e.join(contrib, e.src == contrib.node)
@@ -249,6 +304,8 @@ def pagerank(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("contrib").alias("acc"))
             )
+            if use_broadcast:
+                inbound = F.broadcast(inbound)
             ranks = deg.join(inbound, "node", "left").select(
                 "node",
                 "degree",
@@ -264,6 +321,9 @@ def pagerank(
         # per-round checkpoint makes the DRIVER cost quadratic-ish in
         # rounds; every-other-round halves the compiles while keeping
         # lineage depth (and thus each compile) bounded at k rounds.
+        # Each rank frame is consumed exactly once (by the next round's
+        # join — in broadcast mode, by its broadcast build), so a
+        # k-deep unckeckpointed chain never re-executes a round.
         # The LAST round is deliberately not forced: the caller's
         # terminal action consumes a ≤k-round lineage directly, saving
         # one materialization job per run.

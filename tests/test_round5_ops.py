@@ -54,6 +54,27 @@ def test_pagerank_symmetric_path_matches_directed_path(spark):
     assert a == b
 
 
+def test_pagerank_broadcast_gate_sides_agree(spark):
+    """The node-count broadcast gate is a physical-plan choice only:
+    forcing the big-graph sort-merge path (max_broadcast_nodes=0) must
+    be value-identical to the broadcast fast path, on both the
+    symmetric and the directed round shapes."""
+    edges = _sym(spark, [(i, (i * 7) % 23) for i in range(1, 23)])
+    for sym in (False, True):
+        fast = sorted(
+            map(tuple, pagerank(edges, iters=4, symmetric=sym).collect())
+        )
+        big = sorted(
+            map(
+                tuple,
+                pagerank(
+                    edges, iters=4, symmetric=sym, max_broadcast_nodes=0
+                ).collect(),
+            )
+        )
+        assert fast == big, f"symmetric={sym}"
+
+
 def test_semantic_dedup_cell_width_guard(spark):
     """k=1 puts every vector in one cell — the guard must refuse the
     quadratic compare, naming the width."""
