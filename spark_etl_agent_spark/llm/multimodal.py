@@ -365,29 +365,48 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
 
 
 def png_gray_pixels(raw: bytes):
-    """Full PNG decode to grayscale pixel bytes: reuse the validated
-    chunk walk of :func:`png_parse`, then strip the per-scanline filter
-    byte (the encoder writes filter 0 / None). Returns
-    ``(width, height, pixels)`` with ``len(pixels) == width·height``."""
-    width, height, _bd, _ct, ok = png_parse(raw)
-    if not ok:
-        raise ValueError("PNG pixel stream length mismatch")
-    # re-walk for the IDAT payload (png_parse validated all CRCs)
+    """Full PNG decode to grayscale pixel bytes: one validated chunk
+    walk (signature, IHDR length + CRC, per-chunk CRC — the same checks
+    as :func:`png_parse`), ONE inflate, then a vectorized strip of the
+    per-scanline filter byte (the encoder writes filter 0 / None).
+    Returns ``(width, height, pixels)`` with
+    ``len(pixels) == width·height``. (Earlier revisions delegated the
+    walk to ``png_parse`` and re-inflated the IDAT stream a second time
+    for the pixels — this is the single-pass rewrite.)"""
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    (length,) = struct.unpack(">I", raw[8:12])
+    if raw[12:16] != b"IHDR" or length != 13:
+        raise ValueError("first chunk is not IHDR")
+    ihdr = raw[16:29]
+    (crc,) = struct.unpack(">I", raw[29:33])
+    if zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR CRC mismatch")
+    width, height, _bd, _ct = struct.unpack(">IIBB", ihdr[:10])
     idat, pos = b"", 33
     while pos + 8 <= len(raw):
         (clen,) = struct.unpack(">I", raw[pos : pos + 4])
         tag = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        (ccrc,) = struct.unpack(">I", raw[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != ccrc:
+            raise ValueError(f"{tag!r} CRC mismatch")
         if tag == b"IDAT":
-            idat += raw[pos + 8 : pos + 8 + clen]
+            idat += data
         if tag == b"IEND":
             break
         pos += 12 + clen
     flat = zlib.decompress(idat)
-    rows = [
-        flat[r * (width + 1) + 1 : (r + 1) * (width + 1)]
-        for r in range(height)
-    ]
-    return width, height, b"".join(rows)
+    if len(flat) != height * (width + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    pixels = (
+        np.frombuffer(flat, dtype=np.uint8)
+        .reshape(height, width + 1)[:, 1:]
+        .tobytes()
+    )
+    return width, height, pixels
 
 
 AHASH_SCHEMA = (
@@ -410,48 +429,72 @@ def perceptual_ahash(df: DataFrame) -> DataFrame:
     analytic restatement of the synthetic pixel generator.
 
     Arrow-batched ``mapInPandas`` — embarrassingly parallel, one scan,
-    no shuffle."""
+    no shuffle. The grid binning is vectorized across the WHOLE Arrow
+    batch: all decoded images are concatenated into one pixel vector,
+    cell ids are offset per image (image i owns cells [64·i, 64·i+64)),
+    and a single ``bincount`` per batch produces every image's 8×8
+    grid at once — no per-image numpy round trips. ``bincount``'s
+    float64 weighted sums are exact here (a cell sum is ≤ 255·W·H,
+    integer-exact in float64 below 2^53 — i.e. up to ~184-gigapixel
+    images), so the int64 cast loses nothing."""
     import numpy as np
+
+    _empty = {
+        "doc_id": pd.Series([], dtype="int64"),
+        "width": pd.Series([], dtype="int32"),
+        "height": pd.Series([], dtype="int32"),
+        "ahash_bits": pd.Series([], dtype="object"),
+        "n_set_bits": pd.Series([], dtype="int32"),
+    }
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {
-                "doc_id": [],
-                "width": [],
-                "height": [],
-                "ahash_bits": [],
-                "n_set_bits": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(_empty)
+                continue
+            widths = np.empty(n, dtype=np.int64)
+            heights = np.empty(n, dtype=np.int64)
+            pix_parts = []
+            for i, payload in enumerate(pdf["payload"]):
                 w, h, pix = png_gray_pixels(bytes(payload))
-                a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
-                idx = np.arange(w * h)
-                x, y = idx % w, idx // w
-                cell = (y * 8 // h) * 8 + (x * 8 // w)
-                sums = np.bincount(cell, weights=a, minlength=64).astype(
-                    np.int64
-                )
-                counts = np.bincount(cell, minlength=64)
-                pop = counts > 0
-                v = np.zeros(64, dtype=np.int64)
-                v[pop] = sums[pop] // counts[pop]
-                thresh = int(v[pop].sum()) // int(pop.sum())
-                bits = (v > thresh) & pop
-                out["doc_id"].append(int(doc_id))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["ahash_bits"].append(
-                    "".join("1" if b else "0" for b in bits)
-                )
-                out["n_set_bits"].append(int(bits.sum()))
+                widths[i], heights[i] = w, h
+                pix_parts.append(np.frombuffer(pix, dtype=np.uint8))
+            sizes = widths * heights
+            flat = np.concatenate(pix_parts).astype(np.int64)
+            img = np.repeat(np.arange(n), sizes)
+            starts = np.cumsum(sizes) - sizes
+            off = np.arange(flat.size) - np.repeat(starts, sizes)
+            wv, hv = widths[img], heights[img]
+            x, y = off % wv, off // wv
+            cell = img * 64 + (y * 8 // hv) * 8 + (x * 8 // wv)
+            sums = (
+                np.bincount(cell, weights=flat, minlength=64 * n)
+                .astype(np.int64)
+                .reshape(n, 64)
+            )
+            counts = np.bincount(cell, minlength=64 * n).reshape(n, 64)
+            pop = counts > 0
+            v = np.zeros((n, 64), dtype=np.int64)
+            np.floor_divide(sums, counts, out=v, where=pop)
+            # every image has ≥1 populated cell (w·h ≥ 1), so the
+            # per-image threshold division is always defined
+            thresh = np.where(pop, v, 0).sum(axis=1) // pop.sum(axis=1)
+            bits = (v > thresh[:, None]) & pop
+            chars = np.where(bits, 49, 48).astype(np.uint8).tobytes()
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "width": pd.Series(out["width"], dtype="int32"),
-                    "height": pd.Series(out["height"], dtype="int32"),
-                    "ahash_bits": out["ahash_bits"],
+                    "doc_id": pd.Series(
+                        pdf["doc_id"].to_numpy(), dtype="int64"
+                    ),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "ahash_bits": [
+                        chars[i * 64 : (i + 1) * 64].decode("ascii")
+                        for i in range(n)
+                    ],
                     "n_set_bits": pd.Series(
-                        out["n_set_bits"], dtype="int32"
+                        bits.sum(axis=1), dtype="int32"
                     ),
                 }
             )
