@@ -48,6 +48,8 @@ class CorpusIngestService:
         min_jaccard: float = 0.6,
         max_drop_ratio: float = 0.5,
         alerter: Optional[Alerter] = None,
+        compact_threshold_files: Optional[int] = 64,
+        compact_target_file_mb: int = 128,
     ) -> None:
         self.catalog = catalog
         self.incoming_table = incoming_table
@@ -55,6 +57,40 @@ class CorpusIngestService:
         self.min_jaccard = min_jaccard
         self.max_drop_ratio = max_drop_ratio
         self.alerter = alerter or LogAlerter()
+        self.compact_threshold_files = compact_threshold_files
+        self.compact_target_file_mb = compact_target_file_mb
+
+    def run_index_maintenance(self) -> Dict[str, Any]:
+        """The ingest sink's maintenance step: the accepted table (==
+        the dedup index) accretes one-plus parquet files per drained
+        micro-batch, and at scale the per-file open/footer cost of the
+        index's pruned column scan grows with the file count, not the
+        data. When the file count exceeds ``compact_threshold_files``,
+        rewrite the table via :meth:`Catalog.compact_table`, sorted
+        within files by ``doc_id`` so the probe's candidate-row reads
+        get selective per-file min/max stats. Compaction only re-lays
+        the SAME rows out — probe verdicts are invariant under it
+        (pinned by the ``ingest_compaction_probe`` registry query's
+        oracle and ``tests/test_jobs.py``)."""
+        files_before = self.catalog.table_file_count(self.accepted_table)
+        compacted = (
+            self.compact_threshold_files is not None
+            and files_before > self.compact_threshold_files
+        )
+        files_after = files_before
+        if compacted:
+            files_after = self.catalog.compact_table(
+                self.accepted_table,
+                target_file_mb=self.compact_target_file_mb,
+                sort_within_by=["doc_id"],
+            )
+        return {
+            "table": self.accepted_table,
+            "files_before": files_before,
+            "files_after": files_after,
+            "compacted": compacted,
+            "threshold_files": self.compact_threshold_files,
+        }
 
     def _index_provider(self):
         """The accepted table is the index; absent (or still empty —
@@ -150,6 +186,11 @@ class CorpusIngestService:
                 )
                 alerted_batches.append(batch_id)
 
+        # maintenance: compact the accreted index files once they pass
+        # the threshold — part of the scheduled run so no operator has
+        # to remember a separate job (a no-op below the threshold)
+        maintenance = self.run_index_maintenance()
+
         end_time = datetime.now()
         duration = (end_time - start_time).total_seconds()
         self.alerter.send_completion_notification(
@@ -174,4 +215,5 @@ class CorpusIngestService:
             "n_novel": n_novel,
             "min_jaccard": self.min_jaccard,
             "drop_alert_batches": alerted_batches,
+            "maintenance": maintenance,
         }

@@ -217,84 +217,80 @@ def _collect_modules():
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
 DRIVER_WINDOW = (
-    # -- round 8 rotation: plan- or oracle-changed queries first (5:
-    #    corpus_build_funnel restructured around one shared shingle
-    #    frame; gopher_repetition_rules collapsed to one conditional
-    #    aggregation; supplier_pagerank gained the symmetric fast path
-    #    and the cached-exchange edge list; mg_heavy_hitter_tokens'
-    #    oracle literal was cast to DOUBLE; streaming_running_totals
-    #    re-measured for the floor analysis — results unchanged for
-    #    all five, re-checked anyway; corpus_release_e2e is NEW: the
-    #    release job run end-to-end, audited from its published
-    #    artifacts; streaming_ingest_dedup_audit switched to the
-    #    INDEXED ingest sink — stored signatures probed instead of
-    #    re-minhashing the corpus, values proven identical but the
-    #    plan is new), then ALL 34 remaining r04-era rows (the
-    #    verdict's #3 ask — after this round no name's latest green
-    #    driver row predates r05). indexed_ingest_probe and ivf_append_assign are
-    #    NEW this round (the stored-artifact document probe and the
-    #    frozen-codebook vector-index append). Late round-8 additions
-    #    pii_scrub_report / feature_hash_buckets / union_by_name_migration
-    #    (the hygiene module) / knn_label_eval / cdc_apply_orders /
-    #    partition_pruning_probe / compact_small_files_audit are NEW
-    #    and lead; the whole r05-era tail (7 names) rotated out to keep
-    #    the window at 50 — the r05 staleness cohort is round 9's
-    #    window fill. --
-    "pii_scrub_report",
-    "feature_hash_buckets",
-    "union_by_name_migration",
-    "knn_label_eval",
+    # -- round 9 rotation. LEADS (4): the queries that landed after
+    #    round 8's window filled and have NEVER had a driver row —
+    #    the round-8 verdict's #1 ask; they stay first and nothing
+    #    may be added ahead of them. --
+    "kanon_publish_audit",
+    "cohort_retention",
+    "source_kl_divergence",
+    "pii_entity_linking",
+    # -- NEW this round: the ingest index's compaction-invariance
+    #    probe (fragmented write → probe → compact_table maintenance
+    #    → re-probe; verdict's #7 ask). --
+    "ingest_compaction_probe",
+    # -- changed-plan re-checks (12): supplier_pagerank was
+    #    restructured (broadcast-gated rounds, fused symmetric round
+    #    1); image_ahash_report's binning was batch-vectorized and its
+    #    PNG decode single-inflated; cdc_apply_orders /
+    #    partition_pruning_probe / compact_small_files_audit /
+    #    corpus_release_e2e now materialize their audit frames and
+    #    delete their scratch roots; knn_label_eval's oracle is
+    #    constant-interpolated (rendered SQL identical — cheap
+    #    re-check); indexed_ingest_probe and the four streaming-sink
+    #    queries moved to reaped scratch dirs (same plans, re-checked
+    #    anyway). Values proven unchanged locally for all 12. --
+    "supplier_pagerank",
+    "image_ahash_report",
     "cdc_apply_orders",
     "partition_pruning_probe",
     "compact_small_files_audit",
-    "hll_union_daily_users",
     "corpus_release_e2e",
+    "knn_label_eval",
     "indexed_ingest_probe",
-    "ivf_append_assign",
+    "streaming_drift_audit",
+    "streaming_pack_manifest",
     "streaming_ingest_dedup_audit",
-    "corpus_build_funnel",
-    "gopher_repetition_rules",
-    "supplier_pagerank",
-    "mg_heavy_hitter_tokens",
-    # (streaming_running_totals rotated back out: the round-8 entry was
-    #  only a re-MEASURE — the floor analysis — with result and oracle
-    #  unchanged and its r07 driver row green; its slot goes to the new
-    #  hll_union_daily_users, which has no driver row at all yet.)
-    # stalest: last green driver row round 4 (all 34) --
-    "filtered_aggregates",
-    "grouping_sets_revenue",
-    "idle_rich_customers",
-    "large_volume_orders",
-    "lone_returner_suppliers",
-    "market_share",
-    "min_cost_supplier",
-    "multimodal_wav_decode",
-    "nation_trade_volume",
-    "nation_year_profit",
-    "orders_table_profile",
-    "parts_supplier_counts",
-    "promo_revenue_share",
-    "quantity_profile",
-    "returned_item_revenue",
-    "revenue_share_parts",
-    "salted_agg_lineitem",
-    "scd2_priority_history",
-    "shipmode_priority_counts",
-    "small_quantity_revenue",
-    "snapshot_diff_orders",
-    "stratified_sample_docs",
-    "streaming_session_agg",
-    "streaming_sliding_agg",
-    "streaming_static_enrichment",
-    "streaming_watermark_dedup",
-    "string_similarity_pairs",
-    "tfidf_top_terms",
-    "top_supplier_quarter",
-    "trailing_interval_revenue",
-    "train_val_test_counts",
-    "unpivot_quarterly",
-    "weighted_sample_docs",
-    "window_value_functions",
+    "streaming_user_ewma",
+    # -- r05 staleness-cohort drain (33): the alphabetically-first
+    #    names whose latest green driver row is still r05 (the
+    #    verdict's #4 ask; image_ahash_report / streaming_drift_audit /
+    #    streaming_pack_manifest are cohort members already re-checked
+    #    above). 10 cohort names remain for round 10's fill —
+    #    comfortably under the ≤20 bar. --
+    "ann_ivf_topk",
+    "approx_distinct_parts",
+    "bloom_ingest_dedup",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "chunk_documents",
+    "corpus_cluster_quality",
+    "corpus_datacard",
+    "corpus_shuffle_order",
+    "decontaminate_corpus",
+    "drift_psi_report",
+    "duplicate_span_stats",
+    "embedding_cosine_neardup",
+    "embedding_covariance",
+    "embedding_label_medoids",
+    "embedding_quantize_int8",
+    "exact_dedup",
+    "hard_negatives_embeddings",
+    "incremental_neardup_probe",
+    "jcap_pa_extract",
+    "join_skew_report",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "mixture_plan_langs",
+    "mixture_resample_counts",
+    "mixture_temperature_langs",
+    "neardup_components",
+    "neardup_triangles",
+    "ngram_jaccard_dedup",
+    "pack_documents",
+    "packing_audit",
+    "per_domain_holdout",
+    "pmi_word_pairs",
 )
 
 

@@ -346,6 +346,87 @@ def indexed_ingest_probe(spark, sf_dir):
     )
 
 
+def ingest_compaction_probe(spark, sf_dir):
+    """Probe-invariance under index compaction — the maintenance story
+    of the ingest-dedup sink (``jobs/ingest.py::run_index_maintenance``
+    → ``sources/catalog.py::compact_table``): a micro-batch sink
+    accretes one-plus parquet files per trigger, and the maintenance
+    pass must be able to rewrite the accepted/index table WITHOUT
+    changing any future probe verdict.
+
+    The query stages a deliberately fragmented artifact index (24-way
+    round-robin — the accreted-small-files shape), probes the arriving
+    batch against it and PUBLISHES those pre-compaction verdicts to a
+    table, runs the ingest job's real maintenance step (threshold
+    crossed → ``compact_table`` sorted within files by ``doc_id``),
+    re-probes the compacted index, and returns the post-compaction
+    verdicts each carrying ``matches_precompact`` — a null-safe
+    all-column comparison against the published pre-compaction row via
+    a full outer join (a dropped or duplicated doc surfaces as an
+    unmatched row, not a silent inner-join loss). The oracle computes
+    the verdicts once from the raw documents and asserts
+    ``matches_precompact = TRUE`` for every row, so ANY layout
+    sensitivity in the probe (or row loss in the rewrite) breaks the
+    hash match. The file-count reduction itself is asserted in-query
+    (raise if maintenance didn't shrink the table) and pinned in
+    ``tests/test_jobs.py``."""
+    from pyspark import StorageLevel
+
+    from ..core.scratch import scratch_dir
+    from ..jobs.ingest import CorpusIngestService
+    from ..sources.catalog import Catalog
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    work = scratch_dir("spark_graft_ingest_compact_")
+    cat = Catalog(spark, work)
+    cat.write_table(
+        D.ingest_artifacts(docs.filter(F.col("doc_id") % 10 != 0))
+        .repartition(24),
+        "corpus.accepted",
+        mode="overwrite",
+    )
+    batch_art = D.ingest_artifacts(
+        docs.filter(F.col("doc_id") % 10 == 0)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pre = D.incremental_neardup_verdicts_indexed(
+        cat.read_table("corpus.accepted"), batch_art, min_jaccard=0.6
+    )
+    cat.write_table(pre, "probe.pre", mode="overwrite")
+
+    svc = CorpusIngestService(cat, compact_threshold_files=8)
+    maint = svc.run_index_maintenance()
+    if not maint["compacted"] or (
+        maint["files_after"] >= maint["files_before"]
+    ):
+        raise RuntimeError(f"compaction did not reduce files: {maint}")
+
+    post = D.incremental_neardup_verdicts_indexed(
+        cat.read_table("corpus.accepted"), batch_art, min_jaccard=0.6
+    )
+    pre_t = cat.read_table("probe.pre")
+    q, p = post.alias("q"), pre_t.alias("p")
+    same = (
+        F.col("q.n_matches").eqNullSafe(F.col("p.n_matches"))
+        & F.col("q.best_match_id").eqNullSafe(F.col("p.best_match_id"))
+        & F.col("q.best_jaccard").eqNullSafe(F.col("p.best_jaccard"))
+        & F.col("q.is_novel").eqNullSafe(F.col("p.is_novel"))
+    )
+    return q.join(p, "doc_id", "full").select(
+        "doc_id",
+        F.col("q.n_matches").alias("n_matches"),
+        F.col("q.best_match_id").alias("best_match_id"),
+        F.col("q.best_jaccard").alias("best_jaccard"),
+        F.col("q.is_novel").alias("is_novel"),
+        same.alias("matches_precompact"),
+    )
+
+
+INGEST_COMPACTION_PROBE_SQL = f"""
+SELECT *, TRUE AS matches_precompact
+FROM ({INCREMENTAL_NEARDUP_PROBE_SQL})
+"""
+
+
 def bloom_ingest_dedup(spark, sf_dir):
     """Bloom-gated ingest dedup: which arriving-batch documents are new
     vs the standing corpus index, where the index side is only ever
@@ -723,6 +804,13 @@ QUERIES = {
         INCREMENTAL_NEARDUP_PROBE_SQL,
         "Same verdicts via STORED index artifacts (hash+signature columns)",
         ("dedup", "llm", "join", "streaming"),
+    ),
+    "ingest_compaction_probe": QuerySpec(
+        "ingest_compaction_probe", ingest_compaction_probe,
+        INGEST_COMPACTION_PROBE_SQL,
+        "Probe verdicts invariant under the ingest index's compaction "
+        "maintenance (fragmented write -> probe -> compact -> re-probe)",
+        ("dedup", "llm", "lifecycle", "jobs"),
     ),
     "bloom_ingest_dedup": QuerySpec(
         "bloom_ingest_dedup", bloom_ingest_dedup, BLOOM_INGEST_DEDUP_SQL,

@@ -215,6 +215,19 @@ class Catalog:
             raise IOError(f"swap_in: could not promote staged {staged}")
         fs.delete(backup, True)
 
+    def table_file_count(self, name: str) -> int:
+        """Number of parquet data files under the table directory —
+        the scalar a maintenance policy gates compaction on (a
+        micro-batch sink accretes one-plus files per trigger)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return sum(
+            1
+            for f in fs.listStatus(jpath)
+            if f.getPath().getName().endswith(".parquet")
+        )
+
     def compact_table(
         self,
         name: str,

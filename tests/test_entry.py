@@ -54,43 +54,42 @@ def test_driver_window_is_first_50_registry_entries():
 
     assert list(registry())[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     assert len(DRIVER_WINDOW) == 50
-    # round-8 rotation contract: new + plan/oracle-changed queries lead,
-    # then ALL 34 remaining r04-era rows (draining the staleness tail —
-    # the r07 verdict's #3 ask); the r05-era tail rotated out entirely
-    # to make room for the 7 late-round-8 additions
-    assert DRIVER_WINDOW[0] == "pii_scrub_report"      # new: hygiene
-    assert DRIVER_WINDOW[1] == "feature_hash_buckets"  # new: hygiene
-    assert DRIVER_WINDOW[2] == "union_by_name_migration"  # new: hygiene
-    assert DRIVER_WINDOW[3] == "knn_label_eval"        # new: embedding eval
-    assert DRIVER_WINDOW[4] == "cdc_apply_orders"      # new: CDC apply verb
-    assert DRIVER_WINDOW[5] == "partition_pruning_probe"   # new: layout
-    assert DRIVER_WINDOW[6] == "compact_small_files_audit"  # new: layout
-    assert DRIVER_WINDOW[7] == "hll_union_daily_users"  # new: sketch union
-    assert DRIVER_WINDOW[8] == "corpus_release_e2e"   # new: job e2e
-    assert DRIVER_WINDOW[9] == "indexed_ingest_probe"  # new: stored artifacts
-    assert DRIVER_WINDOW[10] == "ivf_append_assign"     # new: frozen-codebook
-    assert DRIVER_WINDOW[11] == "streaming_ingest_dedup_audit"  # indexed sink
-    assert DRIVER_WINDOW[12] == "corpus_build_funnel"   # shared shingles
-    assert DRIVER_WINDOW[13] == "gopher_repetition_rules"  # one-agg fold
-    assert DRIVER_WINDOW[14] == "supplier_pagerank"     # symmetric path
-    assert DRIVER_WINDOW[15] == "mg_heavy_hitter_tokens"  # oracle cast
-    for r04 in (
-        "filtered_aggregates", "grouping_sets_revenue",
-        "idle_rich_customers", "large_volume_orders",
-        "lone_returner_suppliers", "market_share", "min_cost_supplier",
-        "multimodal_wav_decode", "nation_trade_volume",
-        "nation_year_profit", "orders_table_profile",
-        "parts_supplier_counts", "promo_revenue_share",
-        "quantity_profile", "returned_item_revenue",
-        "revenue_share_parts", "salted_agg_lineitem",
-        "scd2_priority_history", "shipmode_priority_counts",
-        "small_quantity_revenue", "snapshot_diff_orders",
-        "stratified_sample_docs", "streaming_session_agg",
-        "streaming_sliding_agg", "streaming_static_enrichment",
-        "streaming_watermark_dedup", "string_similarity_pairs",
-        "tfidf_top_terms", "top_supplier_quarter",
-        "trailing_interval_revenue", "train_val_test_counts",
-        "unpivot_quarterly", "weighted_sample_docs",
-        "window_value_functions",
+    # round-9 rotation contract: the 4 never-driver-checked queries
+    # LEAD (the r08 verdict's #1 ask — nothing may be added ahead of
+    # them), then the round's new query, then the changed-plan
+    # re-checks, then the alphabetical r05 staleness-cohort drain
+    assert DRIVER_WINDOW[:4] == (
+        "kanon_publish_audit",      # never driver-checked
+        "cohort_retention",         # never driver-checked
+        "source_kl_divergence",     # never driver-checked
+        "pii_entity_linking",       # never driver-checked
+    )
+    assert DRIVER_WINDOW[4] == "ingest_compaction_probe"  # new r09
+    for changed in (
+        "supplier_pagerank",        # broadcast-gated rounds, fused r1
+        "image_ahash_report",       # batch-vectorized binning
+        "cdc_apply_orders",         # materialize + scratch cleanup
+        "partition_pruning_probe",  # materialize + scratch cleanup
+        "compact_small_files_audit",  # materialize + scratch cleanup
+        "corpus_release_e2e",       # materialize + scratch cleanup
+        "knn_label_eval",           # oracle constant interpolation
     ):
-        assert r04 in DRIVER_WINDOW, r04
+        assert changed in DRIVER_WINDOW, changed
+    for r05 in (
+        "ann_ivf_topk", "approx_distinct_parts", "bloom_ingest_dedup",
+        "bpe_encode_corpus", "bpe_train_merges", "chunk_documents",
+        "corpus_cluster_quality", "corpus_datacard",
+        "corpus_shuffle_order", "decontaminate_corpus",
+        "drift_psi_report", "duplicate_span_stats",
+        "embedding_cosine_neardup", "embedding_covariance",
+        "embedding_label_medoids", "embedding_quantize_int8",
+        "exact_dedup", "hard_negatives_embeddings",
+        "incremental_neardup_probe", "jcap_pa_extract",
+        "join_skew_report", "minhash_near_duplicates",
+        "minhash_signatures", "mixture_plan_langs",
+        "mixture_resample_counts", "mixture_temperature_langs",
+        "neardup_components", "neardup_triangles",
+        "ngram_jaccard_dedup", "pack_documents", "packing_audit",
+        "per_domain_holdout", "pmi_word_pairs",
+    ):
+        assert r05 in DRIVER_WINDOW, r05

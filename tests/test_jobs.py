@@ -1010,6 +1010,34 @@ def test_corpus_ingest_job_end_to_end(spark, tmp_path):
     assert by_id[6] == "2026-08-16" and by_id[1] == "2026-08-15"
 
 
+def test_ingest_index_maintenance_compacts_above_threshold(spark, tmp_path):
+    """The ingest job's maintenance step: below the file threshold it is
+    a no-op; above it, compact_table shrinks the accepted table's file
+    count while conserving every row."""
+    from spark_etl_agent_spark.jobs.ingest import CorpusIngestService
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    rows = [(i, f"document number {i} with some words") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cat.write_table(df.repartition(24), "corpus.accepted", mode="overwrite")
+
+    # threshold above the current count: no-op
+    svc = CorpusIngestService(cat, compact_threshold_files=64)
+    m = svc.run_index_maintenance()
+    assert m["compacted"] is False
+    assert m["files_before"] == m["files_after"] >= 24
+
+    # threshold below: compacts, fewer files, rows conserved
+    svc = CorpusIngestService(cat, compact_threshold_files=8)
+    m = svc.run_index_maintenance()
+    assert m["compacted"] is True
+    assert m["files_after"] < m["files_before"]
+    assert cat.table_file_count("corpus.accepted") == m["files_after"]
+    got = cat.read_table("corpus.accepted")
+    assert got.count() == 200
+    assert got.agg({"doc_id": "sum"}).collect()[0][0] == sum(range(200))
+
+
 def test_corpus_ingest_registered_and_listed(job_service):
     listing = job_service.list_supported_job_types()
     assert "corpus_ingest_etl" in listing
