@@ -7,22 +7,27 @@
 #   1. full unit/parity suite at sf0.001 (fast)
 #   2. oracle parity at sf0.01 — mirrors the driver's correctness gate
 #   3. bench smoke at sf0.01 — proves bench.py exits 0 and emits JSON
+#   4. scale-headroom smoke (10x data, sub-linear gate)
+#   5. paired-regression gate over the two newest committed
+#      BENCH_PAIRED artifacts (also enforced at merge_paired time,
+#      where the pairing is current-round vs previous; waiver syntax
+#      in scripts/regression_gate.py)
 #
-# Usage: ./preship.sh          (all three stages)
+# Usage: ./preship.sh          (all stages)
 #        ./preship.sh quick    (stage 1 only)
 set -euo pipefail
 cd "$(dirname "$0")"
 
-echo "== stage 1/4: full suite @ sf0.001 =="
+echo "== stage 1/5: full suite @ sf0.001 =="
 python -m pytest tests/ -q
 
 if [[ "${1:-}" == "quick" ]]; then exit 0; fi
 
-echo "== stage 2/4: oracle parity @ sf0.01 (driver mirror) =="
+echo "== stage 2/5: oracle parity @ sf0.01 (driver mirror) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
   python -m pytest tests/test_oracle_parity.py tests/test_schema_contract.py -q
 
-echo "== stage 3/4: bench smoke @ sf0.01 =="
+echo "== stage 3/5: bench smoke @ sf0.01 =="
 out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py)
 echo "$out" | python -c '
 import json, sys
@@ -31,7 +36,10 @@ nq, tot, sf = len(d["queries"]), d["value"], d["sf"]
 assert nq > 0, "bench emitted no per-query timings"
 print(f"bench ok: {nq} queries, total {tot}s @ sf={sf}")
 '
-echo "== stage 4/4: scale-headroom smoke (10x data, sub-linear gate) =="
+echo "== stage 4/5: scale-headroom smoke (10x data, sub-linear gate) =="
 python scripts/scale_smoke.py
+
+echo "== stage 5/5: paired-regression gate (newest two committed artifacts) =="
+python scripts/regression_gate.py
 
 echo "== preship: ALL GREEN =="

@@ -60,6 +60,17 @@ def main() -> None:
         f"vs duck {duck_total}s = {out['paired_ratio']}x"
     )
 
+    # cross-run regression gate: fail the merge (the artifact stays on
+    # disk for diagnosis) if any query's paired ratio worsened >1.5x vs
+    # the previous committed artifact without a NOTES waiver — see
+    # scripts/regression_gate.py for thresholds and the waiver syntax
+    from regression_gate import main as gate
+
+    sys.argv = [sys.argv[0]]  # newest-vs-previous auto-selection
+    rc = gate()
+    if rc != 0:
+        raise SystemExit(rc)
+
 
 if __name__ == "__main__":
     main()

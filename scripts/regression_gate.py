@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Cross-run per-query regression gate over the committed paired A/B
+artifacts (BENCH_PAIRED_r{N}.json).
+
+The judge's eyeball pass over per-round regressions becomes a hard
+signal: comparing the NEWEST paired artifact against the previous
+committed one, the gate FAILS if any query's paired ratio
+(spark_s / duck_s) worsened by more than ``RATIO_WORSEN`` (default
+1.5×) — unless the round's NOTES file carries an explicit waiver line.
+
+Noise guards (all must hold for a flag, so sub-second jitter and
+oracle-floor shapes don't page anyone):
+  - the query's NEW spark wall exceeds ``MIN_SPARK_S`` (default 1.0 s);
+  - the NEW ratio exceeds ``MIN_RATIO`` (default 2.0) — a query that
+    "regressed" from 0.05× to 0.1× still leads the oracle 10×;
+  - millisecond-oracle floor shapes (old ``duck_s`` below
+    ``DUCK_FLOOR_S``, default 0.05 s — e.g. a real-decode query whose
+    oracle is a trivial analytic restatement) are judged on their
+    SPARK wall instead: flag only when it worsens by more than
+    ``WALL_WORSEN`` (default 2×), since a 3 ms denominator turns host
+    jitter into a triple-digit "ratio regression".
+
+Waiver path (documented, auditable): add to the current round's
+``NOTES_r{N}.md`` a line
+
+    REGRESSION-WAIVER: <query_name> — <one-line reason>
+
+The gate prints which flags were waived and by which file; a waiver
+without a reason string after the name still works but reads badly in
+review — write the reason.
+
+Usage:
+    python scripts/regression_gate.py                 # newest vs previous
+    python scripts/regression_gate.py NEW.json OLD.json
+Exit 0 = no unwaived regressions; exit 1 = gate failed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+RATIO_WORSEN = float(os.environ.get("SPARK_GRAFT_REGRESS_WORSEN", "1.5"))
+MIN_SPARK_S = float(os.environ.get("SPARK_GRAFT_REGRESS_MIN_SPARK", "1.0"))
+MIN_RATIO = float(os.environ.get("SPARK_GRAFT_REGRESS_MIN_RATIO", "2.0"))
+DUCK_FLOOR_S = float(os.environ.get("SPARK_GRAFT_REGRESS_DUCK_FLOOR", "0.05"))
+WALL_WORSEN = float(os.environ.get("SPARK_GRAFT_REGRESS_WALL_WORSEN", "2.0"))
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _paired_artifacts() -> list:
+    files = glob.glob(os.path.join(_repo_root(), "BENCH_PAIRED_r*.json"))
+
+    def key(p):
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return sorted(files, key=key)
+
+
+def _waivers() -> dict:
+    """Map waived query name -> (notes file, reason line)."""
+    out = {}
+    for notes in glob.glob(os.path.join(_repo_root(), "NOTES_r*.md")):
+        with open(notes) as f:
+            for line in f:
+                m = re.match(r"\s*REGRESSION-WAIVER:\s*(\S+)\s*(.*)", line)
+                if m:
+                    out[m.group(1)] = (os.path.basename(notes), line.strip())
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) >= 3:
+        new_path, old_path = sys.argv[1], sys.argv[2]
+    else:
+        arts = _paired_artifacts()
+        if len(arts) < 2:
+            print(
+                "regression gate: fewer than two committed BENCH_PAIRED "
+                "artifacts — nothing to compare, pass"
+            )
+            return 0
+        new_path, old_path = arts[-1], arts[-2]
+
+    new = json.load(open(new_path))["queries"]
+    old = json.load(open(old_path))["queries"]
+    waivers = _waivers()
+
+    flagged, waived = [], []
+    for name in sorted(set(new) & set(old)):
+        nr, orr = new[name].get("ratio"), old[name].get("ratio")
+        ns = new[name].get("spark_s", 0.0)
+        os_ = old[name].get("spark_s", 0.0)
+        od = old[name].get("duck_s", 0.0)
+        if nr is None or orr is None or orr <= 0:
+            continue
+        if ns <= MIN_SPARK_S:
+            continue
+        if od < DUCK_FLOOR_S:
+            # oracle-floor shape: ratio denominators are milliseconds;
+            # judge the spark wall itself
+            if os_ > 0 and ns > WALL_WORSEN * os_:
+                row = (
+                    f"{name}: spark wall {os_:.2f}s -> {ns:.2f}s "
+                    f"({ns / os_:.2f}x worse; oracle-floor shape, "
+                    f"old duck {od * 1000:.0f}ms)"
+                )
+            else:
+                continue
+        elif nr > MIN_RATIO and nr > RATIO_WORSEN * orr:
+            row = (
+                f"{name}: ratio {orr:.2f} -> {nr:.2f} "
+                f"({nr / orr:.2f}x worse; spark {os_:.2f}s -> {ns:.2f}s)"
+            )
+        else:
+            continue
+        if name in waivers:
+            waived.append(f"{row}  [waived in {waivers[name][0]}]")
+        else:
+            flagged.append(row)
+
+    base = (os.path.basename(new_path), os.path.basename(old_path))
+    print(f"regression gate: {base[0]} vs {base[1]}")
+    for row in waived:
+        print(f"  WAIVED  {row}")
+    if flagged:
+        print(
+            f"  FAILED — {len(flagged)} unwaived per-query regression(s) "
+            f"(> {RATIO_WORSEN}x worse paired ratio, spark > {MIN_SPARK_S}s,"
+            f" ratio > {MIN_RATIO}):"
+        )
+        for row in flagged:
+            print(f"  REGRESSED  {row}")
+        print(
+            "  waive intentionally-slower queries with a line in the "
+            "round's NOTES_r{N}.md:  REGRESSION-WAIVER: <query> — <reason>"
+        )
+        return 1
+    print(
+        f"  ok — no unwaived regressions across "
+        f"{len(set(new) & set(old))} paired queries"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

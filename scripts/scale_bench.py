@@ -65,6 +65,11 @@ ALWAYS_QUERIES = [
     "streaming_user_ewma",
     "corpus_build_funnel",
     "exactsubstr_spans",
+    # stored-artifact index probe: cost must stay ∝ batch, not corpus
+    "indexed_ingest_probe",
+    # Arrow-batched python decode path: embarrassingly parallel scan,
+    # the canonical mapInPandas scaling representative
+    "multimodal_decode",
 ]
 
 TOP_N = int(os.environ.get("SPARK_GRAFT_SCALE_TOP_N", "22"))
