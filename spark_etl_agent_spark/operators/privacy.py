@@ -25,6 +25,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ldiversity_report(
+    df: DataFrame,
+    qi_cols: List[str],
+    sensitive_col,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit — the k-anonymity complement: a QI group can
+    be large (k-anonymous) yet still leak if every member shares the
+    same sensitive value (homogeneity attack: knowing someone is IN
+    the group reveals their attribute). Reports, per QI group, the row
+    count, the number of DISTINCT sensitive values, and whether it
+    meets the ``l`` bar. ``sensitive_col`` may be a column name or a
+    Column expression (e.g. a banded version of a numeric attribute).
+
+    Scale shape: one groupBy on the QI columns with a count-distinct —
+    Catalyst plans the distinct as the standard two-phase expand
+    (partial per (QI, value), then per QI), so the pass costs one
+    QI+value-keyed shuffle and never materializes per-group value
+    sets. NULL QI values group together (they are a reportable group,
+    not a drop)."""
+    sens = (
+        F.col(sensitive_col)
+        if isinstance(sensitive_col, str)
+        else sensitive_col
+    )
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sens).alias("n_sensitive"),
+        )
+        .withColumn("meets_l", F.col("n_sensitive") >= F.lit(int(l)))
+    )
+
+
 def kanon_suppress(
     df: DataFrame, qi_cols: List[str], k: int, flag_col: str = "suppressed"
 ) -> DataFrame:

@@ -227,8 +227,10 @@ DRIVER_WINDOW = (
     "pii_entity_linking",
     # -- NEW this round: the ingest index's compaction-invariance
     #    probe (fragmented write → probe → compact_table maintenance
-    #    → re-probe; verdict's #7 ask). --
+    #    → re-probe; verdict's #7 ask) and the l-diversity audit (the
+    #    k-anonymity complement: homogeneity leaks). --
     "ingest_compaction_probe",
+    "ldiversity_audit",
     # -- changed-plan re-checks (12): supplier_pagerank was
     #    restructured (broadcast-gated rounds, fused symmetric round
     #    1); image_ahash_report's binning was batch-vectorized and its
@@ -256,7 +258,7 @@ DRIVER_WINDOW = (
     #    names whose latest green driver row is still r05 (the
     #    verdict's #4 ask; image_ahash_report / streaming_drift_audit /
     #    streaming_pack_manifest are cohort members already re-checked
-    #    above). 10 cohort names remain for round 10's fill —
+    #    above). 11 cohort names remain for round 10's fill —
     #    comfortably under the ≤20 bar. --
     "ann_ivf_topk",
     "approx_distinct_parts",
@@ -290,7 +292,6 @@ DRIVER_WINDOW = (
     "pack_documents",
     "packing_audit",
     "per_domain_holdout",
-    "pmi_word_pairs",
 )
 
 

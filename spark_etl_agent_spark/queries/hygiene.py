@@ -423,6 +423,70 @@ QUERIES["kanon_publish_audit"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# ldiversity_audit
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+def ldiversity_audit(spark, sf_dir):
+    """l-diversity audit (``operators/privacy.py::ldiversity_report``):
+    a QI group that is large enough to survive k-anonymity suppression
+    can still leak by homogeneity if (nearly) all its members share one
+    sensitive value — knowing someone is in the group reveals their
+    attribute. QI here is the finer (nation, segment) pair; the
+    sensitive attribute is the account-balance hundred-band. Reports
+    per QI group the row count, distinct sensitive bands, and the
+    l ≥ {l} verdict; publication tooling withholds per-group stats for
+    failing groups.
+
+    One QI(+value)-keyed shuffle (two-phase count-distinct expand) —
+    the second privacy gate a user-derived corpus runs before any
+    per-group release, after ``kanon_publish_audit``'s size gate. The
+    bar calibrates to the corpus being published: on the growing TPC-H
+    fixtures distinct bands grow with group size, so the split is
+    non-vacuous at the suite SF (pinned in ``tests/test_hygiene.py``)
+    and saturates to all-pass at larger SFs — the consistency
+    invariant (verdict == bar applied to the count) is pinned at every
+    SF.""".format(l=_LDIV_L)
+    from ..operators.privacy import ldiversity_report
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_band"),
+    )
+    return (
+        ldiversity_report(cust, ["nation", "segment"], "bal_band", _LDIV_L)
+        .select("nation", "segment", "n_rows", "n_sensitive", "meets_l")
+        .orderBy("nation", "segment")
+    )
+
+
+LDIVERSITY_AUDIT_SQL = f"""
+SELECT c_nationkey AS nation,
+  c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 100) AS BIGINT)) AS BIGINT)
+    AS n_sensitive,
+  COUNT(DISTINCT CAST(floor(c_acctbal / 100) AS BIGINT)) >= {_LDIV_L}
+    AS meets_l
+FROM customer
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES["ldiversity_audit"] = QuerySpec(
+    "ldiversity_audit",
+    ldiversity_audit,
+    LDIVERSITY_AUDIT_SQL,
+    "l-diversity audit: distinct-sensitive-value bar per QI group",
+    ("hygiene", "privacy", "operators"),
+)
+
+
+# ---------------------------------------------------------------------------
 # pii_entity_linking
 # ---------------------------------------------------------------------------
 

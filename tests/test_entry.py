@@ -65,6 +65,7 @@ def test_driver_window_is_first_50_registry_entries():
         "pii_entity_linking",       # never driver-checked
     )
     assert DRIVER_WINDOW[4] == "ingest_compaction_probe"  # new r09
+    assert DRIVER_WINDOW[5] == "ldiversity_audit"          # new r09
     for changed in (
         "supplier_pagerank",        # broadcast-gated rounds, fused r1
         "image_ahash_report",       # batch-vectorized binning
@@ -90,6 +91,6 @@ def test_driver_window_is_first_50_registry_entries():
         "mixture_resample_counts", "mixture_temperature_langs",
         "neardup_components", "neardup_triangles",
         "ngram_jaccard_dedup", "pack_documents", "packing_audit",
-        "per_domain_holdout", "pmi_word_pairs",
+        "per_domain_holdout",
     ):
         assert r05 in DRIVER_WINDOW, r05

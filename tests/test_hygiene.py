@@ -304,6 +304,25 @@ def test_kanon_suppress_null_qi_rows_are_kept_and_suppressed(spark, sf_dir):
     assert all(r["region_band"] is None for r in null_rows)
 
 
+def test_ldiversity_audit_non_vacuous_and_consistent(spark, sf_dir):
+    """Both verdicts must occur (an all-pass or all-fail audit pins
+    nothing), the distinct count can never exceed the row count, and
+    meets_l must equal the bar applied to n_sensitive."""
+    from spark_etl_agent_spark.queries.hygiene import _LDIV_L, ldiversity_audit
+
+    rows = ldiversity_audit(spark, sf_dir).collect()
+    assert rows
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        # distinct bands grow with group size on the synthetic
+        # fixtures, so only the suite SF splits; larger SFs saturate
+        # to all-pass (still consistency-checked below)
+        verdicts = {r["meets_l"] for r in rows}
+        assert verdicts == {True, False}, f"vacuous audit: {verdicts}"
+    for r in rows:
+        assert 0 < r["n_sensitive"] <= r["n_rows"]
+        assert r["meets_l"] == (r["n_sensitive"] >= _LDIV_L)
+
+
 def test_cohort_retention_invariants(spark, sf_dir):
     """Day-0 retention is exactly 1.0 for every cohort; actives never
     exceed the cohort; offsets are non-negative."""
