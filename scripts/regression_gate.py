@@ -18,7 +18,12 @@ oracle-floor shapes don't page anyone):
     oracle is a trivial analytic restatement) are judged on their
     SPARK wall instead: flag only when it worsens by more than
     ``WALL_WORSEN`` (default 2×), since a 3 ms denominator turns host
-    jitter into a triple-digit "ratio regression".
+    jitter into a triple-digit "ratio regression";
+  - the SPARK wall itself must have moved (> ``MIN_WALL_MOVE``,
+    default 1.15×) — a ratio that worsened purely because the ORACLE
+    side ran faster this round is denominator noise, not an engine
+    regression (first caught live on corpus_select_budget: spark
+    1.05 s → 1.08 s, duck 0.40 s → 0.18 s, "2.3× worse").
 
 Waiver path (documented, auditable): add to the current round's
 ``NOTES_r{N}.md`` a line
@@ -48,6 +53,7 @@ MIN_SPARK_S = float(os.environ.get("SPARK_GRAFT_REGRESS_MIN_SPARK", "1.0"))
 MIN_RATIO = float(os.environ.get("SPARK_GRAFT_REGRESS_MIN_RATIO", "2.0"))
 DUCK_FLOOR_S = float(os.environ.get("SPARK_GRAFT_REGRESS_DUCK_FLOOR", "0.05"))
 WALL_WORSEN = float(os.environ.get("SPARK_GRAFT_REGRESS_WALL_WORSEN", "2.0"))
+MIN_WALL_MOVE = float(os.environ.get("SPARK_GRAFT_REGRESS_MIN_WALL_MOVE", "1.15"))
 
 
 def _repo_root() -> str:
@@ -114,7 +120,12 @@ def main() -> int:
                 )
             else:
                 continue
-        elif nr > MIN_RATIO and nr > RATIO_WORSEN * orr:
+        elif (
+            nr > MIN_RATIO
+            and nr > RATIO_WORSEN * orr
+            and os_ > 0
+            and ns > MIN_WALL_MOVE * os_
+        ):
             row = (
                 f"{name}: ratio {orr:.2f} -> {nr:.2f} "
                 f"({nr / orr:.2f}x worse; spark {os_:.2f}s -> {ns:.2f}s)"
