@@ -72,6 +72,16 @@ class CorpusIngestService:
         the SAME rows out — probe verdicts are invariant under it
         (pinned by the ``ingest_compaction_probe`` registry query's
         oracle and ``tests/test_jobs.py``)."""
+        if not self.catalog.table_exists(self.accepted_table):
+            # bootstrap run that drained nothing: no table, no files,
+            # nothing to maintain
+            return {
+                "table": self.accepted_table,
+                "files_before": 0,
+                "files_after": 0,
+                "compacted": False,
+                "threshold_files": self.compact_threshold_files,
+            }
         files_before = self.catalog.table_file_count(self.accepted_table)
         compacted = (
             self.compact_threshold_files is not None

@@ -1021,6 +1021,13 @@ def test_ingest_index_maintenance_compacts_above_threshold(spark, tmp_path):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     cat.write_table(df.repartition(24), "corpus.accepted", mode="overwrite")
 
+    # missing accepted table (bootstrap run that drained nothing): no-op
+    empty = CorpusIngestService(
+        Catalog(spark, str(tmp_path / "wh2")), compact_threshold_files=1
+    )
+    m = empty.run_index_maintenance()
+    assert m["compacted"] is False and m["files_before"] == 0
+
     # threshold above the current count: no-op
     svc = CorpusIngestService(cat, compact_threshold_files=64)
     m = svc.run_index_maintenance()
