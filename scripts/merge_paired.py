@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 
@@ -62,11 +63,25 @@ def main() -> None:
 
     # cross-run regression gate: fail the merge (the artifact stays on
     # disk for diagnosis) if any query's paired ratio worsened >1.5x vs
-    # the previous committed artifact without a NOTES waiver — see
-    # scripts/regression_gate.py for thresholds and the waiver syntax
-    from regression_gate import main as gate
+    # the round-number predecessor without a NOTES waiver — see
+    # scripts/regression_gate.py for thresholds and the waiver syntax.
+    # The JUST-WRITTEN artifact is passed explicitly as NEW and its
+    # round-number predecessor as OLD: newest-two auto-selection would
+    # gate the wrong pair when an older round tag is re-merged while a
+    # newer artifact exists on disk.
+    from regression_gate import _paired_artifacts, main as gate
 
-    sys.argv = [sys.argv[0]]  # newest-vs-previous auto-selection
+    this_round = int(re.search(r"r(\d+)", tag).group(1))
+    older = [
+        p
+        for p in _paired_artifacts()
+        if (m := re.search(r"_r(\d+)\.json$", p))
+        and int(m.group(1)) < this_round
+    ]
+    if not older:
+        print("regression gate: no earlier paired artifact — skipped")
+        return
+    sys.argv = [sys.argv[0], path, older[-1]]
     rc = gate()
     if rc != 0:
         raise SystemExit(rc)

@@ -70,15 +70,26 @@ def _paired_artifacts() -> list:
     return sorted(files, key=key)
 
 
-def _waivers() -> dict:
-    """Map waived query name -> (notes file, reason line)."""
+def _waivers(new_path: str) -> dict:
+    """Map waived query name -> (notes file, reason line).
+
+    Scoped to the NOTES file of the round being gated (parsed from the
+    NEW artifact's ``_r{N}`` tag): a waiver is a one-round adjudication
+    of one specific artifact pairing, not a permanent exemption.
+    Globbing every past NOTES_r*.md would let any historical waiver
+    silently disable the gate for that query forever."""
     out = {}
-    for notes in glob.glob(os.path.join(_repo_root(), "NOTES_r*.md")):
-        with open(notes) as f:
-            for line in f:
-                m = re.match(r"\s*REGRESSION-WAIVER:\s*(\S+)\s*(.*)", line)
-                if m:
-                    out[m.group(1)] = (os.path.basename(notes), line.strip())
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(new_path))
+    if not m:
+        return out
+    notes = os.path.join(_repo_root(), f"NOTES_r{int(m.group(1)):02d}.md")
+    if not os.path.exists(notes):
+        return out
+    with open(notes) as f:
+        for line in f:
+            wm = re.match(r"\s*REGRESSION-WAIVER:\s*(\S+)\s*(.*)", line)
+            if wm:
+                out[wm.group(1)] = (os.path.basename(notes), line.strip())
     return out
 
 
@@ -97,7 +108,7 @@ def main() -> int:
 
     new = json.load(open(new_path))["queries"]
     old = json.load(open(old_path))["queries"]
-    waivers = _waivers()
+    waivers = _waivers(new_path)
 
     flagged, waived = [], []
     for name in sorted(set(new) & set(old)):

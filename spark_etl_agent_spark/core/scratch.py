@@ -21,11 +21,17 @@ import tempfile
 import time
 
 
-def scratch_dir(prefix: str, max_age_s: float = 3600.0) -> str:
+def scratch_dir(prefix: str, max_age_s: float = 86400.0) -> str:
     """Create a fresh ``/tmp`` scratch dir with ``prefix``, first
     removing stale same-prefix siblings (mtime older than
     ``max_age_s``). Reap errors are swallowed — a half-removed stale
-    dir only means less space reclaimed, never a failed query."""
+    dir only means less space reclaimed, never a failed query.
+
+    The default age is 24 h, deliberately far above any realistic
+    bench/parity session: a long run (>1 h at larger SFs) can hold a
+    lazy frame that still reads from its staged scratch tables, and a
+    concurrent same-prefix invocation must never reap those mid-run.
+    The reaper targets yesterday's leftovers, not today's work."""
     parent = tempfile.gettempdir()
     cutoff = time.time() - max_age_s
     try:

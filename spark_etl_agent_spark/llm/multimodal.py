@@ -101,6 +101,10 @@ def png_parse(raw: bytes) -> Tuple[int, int, int, int, bool]:
     idat, pos = b"", 33
     while pos + 8 <= len(raw):
         (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        if pos + 12 + clen > len(raw):
+            # malformed input must surface as the ValueError contract,
+            # not a struct.error from a short CRC slice
+            raise ValueError("truncated PNG chunk")
         tag = raw[pos + 4 : pos + 8]
         data = raw[pos + 8 : pos + 8 + clen]
         (ccrc,) = struct.unpack(">I", raw[pos + 8 + clen : pos + 12 + clen])
@@ -388,6 +392,10 @@ def png_gray_pixels(raw: bytes):
     idat, pos = b"", 33
     while pos + 8 <= len(raw):
         (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        if pos + 12 + clen > len(raw):
+            # malformed input must surface as the ValueError contract,
+            # not a struct.error from a short CRC slice
+            raise ValueError("truncated PNG chunk")
         tag = raw[pos + 4 : pos + 8]
         data = raw[pos + 8 : pos + 8 + clen]
         (ccrc,) = struct.unpack(">I", raw[pos + 8 + clen : pos + 12 + clen])

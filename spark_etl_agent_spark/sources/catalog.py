@@ -218,15 +218,19 @@ class Catalog:
     def table_file_count(self, name: str) -> int:
         """Number of parquet data files under the table directory —
         the scalar a maintenance policy gates compaction on (a
-        micro-batch sink accretes one-plus files per trigger)."""
+        micro-batch sink accretes one-plus files per trigger).
+        Recursive (``fs.listFiles(path, true)``) so partitioned tables
+        (data files under ``key=.../`` subdirectories) are counted too;
+        a top-level-only listing reports 0 for those and a maintenance
+        policy gated on it would silently never compact."""
         jvm = self.spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return sum(
-            1
-            for f in fs.listStatus(jpath)
-            if f.getPath().getName().endswith(".parquet")
-        )
+        n, it = 0, fs.listFiles(jpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
 
     def compact_table(
         self,
@@ -255,11 +259,7 @@ class Catalog:
         tmp = f"{name}__compact_tmp"
         self.write_table(df, tmp, mode="overwrite")
         self._swap_in(tmp, name)
-        return sum(
-            1
-            for f in fs.listStatus(jpath)
-            if f.getPath().getName().endswith(".parquet")
-        )
+        return self.table_file_count(name)
 
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_by: List[str]
