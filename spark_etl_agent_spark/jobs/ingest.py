@@ -152,6 +152,20 @@ class CorpusIngestService:
             )
 
         audit: list = []
+        mid_stream_maintenance: list = []
+
+        def batch_maintenance(batch_id: int) -> None:
+            # threshold-gated compaction INSIDE the drain (the sink's
+            # foreachBatch epilogue): a long drain over many staged
+            # files must not accrete an unbounded small-file index
+            # before an end-of-run sweep gets a chance — each batch
+            # leaves the index within one batch-write of the threshold.
+            # A no-op below it; verdict-invariant above it (pinned by
+            # ingest_compaction_probe and streaming_compaction_probe).
+            m = self.run_index_maintenance()
+            if m["compacted"]:
+                mid_stream_maintenance.append({"batch_id": batch_id, **m})
+
         # the streaming checkpoint makes repeated scheduled runs
         # INCREMENTAL: each run drains only files that arrived since
         # the last. Crash-safety note: a batch replayed after a crash
@@ -168,6 +182,7 @@ class CorpusIngestService:
                 novel_writer,
                 audit=audit,
                 min_jaccard=self.min_jaccard,
+                maintenance=batch_maintenance,
             ),
             # keyed by the incoming table: two services configured over
             # different staging directories must not share stream
@@ -196,9 +211,10 @@ class CorpusIngestService:
                 )
                 alerted_batches.append(batch_id)
 
-        # maintenance: compact the accreted index files once they pass
-        # the threshold — part of the scheduled run so no operator has
-        # to remember a separate job (a no-op below the threshold)
+        # final maintenance sweep: the per-batch epilogue already keeps
+        # the file count bounded during the drain; this end-of-run call
+        # covers the last batch's own appends (a no-op below the
+        # threshold)
         maintenance = self.run_index_maintenance()
 
         end_time = datetime.now()
@@ -226,4 +242,5 @@ class CorpusIngestService:
             "min_jaccard": self.min_jaccard,
             "drop_alert_batches": alerted_batches,
             "maintenance": maintenance,
+            "mid_stream_maintenance": mid_stream_maintenance,
         }

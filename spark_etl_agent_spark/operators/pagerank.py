@@ -158,14 +158,15 @@ def pagerank(
     ``symmetric=True`` declares that the edge list is symmetric (every
     node with out-edges also has in-edges — the undirected encoding).
     Then in-degree == out-degree per node, so the per-destination
-    degree is attached to the edge list ONCE by a window count inside
-    the same job that materializes the edges (one eager E-pass instead
-    of checkpoint + annotation join + repartition), and each round
-    rebuilds the carried degree as a ``max`` inside its aggregation —
-    no per-round join back to a degree table at all. On a directed
-    graph this would silently drop source-only nodes (no in-edges → no
-    aggregation row → their next-round contribution vanishes), so it
-    must stay opt-in.
+    degree is attached WITHOUT ever exchanging the edge list: the
+    node-sized degree table (one partial-aggregated pass over the
+    cached edges) is broadcast-hash-probed map-side on each round's
+    scan below the gate (above it, the annotate join rides the
+    sort-merge path's own src exchange), and each round rebuilds the
+    carried degree as a ``max`` inside its aggregation — no per-round
+    join back to a degree table at all. On a directed graph this would
+    silently drop source-only nodes (no in-edges → no aggregation row
+    → their next-round contribution vanishes), so it must stay opt-in.
     """
     spark = edges.sparkSession
     # Partition the loop state by the SESSION's shuffle partitioning,
@@ -186,34 +187,55 @@ def pagerank(
     # exchanges to pick the final plan — so every checkpoint is a real
     # execution, and checkpoint cadence IS the loop's cost knob.
     if symmetric:
-        # Degree-annotate INSIDE the one eager setup job: a window
-        # count over dst (in-degree == out-degree by the symmetric
-        # contract) costs one dst-keyed exchange in the same pass that
-        # materializes the checkpoint — replacing the old three-step
-        # setup (bare checkpoint, degree join, src repartition) that
-        # stored the edge list twice and shuffled it three times.
-        from pyspark.sql import Window
-
-        e = ckpt(
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .withColumn(
-                "dst_degree",
-                F.count(F.lit(1))
-                .over(Window.partitionBy("dst"))
-                .cast("long"),
-            ),
+        # Setup profile (scripts/pagerank_profile.py, sf0.1): the loop's
+        # rounds are nearly free (~0.07 s marginal each) — the wall is
+        # SETUP, so the setup must shuffle the edge list as little as
+        # possible. Materialize the PLAIN edge list once (job 1), build
+        # the node-sized degree table off the cached scan (in-degree ==
+        # out-degree by the symmetric contract), and read the broadcast
+        # gate off ITS count (job 2). Degree annotation then never
+        # exchanges the edges: below the gate it is a broadcast-hash
+        # probe recomputed map-side on each round's cached scan; above
+        # it the one annotate-join rides the same src-keyed exchange
+        # the sort-merge path must pay anyway. (The previous shape — a
+        # window count over dst inside the eager checkpoint — paid a
+        # full-edge dst exchange + sort and stored the annotated list,
+        # measured as the dominant setup cost.)
+        e_plain = ckpt(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
             eager=True,
         )
+        deg = ckpt(
+            e_plain.groupBy(F.col("src").alias("node")).agg(
+                F.count(F.lit(1)).cast("long").alias("degree")
+            ),
+            eager=False,
+        )
+        n_nodes = deg.count()
+        use_broadcast = n_nodes <= int(max_broadcast_nodes)
+        dd = deg.select(
+            F.col("node").alias("__dn"), F.col("degree").alias("dst_degree")
+        )
+        if use_broadcast:
+            e = e_plain.join(
+                F.broadcast(dd), F.col("dst") == F.col("__dn")
+            ).drop("__dn")
+        else:
+            e = (
+                e_plain.join(dd, F.col("dst") == F.col("__dn"))
+                .drop("__dn")
+                .repartition(npart, "src")
+                .sortWithinPartitions("src")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
         # Fused round 1 (symmetric + uniform init): round-1
         # contributions are the CONSTANT ``init div deg(u)``, and on a
         # symmetric annotated edge list every in-edge (u→v) has a
         # mirrored row (v, u, deg(u)) — so node v's inbound sum is just
         # ``sum(init div dst_degree)`` grouped on ``src``, and its
         # degree is the group count. One map-side aggregation replaces
-        # the degree build, the rank init, AND round 1's join; its
-        # node-sized output doubles as the broadcast-gate count. (A
-        # directed graph can't do this: the mirrored row need not
-        # exist.)
+        # the rank init AND round 1's join. (A directed graph can't do
+        # this: the mirrored row need not exist.)
         if iters >= 1:
             ranks = ckpt(
                 e.groupBy(F.col("src").alias("node")).agg(
@@ -229,8 +251,9 @@ def pagerank(
                 eager=False,
             )
         else:
-            ranks = e.groupBy(F.col("src").alias("node")).agg(
-                F.count(F.lit(1)).alias("degree"),
+            ranks = deg.select(
+                "node",
+                "degree",
                 F.lit(int(1_000_000)).cast("long").alias("rank_micro"),
             )
         start_iter = 1
@@ -255,20 +278,20 @@ def pagerank(
         )
         start_iter = 0
 
-    # The broadcast gate: the only scalar the driver ever reads — the
-    # node count, read off a frame the loop needs materialized anyway
-    # (the fused round-1 checkpoint on the symmetric path, the degree
-    # checkpoint on the directed path), so the gate costs no extra
-    # pass over the edges. Only the big-graph sort-merge path pays the
-    # repartition + persist re-shape.
-    n_nodes = (ranks if symmetric else deg).count()
-    use_broadcast = n_nodes <= int(max_broadcast_nodes)
-    if not use_broadcast:
-        e = (
-            e.repartition(npart, "src")
-            .sortWithinPartitions("src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+    # The broadcast gate on the directed path: the node count read off
+    # the degree checkpoint the loop needs materialized anyway. (The
+    # symmetric path gated above, before annotation, so the annotate
+    # strategy itself could be gate-dependent.) Only the big-graph
+    # sort-merge path pays the repartition + persist re-shape.
+    if not symmetric:
+        n_nodes = deg.count()
+        use_broadcast = n_nodes <= int(max_broadcast_nodes)
+        if not use_broadcast:
+            e = (
+                e.repartition(npart, "src")
+                .sortWithinPartitions("src")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
 
     # the rank frame CARRIES the (static) degree so each round needs no
     # ranks⋈deg join — per round: one node-sized projection (rank ÷

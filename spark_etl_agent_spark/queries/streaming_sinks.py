@@ -185,18 +185,117 @@ def streaming_ingest_dedup_audit(spark, sf_dir) -> DataFrame:
     )
 
 
+def streaming_compaction_probe(spark, sf_dir) -> DataFrame:
+    """Streaming-sink compaction invariance: the same indexed ingest
+    sink as ``streaming_ingest_dedup_audit`` (over the DISJOINT
+    ``doc_id % 4 == 1`` slice), but with the ingest job's REAL
+    threshold-gated index maintenance wired into the sink's
+    ``foreachBatch`` epilogue — so the accepted/index table is
+    COMPACTED MID-STREAM, between micro-batches, and later batches
+    probe the rewritten layout. The returned per-batch audit envelopes
+    must still match the oracle's unrolled three-round simulation: a
+    green row proves the streaming path's probe verdicts are invariant
+    under mid-stream compaction (the batch-job twin is
+    ``ingest_compaction_probe``).
+
+    The query RAISES if no compaction actually ran before the last
+    batch, or if it failed to shrink the file count — the driver row
+    can only be green when the maintenance genuinely rewrote the index
+    mid-stream. The threshold (4 files) sits below one batch's 6-way
+    append fan-out, so every inter-batch epilogue compacts."""
+    from ..jobs.ingest import CorpusIngestService
+    from ..sources.catalog import Catalog
+    from ..streaming.pipeline import (
+        run_available_now,
+        streaming_dedup_ingest_sink_indexed,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "text")
+    )
+    work = scratch_dir("spark_graft_stream_compact_")
+    src = _stage_batches(
+        [
+            docs.filter(F.expr("(doc_id div 4) % 3") == i)
+            for i in range(3)
+        ],
+        work,
+    )
+    cat = Catalog(spark, work)
+    svc = CorpusIngestService(
+        cat,
+        accepted_table="accepted",
+        compact_threshold_files=4,
+        compact_target_file_mb=128,
+    )
+
+    def novel_writer(df: DataFrame, batch_id: int) -> None:
+        # 6-way fan-out per append: the accreted-small-files shape a
+        # multi-executor sink produces (at this SF a single AQE-coalesced
+        # write would land ONE file per batch and the threshold would
+        # never trip — the probe must exercise the maintenance path,
+        # not dodge it)
+        cat.write_table(df.repartition(6), "accepted", mode="append")
+
+    maint_log: list = []
+
+    def batch_maintenance(batch_id: int) -> None:
+        maint_log.append((batch_id, svc.run_index_maintenance()))
+
+    audit: list = []
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        stream,
+        output_mode="append",
+        foreach_batch=streaming_dedup_ingest_sink_indexed(
+            svc._index_provider,
+            novel_writer,
+            audit=audit,
+            min_jaccard=0.6,
+            maintenance=batch_maintenance,
+        ),
+    )
+    last_batch = max(b for b, *_ in audit) if audit else -1
+    mid_stream = [
+        m
+        for b, m in maint_log
+        if b < last_batch and m["compacted"]
+    ]
+    if not mid_stream or any(
+        m["files_after"] >= m["files_before"] for m in mid_stream
+    ):
+        raise RuntimeError(
+            f"no effective mid-stream compaction ran: {maint_log}"
+        )
+    return spark.createDataFrame(
+        audit,
+        "batch_id long, n_in long, n_exact_dups long, "
+        "n_dropped_vs_index long, n_novel long",
+    )
+
+
 # the streamed slice and its batch assignment (mirrors the Spark side)
 _SLICE = "doc_id % 4 = 0"
 _BATCH_OF = "(doc_id // 4) % 3"
+# a disjoint slice for the compaction probe (a DIFFERENT corpus subset,
+# so the two queries are independent checks, not one oracle re-labeled)
+_SLICE_C = "doc_id % 4 = 1"
 
 
-def _keeper_cte(b: int) -> str:
+def _keeper_cte(b: int, slice_pred: str = _SLICE) -> str:
     """Within-batch exact dedup: first doc_id per content hash."""
     return f"""k{b} AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-    FROM documents WHERE {_SLICE} AND {_BATCH_OF} = {b}
+    FROM documents WHERE {slice_pred} AND {_BATCH_OF} = {b}
   ) WHERE rn = 1
 )"""
 
@@ -241,14 +340,16 @@ _AUDIT_BANDS = "\n  UNION ALL ".join(
     for b in range(D.N_MINHASHES // D.BAND_SIZE)
 )
 
-# shingles/signatures restricted to the streamed slice (one FROM
-# documents occurrence in the shared CTE)
-_SLICED_SHINGLES_CTE = _SHINGLES_CTE.replace(
-    "FROM documents", f"FROM documents WHERE {_SLICE}"
-)
-
-STREAMING_INGEST_DEDUP_AUDIT_SQL = f"""
-WITH {_SLICED_SHINGLES_CTE},
+def _ingest_audit_sql(slice_pred: str) -> str:
+    """Unrolled three-round ingest-dedup oracle over ``slice_pred``:
+    round N's probe targets the accepted union of rounds < N.
+    Shingles/signatures are restricted to the streamed slice (one FROM
+    documents occurrence in the shared CTE)."""
+    sliced_shingles = _SHINGLES_CTE.replace(
+        "FROM documents", f"FROM documents WHERE {slice_pred}"
+    )
+    return f"""
+WITH {sliced_shingles},
 sig AS (
   SELECT doc_id,
     {_MH}
@@ -259,34 +360,38 @@ banded AS (
 ),
 shing AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shing GROUP BY doc_id),
-{_keeper_cte(0)},
+{_keeper_cte(0, slice_pred)},
 acc0 AS (SELECT * FROM k0),
-{_keeper_cte(1)},
+{_keeper_cte(1, slice_pred)},
 {_round_ctes(1, "acc0")},
 acc01 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
-{_keeper_cte(2)},
+{_keeper_cte(2, slice_pred)},
 {_round_ctes(2, "acc01")}
 SELECT CAST(0 AS BIGINT) AS batch_id,
-  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 0) AS n_in,
-  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 0)
+  (SELECT count(*) FROM documents WHERE {slice_pred} AND {_BATCH_OF} = 0) AS n_in,
+  (SELECT count(*) FROM documents WHERE {slice_pred} AND {_BATCH_OF} = 0)
     - (SELECT count(*) FROM k0) AS n_exact_dups,
   CAST(0 AS BIGINT) AS n_dropped_vs_index,
   (SELECT count(*) FROM acc0) AS n_novel
 UNION ALL
 SELECT CAST(1 AS BIGINT),
-  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 1),
-  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 1)
+  (SELECT count(*) FROM documents WHERE {slice_pred} AND {_BATCH_OF} = 1),
+  (SELECT count(*) FROM documents WHERE {slice_pred} AND {_BATCH_OF} = 1)
     - (SELECT count(*) FROM k1),
   (SELECT count(*) FROM k1) - (SELECT count(*) FROM acc1),
   (SELECT count(*) FROM acc1)
 UNION ALL
 SELECT CAST(2 AS BIGINT),
-  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 2),
-  (SELECT count(*) FROM documents WHERE {_SLICE} AND {_BATCH_OF} = 2)
+  (SELECT count(*) FROM documents WHERE {slice_pred} AND {_BATCH_OF} = 2),
+  (SELECT count(*) FROM documents WHERE {slice_pred} AND {_BATCH_OF} = 2)
     - (SELECT count(*) FROM k2),
   (SELECT count(*) FROM k2) - (SELECT count(*) FROM acc2),
   (SELECT count(*) FROM acc2)
 """
+
+
+STREAMING_INGEST_DEDUP_AUDIT_SQL = _ingest_audit_sql(_SLICE)
+STREAMING_COMPACTION_PROBE_SQL = _ingest_audit_sql(_SLICE_C)
 
 
 QUERIES = {
@@ -301,6 +406,13 @@ QUERIES = {
         STREAMING_INGEST_DEDUP_AUDIT_SQL,
         "foreachBatch ingest-dedup sink: per-batch audit envelopes",
         ("streaming", "llm", "dedup"),
+    ),
+    "streaming_compaction_probe": QuerySpec(
+        "streaming_compaction_probe", streaming_compaction_probe,
+        STREAMING_COMPACTION_PROBE_SQL,
+        "indexed ingest sink with mid-stream index compaction: "
+        "verdicts invariant under the foreachBatch maintenance epilogue",
+        ("streaming", "llm", "dedup", "maintenance"),
     ),
 }
 

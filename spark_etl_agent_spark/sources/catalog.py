@@ -242,20 +242,29 @@ class Catalog:
         streaming/incremental sink needs at scale: micro-batch appends
         leave thousands of KB-sized files whose open/footer cost
         dominates later scans. Rewrites the table into
-        ``ceil(bytes / target_file_mb)`` files; ``sort_within_by``
-        additionally ``sortWithinPartitions`` so per-file min/max column
-        stats become selective (poor-man's clustering — readers skip
-        whole files on sorted-key predicates). Returns the file count
-        after compaction."""
+        ``ceil(bytes / target_file_mb)`` files. ``sort_within_by``
+        makes the rewrite a real CLUSTERING pass:
+        ``repartitionByRange`` + ``sortWithinPartitions`` lays the
+        sort keys out in DISJOINT per-file ranges, so parquet row-group
+        min/max stats become selective and a sorted-key predicate skips
+        whole files at read time (round-robin placement would give
+        every file the full key range and stats that can never exclude
+        anything — pinned by
+        ``tests/test_jobs.py::test_compacted_sorted_layout_skips_row_groups``).
+        Returns the file count after compaction."""
         jvm = self.spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(self.path(name))
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         total_bytes = fs.getContentSummary(jpath).getLength()
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
 
-        df = self.read_table(name).repartition(int(n_files))
+        df = self.read_table(name)
         if sort_within_by:
-            df = df.sortWithinPartitions(*sort_within_by)
+            df = df.repartitionByRange(
+                int(n_files), *sort_within_by
+            ).sortWithinPartitions(*sort_within_by)
+        else:
+            df = df.repartition(int(n_files))
         tmp = f"{name}__compact_tmp"
         self.write_table(df, tmp, mode="overwrite")
         self._swap_in(tmp, name)

@@ -386,6 +386,7 @@ def streaming_dedup_ingest_sink_indexed(
     novel_writer: Callable[[DataFrame, int], None],
     audit: Optional[list] = None,
     min_jaccard: float = 0.6,
+    maintenance: Optional[Callable[[int], None]] = None,
 ) -> Callable[[DataFrame, int], None]:
     """Indexed variant of ``streaming_dedup_ingest_sink``: the sink
     persists each accepted document's dedup artifacts (content hash,
@@ -486,6 +487,16 @@ def streaming_dedup_ingest_sink_indexed(
             audit.append(
                 (batch_id, n_in, n_in - n_exact, n_exact - n_novel, n_novel)
             )
+        if maintenance is not None:
+            # per-batch epilogue: index maintenance (threshold-gated
+            # small-file compaction of the accepted/index table) runs
+            # BETWEEN micro-batches, so a continuous sink never accretes
+            # files unboundedly waiting for an end-of-drain sweep. The
+            # hook runs after the batch's append and audit record —
+            # compaction re-lays the same rows, so the next batch's
+            # probe verdicts are invariant (streaming_compaction_probe
+            # pins this against the DuckDB oracle).
+            maintenance(batch_id)
 
     return ingest_batch
 

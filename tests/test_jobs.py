@@ -1045,6 +1045,121 @@ def test_ingest_index_maintenance_compacts_above_threshold(spark, tmp_path):
     assert got.agg({"doc_id": "sum"}).collect()[0][0] == sum(range(200))
 
 
+def test_ingest_maintenance_runs_mid_stream(spark, tmp_path):
+    """The per-batch foreachBatch epilogue compacts the index BETWEEN
+    micro-batches (not only at end of drain): with a 1-file threshold,
+    every batch's append trips maintenance, the envelope records the
+    mid-stream runs, and verdicts/rows are unaffected."""
+    from spark_etl_agent_spark.jobs.ingest import CorpusIngestService
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    incoming = tmp_path / "wh" / "corpus" / "incoming"
+    incoming.mkdir(parents=True)
+    _stage_delivery(
+        spark,
+        [(i, f"first delivery doc {i} about topic {i % 3}") for i in range(6)],
+        incoming, 0,
+    )
+    _stage_delivery(
+        spark,
+        [(0, "first delivery doc 0 about topic 0"),  # replayed id
+         (10, "second delivery fresh doc ten"),
+         (11, "second delivery fresh doc eleven")],
+        incoming, 1,
+    )
+    _stage_delivery(
+        spark,
+        [(20, "third delivery fresh doc twenty"),
+         (10, "second delivery fresh doc ten")],  # replay vs compacted
+        incoming, 2,
+    )
+    svc = CorpusIngestService(cat, compact_threshold_files=1)
+    env = svc.run_corpus_ingest(load_date="2026-08-16")
+    assert env["status"] == "Success"
+    assert env["n_batches"] == 3 and env["n_novel"] == 9
+    # some epilogue compacted BEFORE the last batch ran — so batch 2's
+    # probe (which correctly dropped the replayed doc 10) read a
+    # mid-stream-compacted index
+    mids = env["mid_stream_maintenance"]
+    assert any(m["batch_id"] < 2 for m in mids), mids
+    for m in mids:
+        assert m["compacted"] and m["files_after"] < m["files_before"]
+    # the drain's rows all present, file count bounded by the sweep
+    acc = cat.read_table("corpus.accepted")
+    assert acc.count() == 9
+    assert cat.table_file_count("corpus.accepted") <= 2
+
+
+def _scan_metrics(df):
+    """Execute ``df`` and return the FileSourceScanExec leaf's metrics
+    (the plan has no exchange, so no AQE wrapper hides the leaf)."""
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    it = scan.metrics().iterator()
+    out = {}
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def test_compacted_sorted_layout_skips_row_groups(spark, tmp_path):
+    """The secondary-index pruning story: after ``compact_table(...,
+    sort_within_by=['doc_id'])`` the index files hold DISJOINT doc_id
+    ranges, so a selective sorted-key probe physically skips whole
+    files/row groups (parquet min/max stats + pushed filters), while
+    the same probe against a round-robin layout must read everything.
+    Pinned on the scan's executed numOutputRows — rows the reader
+    actually produced, i.e. rows of the row groups it could NOT skip."""
+    from spark_etl_agent_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id", "md5(CAST(id AS STRING)) AS text"
+    )
+    cat.write_table(df.repartition(16), "idx", mode="overwrite")
+
+    files = cat.compact_table("idx", target_file_mb=1, sort_within_by=["doc_id"])
+    assert files > 1, "need a multi-file table to evidence skipping"
+
+    # layout evidence: per-file doc_id ranges are pairwise disjoint
+    spans = sorted(
+        tuple(r)
+        for r in cat.read_table("idx")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .select("lo", "hi")
+        .collect()
+    )
+    for (_, hi_prev), (lo, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo, f"overlapping file ranges: {spans}"
+
+    # selective probe on the sorted layout: reader skips the row
+    # groups whose stats exclude the range
+    probe = (
+        cat.read_table("idx")
+        .filter((F.col("doc_id") >= 1000) & (F.col("doc_id") < 3000))
+        .select("doc_id")
+    )
+    m_sorted = _scan_metrics(probe)
+    assert m_sorted["numOutputRows"] < 0.3 * n, m_sorted
+
+    # control: round-robin compaction -> every file spans the full key
+    # range, stats can exclude nothing, the scan reads ~everything
+    cat.write_table(df.repartition(16), "idx_rr", mode="overwrite")
+    assert cat.compact_table("idx_rr", target_file_mb=1) > 1
+    control = (
+        cat.read_table("idx_rr")
+        .filter((F.col("doc_id") >= 1000) & (F.col("doc_id") < 3000))
+        .select("doc_id")
+    )
+    m_rr = _scan_metrics(control)
+    assert m_rr["numOutputRows"] > 0.9 * n, m_rr
+    # both layouts agree on the answer, of course
+    assert probe.count() == control.count() == 2000
+
+
 def test_corpus_ingest_registered_and_listed(job_service):
     listing = job_service.list_supported_job_types()
     assert "corpus_ingest_etl" in listing
