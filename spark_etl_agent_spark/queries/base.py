@@ -216,84 +216,142 @@ def _collect_modules():
 # driver row ages past ~3 rounds; (3) every name is validated against
 # the merged inventory at registry() time so a rename or removal fails
 # loudly instead of silently shrinking coverage.
+# The round this window was planned FOR (bump when rebuilding the
+# window each round). _validate_rotation() checks the PLANNED window
+# against the artifacts committed BEFORE this round, so the check is
+# stable no matter when registry() runs within the round.
+DRIVER_WINDOW_ROUND = 10
+
 DRIVER_WINDOW = (
-    # -- round 9 rotation. LEADS (4): the queries that landed after
-    #    round 8's window filled and have NEVER had a driver row —
-    #    the round-8 verdict's #1 ask; they stay first and nothing
-    #    may be added ahead of them. --
-    "kanon_publish_audit",
-    "cohort_retention",
-    "source_kl_divergence",
-    "pii_entity_linking",
-    # -- NEW this round: the ingest index's compaction-invariance
-    #    probe (fragmented write → probe → compact_table maintenance
-    #    → re-probe; verdict's #7 ask) and the l-diversity audit (the
-    #    k-anonymity complement: homogeneity leaks). --
-    "ingest_compaction_probe",
-    "ldiversity_audit",
-    # -- changed-plan re-checks (12): supplier_pagerank was
-    #    restructured (broadcast-gated rounds, fused symmetric round
-    #    1); image_ahash_report's binning was batch-vectorized and its
-    #    PNG decode single-inflated; cdc_apply_orders /
-    #    partition_pruning_probe / compact_small_files_audit /
-    #    corpus_release_e2e now materialize their audit frames and
-    #    delete their scratch roots; knn_label_eval's oracle is
-    #    constant-interpolated (rendered SQL identical — cheap
-    #    re-check); indexed_ingest_probe and the four streaming-sink
-    #    queries moved to reaped scratch dirs (same plans, re-checked
-    #    anyway). Values proven unchanged locally for all 12. --
+    # -- round 10 rotation. LEADS (11): the full r05 staleness cohort
+    #    — every name whose latest green driver row is still r05 —
+    #    drained to ZERO (the round-9 verdict's #1 ask; nothing may be
+    #    added ahead of them). --
+    "pmi_word_pairs",
+    "pq_encode_cells",
+    "pricing_summary",
+    "quality_linear_score",
+    "semantic_dedup_embeddings",
+    "sessionization",
+    "set_operations",
+    "simhash_near_duplicates",
+    "streaming_running_totals",
+    "streaming_stream_join",
+    "window_topk_per_group",
+    # -- r06 staleness-cohort drain (36): the alphabetically-first
+    #    names whose latest green row is r06; 12 remain for round 11
+    #    (bar: ≤20). --
+    "above_nation_average",
+    "ann_bruteforce_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_report",
+    "ann_recall_report",
+    "ann_sign_bucket_pairs",
+    "bigram_doc_logprob",
+    "bm25_search_topk",
+    "bpe_fertility_by_lang",
+    "bpe_pair_counts",
+    "case_when_classifier",
+    "conversion_funnel",
+    "corpus_select_budget",
+    "count_distinct_customers",
+    "countmin_heavy_hitters",
+    "cube_part_inventory",
+    "customer_order_counts",
+    "date_function_gallery",
+    "dedup_family_agreement",
+    "distinct_projection",
+    "doc_fingerprints",
+    "dsir_importance_weights",
+    "embedding_label_centroids",
+    "embedding_outlier_report",
+    "gopher_quality_rules",
+    "histogram_quantile_error",
+    "hll_distinct_trigrams",
+    "kmeans_cell_profile",
+    "lsh_band_calibration",
+    "minhash_estimate_error",
+    "multimodal_decode",
+    "multimodal_source_stats",
+    "neardup_cluster_keepers",
+    "normalized_dedup",
+    # -- NEW this round (after the drain, per the verdict's #1 ask):
+    #    the streaming-sink compaction-invariance probe (mid-stream
+    #    foreachBatch maintenance; verdict's #6 ask). --
+    "streaming_compaction_probe",
+    # -- changed-plan re-checks (2): supplier_pagerank's setup was
+    #    redesigned (broadcast-deg map-side annotation, no edge
+    #    exchange); ingest_compaction_probe exercises compact_table,
+    #    whose sorted rewrite is now range-partitioned. Values proven
+    #    unchanged locally for both. --
     "supplier_pagerank",
-    "image_ahash_report",
-    "cdc_apply_orders",
-    "partition_pruning_probe",
-    "compact_small_files_audit",
-    "corpus_release_e2e",
-    "knn_label_eval",
-    "indexed_ingest_probe",
-    "streaming_drift_audit",
-    "streaming_pack_manifest",
-    "streaming_ingest_dedup_audit",
-    "streaming_user_ewma",
-    # -- r05 staleness-cohort drain (33): the alphabetically-first
-    #    names whose latest green driver row is still r05 (the
-    #    verdict's #4 ask; image_ahash_report / streaming_drift_audit /
-    #    streaming_pack_manifest are cohort members already re-checked
-    #    above). 11 cohort names remain for round 10's fill —
-    #    comfortably under the ≤20 bar. --
-    "ann_ivf_topk",
-    "approx_distinct_parts",
-    "bloom_ingest_dedup",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "chunk_documents",
-    "corpus_cluster_quality",
-    "corpus_datacard",
-    "corpus_shuffle_order",
-    "decontaminate_corpus",
-    "drift_psi_report",
-    "duplicate_span_stats",
-    "embedding_cosine_neardup",
-    "embedding_covariance",
-    "embedding_label_medoids",
-    "embedding_quantize_int8",
-    "exact_dedup",
-    "hard_negatives_embeddings",
-    "incremental_neardup_probe",
-    "jcap_pa_extract",
-    "join_skew_report",
-    "minhash_near_duplicates",
-    "minhash_signatures",
-    "mixture_plan_langs",
-    "mixture_resample_counts",
-    "mixture_temperature_langs",
-    "neardup_components",
-    "neardup_triangles",
-    "ngram_jaccard_dedup",
-    "pack_documents",
-    "packing_audit",
-    "per_domain_holdout",
+    "ingest_compaction_probe",
 )
 
+
+
+# Rotation-math guard (round-9 verdict ask #7): the inventory grows
+# while the window stays 50, so a planned window CAN silently let a
+# name's latest driver row age out. Validated once per process at
+# registry() time: reading the committed CORRECTNESS_r*.json artifacts
+# from rounds BEFORE ``DRIVER_WINDOW_ROUND`` (so the check's answer
+# never changes mid-round as new artifacts land), every inventory name
+# must either sit in the planned window or have a driver row that will
+# still be at most ``MAX_DRIVER_ROW_AGE`` rounds old after this round.
+MAX_DRIVER_ROW_AGE = 4
+_rotation_checked = False
+
+
+def _latest_driver_rounds(before_round: int) -> Optional[Dict[str, int]]:
+    """name -> newest round (< before_round) with a committed driver
+    row, from the repo-root CORRECTNESS artifacts; None when no
+    artifacts are visible (fresh checkout / foreign CWD)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    latest: Dict[str, int] = {}
+    found = False
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)\.json$", p.name)
+        if not m or int(m.group(1)) >= before_round:
+            continue
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        found = True
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), int(m.group(1)))
+    return latest if found else None
+
+
+def _validate_rotation(inventory: Dict[str, QuerySpec]) -> None:
+    global _rotation_checked
+    if _rotation_checked:
+        return
+    latest = _latest_driver_rounds(DRIVER_WINDOW_ROUND)
+    if latest is None:
+        return  # artifacts not visible here; the repo's pytest run has them
+    window = set(DRIVER_WINDOW)
+    stale = sorted(
+        name
+        for name in inventory
+        if name not in window
+        and DRIVER_WINDOW_ROUND - latest.get(name, -10**6)
+        > MAX_DRIVER_ROW_AGE
+    )
+    if stale:
+        raise ValueError(
+            f"rotation contract violated: {len(stale)} name(s) outside "
+            f"DRIVER_WINDOW would age past {MAX_DRIVER_ROW_AGE} rounds "
+            f"after round {DRIVER_WINDOW_ROUND} (never-checked names "
+            f"count as infinitely stale): {stale}"
+        )
+    _rotation_checked = True
 
 
 def registry() -> Dict[str, QuerySpec]:
@@ -306,6 +364,7 @@ def registry() -> Dict[str, QuerySpec]:
     missing = [n for n in DRIVER_WINDOW if n not in merged]
     if missing:
         raise ValueError(f"DRIVER_WINDOW names not in inventory: {missing}")
+    _validate_rotation(merged)
     out: Dict[str, QuerySpec] = {n: merged[n] for n in DRIVER_WINDOW}
     for name, spec in merged.items():
         out.setdefault(name, spec)

@@ -3,6 +3,8 @@
 import importlib.util
 import os
 
+import pytest
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -54,43 +56,70 @@ def test_driver_window_is_first_50_registry_entries():
 
     assert list(registry())[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     assert len(DRIVER_WINDOW) == 50
-    # round-9 rotation contract: the 4 never-driver-checked queries
-    # LEAD (the r08 verdict's #1 ask — nothing may be added ahead of
-    # them), then the round's new query, then the changed-plan
-    # re-checks, then the alphabetical r05 staleness-cohort drain
-    assert DRIVER_WINDOW[:4] == (
-        "kanon_publish_audit",      # never driver-checked
-        "cohort_retention",         # never driver-checked
-        "source_kl_divergence",     # never driver-checked
-        "pii_entity_linking",       # never driver-checked
+    # round-10 rotation contract (the r09 verdict's #1 ask): the FULL
+    # r05 staleness cohort (11 names) LEADS — drained to zero — then
+    # the alphabetically-first 36 of the r06 cohort, then the round's
+    # new query and the two changed-plan re-checks.
+    assert DRIVER_WINDOW[:11] == (
+        "pmi_word_pairs",
+        "pq_encode_cells",
+        "pricing_summary",
+        "quality_linear_score",
+        "semantic_dedup_embeddings",
+        "sessionization",
+        "set_operations",
+        "simhash_near_duplicates",
+        "streaming_running_totals",
+        "streaming_stream_join",
+        "window_topk_per_group",
     )
-    assert DRIVER_WINDOW[4] == "ingest_compaction_probe"  # new r09
-    assert DRIVER_WINDOW[5] == "ldiversity_audit"          # new r09
+    assert DRIVER_WINDOW[47] == "streaming_compaction_probe"  # new r10
     for changed in (
-        "supplier_pagerank",        # broadcast-gated rounds, fused r1
-        "image_ahash_report",       # batch-vectorized binning
-        "cdc_apply_orders",         # materialize + scratch cleanup
-        "partition_pruning_probe",  # materialize + scratch cleanup
-        "compact_small_files_audit",  # materialize + scratch cleanup
-        "corpus_release_e2e",       # materialize + scratch cleanup
-        "knn_label_eval",           # oracle constant interpolation
+        "supplier_pagerank",        # broadcast-deg setup redesign
+        "ingest_compaction_probe",  # range-partitioned compact_table
     ):
         assert changed in DRIVER_WINDOW, changed
-    for r05 in (
-        "ann_ivf_topk", "approx_distinct_parts", "bloom_ingest_dedup",
-        "bpe_encode_corpus", "bpe_train_merges", "chunk_documents",
-        "corpus_cluster_quality", "corpus_datacard",
-        "corpus_shuffle_order", "decontaminate_corpus",
-        "drift_psi_report", "duplicate_span_stats",
-        "embedding_cosine_neardup", "embedding_covariance",
-        "embedding_label_medoids", "embedding_quantize_int8",
-        "exact_dedup", "hard_negatives_embeddings",
-        "incremental_neardup_probe", "jcap_pa_extract",
-        "join_skew_report", "minhash_near_duplicates",
-        "minhash_signatures", "mixture_plan_langs",
-        "mixture_resample_counts", "mixture_temperature_langs",
-        "neardup_components", "neardup_triangles",
-        "ngram_jaccard_dedup", "pack_documents", "packing_audit",
-        "per_domain_holdout",
+    # r06 drain: 36 in, leaving 12 for round 11 (bar: <= 20)
+    for r06 in (
+        "above_nation_average", "ann_bruteforce_topk",
+        "ann_ivf_kmeans_topk", "ann_ivfpq_topk", "ann_pq_adc_topk",
+        "ann_pq_recall_report", "ann_recall_report",
+        "ann_sign_bucket_pairs", "bigram_doc_logprob",
+        "bm25_search_topk", "bpe_fertility_by_lang", "bpe_pair_counts",
+        "case_when_classifier", "conversion_funnel",
+        "corpus_select_budget", "count_distinct_customers",
+        "countmin_heavy_hitters", "cube_part_inventory",
+        "customer_order_counts", "date_function_gallery",
+        "dedup_family_agreement", "distinct_projection",
+        "doc_fingerprints", "dsir_importance_weights",
+        "embedding_label_centroids", "embedding_outlier_report",
+        "gopher_quality_rules", "histogram_quantile_error",
+        "hll_distinct_trigrams", "kmeans_cell_profile",
+        "lsh_band_calibration", "minhash_estimate_error",
+        "multimodal_decode", "multimodal_source_stats",
+        "neardup_cluster_keepers", "normalized_dedup",
     ):
-        assert r05 in DRIVER_WINDOW, r05
+        assert r06 in DRIVER_WINDOW, r06
+
+
+def test_rotation_guard_fails_on_aged_out_names(monkeypatch):
+    """The registry-time rotation assertion: a planned window that
+    leaves any name's latest driver row to age past 4 rounds (or a
+    never-checked name out of the window) must raise loudly."""
+    import spark_etl_agent_spark.queries.base as base
+
+    # current plan is valid against the committed artifacts
+    base._rotation_checked = False
+    base.registry()
+    assert base._rotation_checked
+
+    # drop a must-drain lead from the window -> its r05 row would age
+    # past 4 rounds after round 10 -> raise
+    base._rotation_checked = False
+    crippled = tuple(n for n in base.DRIVER_WINDOW if n != "pricing_summary")
+    monkeypatch.setattr(base, "DRIVER_WINDOW", crippled)
+    with pytest.raises(ValueError, match="rotation contract"):
+        base.registry()
+    base._rotation_checked = False
+    monkeypatch.undo()
+    base.registry()  # restore the cached-valid state for other tests
