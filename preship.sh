@@ -12,22 +12,27 @@
 #      BENCH_PAIRED artifacts (also enforced at merge_paired time,
 #      where the pairing is current-round vs previous; waiver syntax
 #      in scripts/regression_gate.py)
+#   6. plan gate: the PLANS_r{N}.md reviewer checklist as a hard
+#      signal — no CartesianProduct, no non-scalar BNLJ, selective
+#      scans must push filters (waiver syntax in scripts/plan_gate.py)
+#   7. work-tree hygiene: a dirty tree at round end means an artifact
+#      was regenerated but not committed (the r08/r09 repeat nit)
 #
 # Usage: ./preship.sh          (all stages)
 #        ./preship.sh quick    (stage 1 only)
 set -euo pipefail
 cd "$(dirname "$0")"
 
-echo "== stage 1/5: full suite @ sf0.001 =="
+echo "== stage 1/7: full suite @ sf0.001 =="
 python -m pytest tests/ -q
 
 if [[ "${1:-}" == "quick" ]]; then exit 0; fi
 
-echo "== stage 2/5: oracle parity @ sf0.01 (driver mirror) =="
+echo "== stage 2/7: oracle parity @ sf0.01 (driver mirror) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
   python -m pytest tests/test_oracle_parity.py tests/test_schema_contract.py -q
 
-echo "== stage 3/5: bench smoke @ sf0.01 =="
+echo "== stage 3/7: bench smoke @ sf0.01 =="
 out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py)
 echo "$out" | python -c '
 import json, sys
@@ -36,10 +41,21 @@ nq, tot, sf = len(d["queries"]), d["value"], d["sf"]
 assert nq > 0, "bench emitted no per-query timings"
 print(f"bench ok: {nq} queries, total {tot}s @ sf={sf}")
 '
-echo "== stage 4/5: scale-headroom smoke (10x data, sub-linear gate) =="
+echo "== stage 4/7: scale-headroom smoke (10x data, sub-linear gate) =="
 python scripts/scale_smoke.py
 
-echo "== stage 5/5: paired-regression gate (newest two committed artifacts) =="
+echo "== stage 5/7: paired-regression gate (newest two committed artifacts) =="
 python scripts/regression_gate.py
+
+echo "== stage 6/7: plan gate (bench-dominant set) =="
+python scripts/plan_gate.py
+
+echo "== stage 7/7: work-tree hygiene (everything committed?) =="
+dirty=$(git status --porcelain)
+if [[ -n "$dirty" ]]; then
+  echo "FAILED — uncommitted changes at round end:"
+  echo "$dirty"
+  exit 1
+fi
 
 echo "== preship: ALL GREEN =="
