@@ -74,7 +74,42 @@ QUERIES = [
     "lsh_band_calibration",
     "dedup_family_agreement",
     "exactsubstr_spans",
+    # round-10 additions (verdict ask #4): the streaming indexed-ingest
+    # sink (its batch-∝-cost claim is the one that matters most at
+    # 100x — NOTE its batches grow WITH the corpus here, so the
+    # expected growth is ~linear-in-batch, bounded by 10, not
+    # sub-linear like the blocked dedup shapes) and one ANN shape
+    # (handled by the SPECIAL builder below: cells must stay bounded
+    # as rows grow, so k scales with N)
+    "streaming_ingest_dedup_audit",
+    "ann_ivf_kmeans_topk",
 ]
+
+
+def _ann_k(n_vectors: int) -> int:
+    """Codebook size for the scaled IVF run: bound the EXPECTED cell
+    width at ~512 vectors however large the corpus grows — the
+    production rule (cells are a function of data size, not a
+    constant), and exactly the 'cells stay bounded' posture the 100x
+    evidence is for."""
+    return max(4, n_vectors // 512)
+
+
+def _ann_ivf_kmeans_topk_scaled(spark, d: str):
+    """The ann_ivf_kmeans_topk chain (trainer -> cell attach -> IVF
+    probe) with the codebook scaled to the blown-up corpus. The
+    registry query pins k=4 for the fixed-size oracle; the SCALING
+    posture is the same operators with k = N/512."""
+    from spark_etl_agent_spark.llm import kmeans
+    from spark_etl_agent_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    k = _ann_k(emb.count())
+    cells = kmeans.train_cells(emb, k=k, iters=2)
+    return sim.ivf_topk(emb.join(cells, "vec_id"), cell_col="cell")
+
+
+SPECIAL = {"ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk_scaled}
 
 _ALPHA = "etaoins"
 _PERMS = ["".join(p) for p in itertools.permutations(_ALPHA)]
@@ -92,6 +127,39 @@ def blow_up_docs(spark, blowup: int, out_dir: str) -> None:
     reduce(lambda a, b: a.unionAll(b), parts).repartition(npart).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/documents.parquet")
+
+
+def blow_up_embeddings(spark, blowup: int, out_dir: str) -> None:
+    """Replica ``r`` rotates every embedding array by ``r`` positions
+    (norm-preserving bijection of the dimensions): within a replica all
+    pairwise geometry is exact; across replicas vectors land in
+    different regions, so the k-means cells genuinely repartition the
+    blown-up space instead of seeing 100 exact copies."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(blowup):
+        rot = r % dim
+        rotated = (
+            F.concat(
+                F.slice("embedding", rot + 1, dim - rot),
+                F.slice("embedding", 1, rot),
+            )
+            if rot
+            else F.col("embedding")
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * max_id)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    npart = spark.sparkContext.defaultParallelism
+    reduce(lambda a, b: a.unionAll(b), parts).repartition(npart).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
 
 
 def band_bucket_telemetry(spark, d: str) -> dict:
@@ -143,18 +211,32 @@ def band_bucket_telemetry(spark, d: str) -> dict:
     }
 
 
-def run_pass(spark, d: str, names) -> dict:
-    specs = registry()
-    out = {}
-    for name in names:
-        with scoped_caches(spark):
-            t0 = time.perf_counter()
-            specs[name].spark(spark, d).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            out[name] = round(time.perf_counter() - t0, 3)
-        print(f"    {name}: {out[name]:.1f}s", flush=True)
-    return out
+def ivf_cell_telemetry(spark, d: str) -> dict:
+    """Cell-width distribution of the SCALED IVF codebook — the direct
+    'cells stay bounded as rows grow' evidence: k grows with N, so the
+    max/p99 cell width must stay roughly flat between 10x and 100x."""
+    from spark_etl_agent_spark.llm import kmeans
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    k = _ann_k(n)
+    widths = (
+        kmeans.train_cells(emb, k=k, iters=2)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    row = widths.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("w").alias("max_w"),
+        F.expr("approx_percentile(w, 0.99)").alias("p99_w"),
+    ).collect()[0]
+    return {
+        "n_vectors": n,
+        "ivf_k": k,
+        "ivf_cells_nonempty": row["n_cells"],
+        "ivf_cell_width_max": row["max_w"],
+        "ivf_cell_width_p99": int(row["p99_w"]),
+    }
 
 
 def _session(blowup: int) -> "SparkManager":
@@ -180,8 +262,10 @@ def child_build(blowup: int) -> None:
     os.makedirs(d, exist_ok=True)
     print(f"building {blowup}x blow-up …", flush=True)
     blow_up_docs(spark, blowup, d)
+    blow_up_embeddings(spark, blowup, d)
     print(f"telemetry at {blowup}x:", flush=True)
     telemetry = band_bucket_telemetry(spark, d)
+    telemetry.update(ivf_cell_telemetry(spark, d))
     print(f"  {telemetry}", flush=True)
     with open(f"{WORK}/telemetry_{blowup}.json", "w") as f:
         json.dump(telemetry, f)
@@ -204,11 +288,14 @@ def child_query(blowup: int, name: str) -> None:
     ).save()
     d = f"{WORK}/x{blowup}"
     specs = registry()
+    build = SPECIAL.get(name) or (
+        lambda s, dd, _spec=specs[name]: _spec.spark(s, dd)
+    )
     walls = []
     for _ in range(2):
         with scoped_caches(spark):
             t0 = time.perf_counter()
-            specs[name].spark(spark, d).write.format("noop").mode(
+            build(spark, d).write.format("noop").mode(
                 "overwrite"
             ).save()
             walls.append(round(time.perf_counter() - t0, 3))
@@ -248,6 +335,21 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "scales": list(SCALES),
         "isolation": "fresh JVM per (scale, query); cold + in-JVM warm",
+        "notes": {
+            "streaming_ingest_dedup_audit": (
+                "batches here grow WITH the corpus (the query streams a "
+                "fixed quarter-slice in 3 batches), so the EXPECTED bound "
+                "is linear-in-batch (growth <= ~10), not sub-linear; the "
+                "batch-proportional claim itself (cost independent of "
+                "the stored index size) is what the stored-artifact "
+                "probe makes true by construction"
+            ),
+            "ann_ivf_kmeans_topk": (
+                "run with the SCALED codebook k = N/512 (the registry "
+                "query pins k=4 for the fixed-size oracle): cells stay "
+                "bounded as rows grow — see telemetry.ivf_cell_width_*"
+            ),
+        },
         "queries": {},
         "telemetry": {},
     }
