@@ -22,31 +22,20 @@ from spark_etl_agent_spark.core.session import SparkManager  # noqa: E402
 from spark_etl_agent_spark.core.ship import ship_package  # noqa: E402
 from spark_etl_agent_spark.queries import registry  # noqa: E402
 
-DEFAULT_QUERIES = [
-    # bench top-cost (streaming/foreachBatch surfaces excluded — their
-    # work happens inside micro-batch sinks, not the returned frame)
-    "incremental_neardup_probe",
-    "supplier_pagerank",
-    "ngram_jaccard_dedup",
-    "simhash_near_duplicates",
-    "minhash_near_duplicates",
-    "semantic_dedup_embeddings",
-    "bloom_ingest_dedup",
-    # round-5 new shapes
-    "pq_encode_cells",
-    "pmi_word_pairs",
-    "drift_psi_report",
-    "embedding_covariance",
-    "neardup_triangles",
-    "hard_negatives_embeddings",
-    # flagship
-    "pricing_summary",
-]
+def _default_queries() -> list:
+    """Single source of truth: the plan GATE's bench-dominant selection
+    (top-cost bench names + always-on scale-critical shapes, streaming
+    / execute-on-build surfaces excluded) — the committed PLANS_r{N}.md
+    is exactly the set scripts/plan_gate.py adjudicates."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from plan_gate import _gate_set
+
+    return _gate_set(registry())
 
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    names = sys.argv[2:] or _default_queries()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = SparkManager(
         app_name="plan-audit",
