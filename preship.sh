@@ -33,7 +33,10 @@ SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
   python -m pytest tests/test_oracle_parity.py tests/test_schema_contract.py -q
 
 echo "== stage 3/7: bench smoke @ sf0.01 =="
-out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py)
+# summary detail goes to /tmp: a gate SMOKE must not dirty the
+# committed BENCH_SUMMARY artifact (stage 7 enforces a clean tree)
+out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+      SPARK_GRAFT_SUMMARY_DIR=/tmp python bench.py)
 echo "$out" | python -c '
 import json, sys
 d = json.loads(sys.stdin.readline())
