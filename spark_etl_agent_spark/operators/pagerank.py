@@ -114,6 +114,7 @@ def pagerank(
     checkpoint_dir: Optional[str] = None,
     symmetric: bool = False,
     max_broadcast_nodes: int = 4_000_000,
+    n_nodes_hint: Optional[int] = None,
 ) -> DataFrame:
     """Run ``iters`` integer PageRank rounds over the directed edge
     list and return ``(node, degree, rank_micro)`` for every node that
@@ -124,9 +125,13 @@ def pagerank(
     join strategy: int64 algebra only (see module docstring), so the
     broadcast/shuffle choice below can never change a value.
 
-    Two physical round shapes, gated on the COUNTED node total (one
-    cheap node-sized action at setup — the only scalar the driver ever
-    reads):
+    Two physical round shapes, gated on the node total — either a
+    caller-supplied UPPER BOUND (``n_nodes_hint``, e.g. parquet footer
+    row counts of the id-space dimensions: zero Spark jobs, the whole
+    build stays lazy until the terminal action; an over-estimate only
+    flips to the always-safe sort-merge path) or, without a hint, one
+    COUNTED node-sized action at setup (the only scalar the driver
+    ever reads):
 
     - ``n_nodes ≤ max_broadcast_nodes`` — the rank frame is broadcast
       into each round's join. The edge list is then scanned purely
@@ -201,9 +206,19 @@ def pagerank(
         # window count over dst inside the eager checkpoint — paid a
         # full-edge dst exchange + sort and stored the annotated list,
         # measured as the dominant setup cost.)
+        # Gate source: a caller-supplied UPPER BOUND on the node count
+        # (e.g. parquet footer row counts of the dimension tables —
+        # zero Spark jobs) keeps the ENTIRE build lazy: nothing
+        # executes until the caller's terminal action, so an
+        # orchestrator can overlap this plan's construction with other
+        # running work. An over-estimate only flips to the sort-merge
+        # path (safe, never wrong). Without a hint, the gate COUNTS
+        # the degree table — one node-sized action, and the setup
+        # becomes eager at build time.
+        lazy_build = n_nodes_hint is not None
         e_plain = ckpt(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-            eager=True,
+            eager=not lazy_build,
         )
         deg = ckpt(
             e_plain.groupBy(F.col("src").alias("node")).agg(
@@ -211,7 +226,9 @@ def pagerank(
             ),
             eager=False,
         )
-        n_nodes = deg.count()
+        n_nodes = (
+            int(n_nodes_hint) if lazy_build else deg.count()
+        )
         use_broadcast = n_nodes <= int(max_broadcast_nodes)
         dd = deg.select(
             F.col("node").alias("__dn"), F.col("degree").alias("dst_degree")
@@ -260,7 +277,7 @@ def pagerank(
     else:
         e = ckpt(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-            eager=True,
+            eager=n_nodes_hint is None,
         )
         deg = ckpt(
             e.groupBy(F.col("src").alias("node")).agg(
@@ -284,7 +301,9 @@ def pagerank(
     # strategy itself could be gate-dependent.) Only the big-graph
     # sort-merge path pays the repartition + persist re-shape.
     if not symmetric:
-        n_nodes = deg.count()
+        n_nodes = (
+            int(n_nodes_hint) if n_nodes_hint is not None else deg.count()
+        )
         use_broadcast = n_nodes <= int(max_broadcast_nodes)
         if not use_broadcast:
             e = (

@@ -23,6 +23,24 @@ from .base import QuerySpec, load
 N_ROUNDS = 6
 
 
+def _node_bound(sf_dir):
+    """Upper bound on the graph's node count from parquet FOOTER
+    metadata (|customer| + |supplier| ≥ customers-with-orders +
+    suppliers-with-lineitems) — zero Spark jobs, so the pagerank build
+    stays fully lazy and the loop's work is charged to this query's own
+    execution, not smeared over a neighbor's. Falls back to the
+    operator's counted gate if the footers aren't readable."""
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
+            for t in ("customer", "supplier")
+        )
+    except Exception:
+        return None
+
+
 def supplier_pagerank(spark, sf_dir):
     """Top-20 suppliers by integer PageRank over the undirected
     customer↔supplier graph. Node encoding: customer → 2·custkey,
@@ -41,7 +59,12 @@ def supplier_pagerank(spark, sf_dir):
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    pr = pagerank(edges, iters=N_ROUNDS, symmetric=True)
+    pr = pagerank(
+        edges,
+        iters=N_ROUNDS,
+        symmetric=True,
+        n_nodes_hint=_node_bound(sf_dir),
+    )
     supplier = load(spark, sf_dir, "supplier")
     return (
         pr.join(
