@@ -64,6 +64,13 @@ def supplier_pagerank(spark, sf_dir):
         iters=N_ROUNDS,
         symmetric=True,
         n_nodes_hint=_node_bound(sf_dir),
+        # one checkpoint (the fused round 1) for this 6-round loop:
+        # lineage stays <= 5 rounds — well inside compile bounds — and
+        # each mid-loop checkpoint costs a full AQE stage
+        # materialization (measured: cadence 6 is ~0.6s faster than 2
+        # at sf0.1, values identical; operators keep the default 2 for
+        # deeper loops)
+        checkpoint_every=N_ROUNDS,
     )
     supplier = load(spark, sf_dir, "supplier")
     return (
