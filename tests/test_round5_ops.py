@@ -75,6 +75,37 @@ def test_pagerank_broadcast_gate_sides_agree(spark):
         assert fast == big, f"symmetric={sym}"
 
 
+def test_pagerank_hinted_gate_is_lazy_and_value_identical(spark):
+    """The r10 hinted gate: (1) values are identical to the counted
+    gate whichever path the hint selects (a correct bound keeps the
+    broadcast path; a deliberately-tiny bound flips to the sort-merge
+    path — both must agree with the unhinted run); (2) the hint is an
+    UPPER bound, so over-estimating by 1000x is safe."""
+    edges = _sym(spark, [(i, (i * 7) % 23) for i in range(1, 23)])
+    base = sorted(
+        map(tuple, pagerank(edges, iters=4, symmetric=True).collect())
+    )
+    for hint in (1, 23, 23_000):  # forces SMJ / exact-ish / over-bound
+        hinted = sorted(
+            map(
+                tuple,
+                pagerank(
+                    edges,
+                    iters=4,
+                    symmetric=True,
+                    n_nodes_hint=hint,
+                ).collect(),
+            )
+        )
+        assert hinted == base, f"hint={hint}"
+    # directed path accepts the hint too
+    d_base = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    d_hint = sorted(
+        map(tuple, pagerank(edges, iters=3, n_nodes_hint=50).collect())
+    )
+    assert d_hint == d_base
+
+
 def test_semantic_dedup_cell_width_guard(spark):
     """k=1 puts every vector in one cell — the guard must refuse the
     quadratic compare, naming the width."""
