@@ -17,6 +17,11 @@ import sys
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r06"
+    if not re.search(r"r\d+", tag):
+        sys.exit(
+            f"tag must contain r<digits> (e.g. r11) so the regression "
+            f"gate can find the round-number predecessor; got {tag!r}"
+        )
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench = json.load(open(os.path.join(here, "BENCH_SUMMARY_sf0.1.json")))
     oracle = json.load(open(os.path.join(here, "ORACLE_SUMMARY_sf0.1.json")))

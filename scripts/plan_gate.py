@@ -95,12 +95,28 @@ def _repo_root() -> str:
 
 
 def _current_tag() -> str:
+    """The round whose NOTES file scopes PLAN-WAIVER lines.
+
+    Derived from the newest existing NOTES_r*.md — NOT from the newest
+    CORRECTNESS artifact + 1: preship stage 7 requires a clean tree,
+    so once a round's CORRECTNESS_r{N}.json is committed the +1 rule
+    would jump to r{N+1} and silently ignore the CURRENT round's
+    waivers (the gate would fail a shape its own NOTES waived). An
+    explicit SPARK_GRAFT_ROUND_TAG env var overrides (preship may pin
+    the round it is shipping)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND_TAG")
+    if env:
+        if not re.fullmatch(r"r\d+", env):
+            raise SystemExit(
+                f"SPARK_GRAFT_ROUND_TAG must look like r11, got {env!r}"
+            )
+        return f"r{int(env[1:]):02d}"
     rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))
-        if (m := re.search(r"r(\d+)\.json$", p))
+        for p in glob.glob(os.path.join(_repo_root(), "NOTES_r*.md"))
+        if (m := re.search(r"r(\d+)\.md$", p))
     ]
-    return f"r{(max(rounds) + 1 if rounds else 1):02d}"
+    return f"r{(max(rounds) if rounds else 1):02d}"
 
 
 def _waivers(tag: str) -> dict:

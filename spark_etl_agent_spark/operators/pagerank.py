@@ -162,16 +162,25 @@ def pagerank(
 
     ``symmetric=True`` declares that the edge list is symmetric (every
     node with out-edges also has in-edges — the undirected encoding).
-    Then in-degree == out-degree per node, so the per-destination
-    degree is attached WITHOUT ever exchanging the edge list: the
-    node-sized degree table (one partial-aggregated pass over the
-    cached edges) is broadcast-hash-probed map-side on each round's
-    scan below the gate (above it, the annotate join rides the
-    sort-merge path's own src exchange), and each round rebuilds the
-    carried degree as a ``max`` inside its aggregation — no per-round
-    join back to a degree table at all. On a directed graph this would
-    silently drop source-only nodes (no in-edges → no aggregation row
-    → their next-round contribution vanishes), so it must stay opt-in.
+    Then in-degree == out-degree per node, so the degree a round needs
+    is rebuilt as the GROUP COUNT inside its own aggregation (every
+    source node has a rank row, so the inner contrib join keeps every
+    in-edge and ``count(*)`` per destination IS its degree) — the edge
+    list never carries a degree column into the loop at all. Only the
+    fused round 1 reads a degree (``src_degree`` for the constant
+    round-1 contribution): below the gate it is a broadcast-hash probe
+    on the cached scan; above it a node-sized join that rides the
+    sort-merge layout's one src-keyed exchange. On a directed graph
+    this would silently drop source-only nodes (no in-edges → no
+    aggregation row → their next-round contribution vanishes), so it
+    must stay opt-in.
+
+    ``n_nodes_hint`` is an UPPER bound contract: over-estimates are
+    always safe (they can only flip to the sort-merge path, which is
+    correct at any size), but an UNDER-estimate on a huge graph would
+    wrongly broadcast a bigger-than-memory rank frame — callers must
+    derive the hint from something that cannot under-count (e.g.
+    parquet footer row counts of the id-space dimension tables).
     """
     spark = edges.sparkSession
     # Partition the loop state by the SESSION's shuffle partitioning,
@@ -198,14 +207,15 @@ def pagerank(
         # possible. Materialize the PLAIN edge list once (job 1), build
         # the node-sized degree table off the cached scan (in-degree ==
         # out-degree by the symmetric contract), and read the broadcast
-        # gate off ITS count (job 2). Degree annotation then never
-        # exchanges the edges: below the gate it is a broadcast-hash
-        # probe recomputed map-side on each round's cached scan; above
-        # it the one annotate-join rides the same src-keyed exchange
-        # the sort-merge path must pay anyway. (The previous shape — a
-        # window count over dst inside the eager checkpoint — paid a
-        # full-edge dst exchange + sort and stored the annotated list,
-        # measured as the dominant setup cost.)
+        # gate off ITS count (job 2). The loop's rounds need no degree
+        # column on the edges at all (degree is rebuilt as the group
+        # count — see the round loop); only the fused round 1 reads
+        # ``src_degree``, attached below the gate as a broadcast-hash
+        # probe on the cached scan and above it as a node-sized join
+        # aligned with the sort-merge layout's single src-keyed
+        # exchange — so the big-graph path pays exactly ONE full-edge
+        # exchange at setup (the src repartition), not a dst annotate
+        # exchange plus the src repartition.
         # Gate source: a caller-supplied UPPER BOUND on the node count
         # (e.g. parquet footer row counts of the dimension tables —
         # zero Spark jobs) keeps the ENTIRE build lazy: nothing
@@ -230,38 +240,43 @@ def pagerank(
             int(n_nodes_hint) if lazy_build else deg.count()
         )
         use_broadcast = n_nodes <= int(max_broadcast_nodes)
-        dd = deg.select(
-            F.col("node").alias("__dn"), F.col("degree").alias("dst_degree")
+        ds = deg.select(
+            F.col("node").alias("__sn"), F.col("degree").alias("src_degree")
         )
         if use_broadcast:
-            e = e_plain.join(
-                F.broadcast(dd), F.col("dst") == F.col("__dn")
-            ).drop("__dn")
+            e = e_plain
+            e1 = e_plain.join(
+                F.broadcast(ds), F.col("src") == F.col("__sn")
+            ).drop("__sn")
         else:
+            # ONE full-edge exchange: hash-partition + sort the plain
+            # edges by src (the layout every round's contrib join
+            # reuses). The round-1 degree annotate is then a NODE-sized
+            # join aligned with this layout — it never exchanges the
+            # edge side.
             e = (
-                e_plain.join(dd, F.col("dst") == F.col("__dn"))
-                .drop("__dn")
-                .repartition(npart, "src")
+                e_plain.repartition(npart, "src")
                 .sortWithinPartitions("src")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            e1 = e.join(ds, F.col("src") == F.col("__sn")).drop("__sn")
         # Fused round 1 (symmetric + uniform init): round-1
-        # contributions are the CONSTANT ``init div deg(u)``, and on a
-        # symmetric annotated edge list every in-edge (u→v) has a
-        # mirrored row (v, u, deg(u)) — so node v's inbound sum is just
-        # ``sum(init div dst_degree)`` grouped on ``src``, and its
-        # degree is the group count. One map-side aggregation replaces
-        # the rank init AND round 1's join. (A directed graph can't do
-        # this: the mirrored row need not exist.)
+        # contributions are the CONSTANT ``init div deg(u)``, so node
+        # v's inbound sum is ``sum(init div src_degree)`` over its
+        # in-edges grouped on ``dst``, and its degree is the group
+        # count (in-degree == out-degree by the symmetric contract).
+        # One aggregation replaces the rank init AND round 1's join.
+        # (A directed graph can't do this: in-degree ≠ out-degree and
+        # source-only nodes have no group.)
         if iters >= 1:
             ranks = ckpt(
-                e.groupBy(F.col("src").alias("node")).agg(
+                e1.groupBy(F.col("dst").alias("node")).agg(
                     F.count(F.lit(1)).alias("degree"),
                     (
                         F.lit(int(teleport_micro))
                         + F.expr(
                             f"({int(damping_pm)} * sum(1000000 div "
-                            "dst_degree)) div 1000"
+                            "src_degree)) div 1000"
                         )
                     ).cast("long").alias("rank_micro"),
                 ),
@@ -327,11 +342,17 @@ def pagerank(
         if use_broadcast:
             contrib = F.broadcast(contrib)
         if symmetric:
+            # degree rebuilt as the group count: every source node has
+            # a rank row (round outputs cover all nodes on a symmetric
+            # graph), so the inner join keeps every in-edge and
+            # count(*) per dst == in-degree == degree. The edges carry
+            # no degree column — the cached scan is the PLAIN edge
+            # list on both gate paths.
             ranks = (
                 e.join(contrib, e.src == contrib.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(
-                    F.max("dst_degree").alias("degree"),
+                    F.count(F.lit(1)).alias("degree"),
                     (
                         F.lit(int(teleport_micro))
                         + F.expr(

@@ -305,9 +305,14 @@ _rotation_checked = False
 
 
 def _latest_driver_rounds(before_round: int) -> Optional[Dict[str, int]]:
-    """name -> newest round (< before_round) with a committed driver
-    row, from the repo-root CORRECTNESS artifacts; None when no
-    artifacts are visible (fresh checkout / foreign CWD)."""
+    """name -> newest round (< before_round) with a committed GREEN
+    driver row, from the repo-root CORRECTNESS artifacts; None when no
+    artifacts are visible (fresh checkout / foreign CWD).
+
+    Only green rows count (rows_match true, no err): a failed driver
+    row is not evidence of freshness — counting it would let a
+    red-and-never-retried name mask its own staleness from this guard
+    (r01–r03 contain 14 such rows, all superseded by later greens)."""
     import json
     import re
     from pathlib import Path
@@ -324,8 +329,14 @@ def _latest_driver_rounds(before_round: int) -> Optional[Dict[str, int]]:
         except (OSError, ValueError):
             continue
         found = True
-        for name in rows:
-            latest[name] = max(latest.get(name, 0), int(m.group(1)))
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and bool(row.get("rows_match"))
+                and not row.get("err")
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), int(m.group(1)))
     return latest if found else None
 
 

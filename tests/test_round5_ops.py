@@ -76,16 +76,27 @@ def test_pagerank_broadcast_gate_sides_agree(spark):
 
 
 def test_pagerank_hinted_gate_is_lazy_and_value_identical(spark):
-    """The r10 hinted gate: (1) values are identical to the counted
-    gate whichever path the hint selects (a correct bound keeps the
-    broadcast path; a deliberately-tiny bound flips to the sort-merge
-    path — both must agree with the unhinted run); (2) the hint is an
-    UPPER bound, so over-estimating by 1000x is safe."""
+    """The r10 hinted gate: values are identical to the counted gate
+    whichever path the hint selects. The gate is
+    ``n_nodes <= max_broadcast_nodes`` (default 4M), so hint=23 and a
+    1000x OVER-estimate both keep the broadcast path (over-estimating
+    is the safe direction of the upper-bound contract); the sort-merge
+    branch is exercised by a hint ABOVE the default gate and by an
+    explicit tiny ``max_broadcast_nodes`` — all four must agree with
+    the unhinted run. (A tiny hint does NOT force SMJ: an
+    under-estimate keeps the broadcast path, which is why the hint
+    contract requires a bound that cannot under-count.)"""
     edges = _sym(spark, [(i, (i * 7) % 23) for i in range(1, 23)])
     base = sorted(
         map(tuple, pagerank(edges, iters=4, symmetric=True).collect())
     )
-    for hint in (1, 23, 23_000):  # forces SMJ / exact-ish / over-bound
+    cases = (
+        (23, 4_000_000),  # broadcast: exact-ish hint
+        (23_000, 4_000_000),  # broadcast: 1000x over-bound, still safe
+        (10_000_000, 4_000_000),  # hinted sort-merge: hint above gate
+        (23, 1),  # hinted sort-merge: tiny explicit gate
+    )
+    for hint, gate in cases:
         hinted = sorted(
             map(
                 tuple,
@@ -94,10 +105,11 @@ def test_pagerank_hinted_gate_is_lazy_and_value_identical(spark):
                     iters=4,
                     symmetric=True,
                     n_nodes_hint=hint,
+                    max_broadcast_nodes=gate,
                 ).collect(),
             )
         )
-        assert hinted == base, f"hint={hint}"
+        assert hinted == base, f"hint={hint} gate={gate}"
     # directed path accepts the hint too
     d_base = sorted(map(tuple, pagerank(edges, iters=3).collect()))
     d_hint = sorted(
