@@ -119,8 +119,20 @@ def main() -> None:
     # N executes on the cluster — exactly how a production driver
     # overlaps plan compilation with running jobs. Execution itself
     # stays strictly serial, so per-query numbers remain one-at-a-time
-    # measurements; each query's own remaining build wait is charged to
-    # it, and the headline total is the loop's true wall-clock.
+    # measurements.
+    #
+    # Per-query attribution (r10 verdict fix): a query is charged its
+    # EXECUTE wall plus the residual of its OWN build inside its own
+    # window — never the time it spent queued behind an earlier
+    # query's still-running build on the single builder thread. Before
+    # this fix an execute-on-build spec (a ~8 s foreachBatch probe)
+    # could land its build wait in the NEXT query's number (the r10
+    # supplier_pagerank 4.40 s misread, which needed a waiver dossier
+    # to explain). The excluded queue wait is still real loop time —
+    # it stays in the headline loop_wall and is recorded per query in
+    # the summary artifact's "phases" map (build_s / exec_s /
+    # queue_wait_s), so the committed artifact reads true without a
+    # dossier.
     #
     # Per-query cache isolation WITHOUT catalog.clearCache(): a global
     # clear after query N would also unregister the persist markers
@@ -139,10 +151,14 @@ def main() -> None:
     # because the upcoming query needs them, the latter as a bounded
     # one-query leak swept by the next cleanup).
     pre: dict[str, set] = {}
+    build_span: dict[str, tuple] = {}  # name -> (build_start, build_end)
 
     def build(name):
         pre[name] = _persistent_rdd_ids(spark)
-        return specs[name].spark(spark, sf_dir)
+        b0 = time.perf_counter()
+        df = specs[name].spark(spark, sf_dir)
+        build_span[name] = (b0, time.perf_counter())
+        return df
 
     def release_older_than(floor: set) -> None:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -158,6 +174,7 @@ def main() -> None:
     # execute instead of stalling the loop when its turn comes.
     lookahead = max(1, int(os.environ.get("SPARK_GRAFT_BUILD_LOOKAHEAD", "2")))
     timings: dict[str, float] = {}
+    phases: dict[str, dict] = {}
     t_loop0 = time.perf_counter()
     with ThreadPoolExecutor(
         max_workers=1, thread_name_prefix="plan-builder"
@@ -169,11 +186,26 @@ def main() -> None:
         for i, name in enumerate(names):
             t0 = time.perf_counter()
             df = futures.pop(i).result()
+            t_ready = time.perf_counter()
             j = i + lookahead
             if j < len(names):
                 futures[j] = pool.submit(build, names[j])
+            e0 = time.perf_counter()
             run_query_to_completion(df)
-            timings[name] = round(time.perf_counter() - t0, 3)
+            e1 = time.perf_counter()
+            bs, be = build_span[name]
+            # own-build residual inside this query's window; time spent
+            # queued behind EARLIER builds (be of others, bs > t0) is
+            # excluded from the charge but kept in queue_wait_s
+            own_build = max(0.0, be - max(t0, bs))
+            timings[name] = round((e1 - e0) + own_build, 3)
+            phases[name] = {
+                "build_s": round(be - bs, 3),
+                "exec_s": round(e1 - e0, 3),
+                "queue_wait_s": round(
+                    max(0.0, (t_ready - t0) - own_build), 3
+                ),
+            }
             # release everything that predates the in-flight build of
             # N+1 — query N's persisted intermediates and older leaks —
             # without touching anything N+1's build has registered
@@ -186,9 +218,10 @@ def main() -> None:
     loop_wall = round(time.perf_counter() - t_loop0, 3)
 
     # the headline number is the true wall-clock of the pipelined loop
-    # (sum-of-per-query double-counts any build time that overlapped an
-    # execution; loop_wall never does)
-    total = min(loop_wall, round(sum(timings.values()), 3))
+    # (per-query charges exclude queue waits and sum-of-charges can
+    # also double-count build time that overlapped an execution;
+    # loop_wall never mis-states either way)
+    total = loop_wall
 
     # Full per-query detail goes to a committed artifact; the stdout
     # line must stay parseable through the driver's 2000-char stdout
@@ -206,6 +239,11 @@ def main() -> None:
         "shuffle_partitions": shuffle,
         "cpus": cores,
         "queries": timings,
+        # decomposition behind each charged number: full own-build wall
+        # (overlapped or not), execute wall, and the queue wait this
+        # query was NOT charged for (time blocked behind earlier
+        # queries' builds on the single builder thread)
+        "phases": phases,
     }
     # SPARK_GRAFT_SUMMARY_DIR redirects the detail artifact (preship's
     # bench SMOKE points it at /tmp so a gate run never dirties the

@@ -51,6 +51,12 @@ def main() -> None:
         "spark_total_s": spark_total,
         "duck_total_s": duck_total,
         "paired_ratio": round(spark_total / duck_total, 3),
+        # host-speed thermometer from the oracle run (median of 5 draws
+        # of a pinned DuckDB workload): the cross-round regression gate
+        # normalizes spark-wall movements by the ratio of the two
+        # rounds' calibrations, so ambient host drift doesn't read as
+        # an engine regression (or mask one)
+        "host_calibration_s": oracle.get("calibration_s"),
         "spark_inventory_wall_s": round(bench["value"], 3)
         if "value" in bench
         else spark_total,

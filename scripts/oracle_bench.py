@@ -32,6 +32,23 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # Host-speed micro-calibration (r10 verdict ask #8): a PINNED
+    # workload, byte-identical every round, whose wall is a pure host
+    # thermometer — committed alongside the paired artifact so the
+    # cross-round regression gate can normalize spark-wall movements
+    # for ambient host drift (measured ~20% across one afternoon on
+    # this shared host) instead of waivering them. Median of 5 draws.
+    cal_sql = (
+        "SELECT l_orderkey % 1024 AS k, sum(l_extendedprice), "
+        "avg(l_discount), count(*) FROM lineitem GROUP BY k ORDER BY k"
+    )
+    cal_draws = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        con.execute(cal_sql).fetchall()
+        cal_draws.append(time.perf_counter() - t0)
+    calibration_s = round(sorted(cal_draws)[len(cal_draws) // 2], 4)
+
     timings = {}
     for name, spec in sorted(registry().items()):
         if spec.oracle is None:
@@ -52,6 +69,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_dir,
+                "calibration_s": calibration_s,
                 "queries": timings,
             },
             f,
@@ -66,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_dir,
+                "calibration_s": calibration_s,
                 "queries": dict(
                     sorted(timings.items(), key=lambda kv: -kv[1])[:10]
                 ),

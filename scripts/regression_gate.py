@@ -106,9 +106,28 @@ def main() -> int:
             return 0
         new_path, old_path = arts[-1], arts[-2]
 
-    new = json.load(open(new_path))["queries"]
-    old = json.load(open(old_path))["queries"]
+    new_doc = json.load(open(new_path))
+    old_doc = json.load(open(old_path))
+    new, old = new_doc["queries"], old_doc["queries"]
     waivers = _waivers(new_path)
+
+    # Host-drift normalization (r10 ask #8): both artifacts may carry a
+    # pinned-workload DuckDB calibration (host_calibration_s). The
+    # spark-WALL checks scale the old wall by the host-speed ratio, so
+    # a 20% slower host doesn't read as a 20% engine regression (and a
+    # 20% faster one doesn't mask a real slowdown). Ratio checks stay
+    # unnormalized — both engines drift together in a paired run.
+    # Clamped to [0.5, 2]: a calibration that claims >2x host movement
+    # is itself suspect and must not silently neutralize the gate.
+    cal_new = new_doc.get("host_calibration_s")
+    cal_old = old_doc.get("host_calibration_s")
+    host_factor = 1.0
+    if cal_new and cal_old:
+        host_factor = max(0.5, min(2.0, float(cal_new) / float(cal_old)))
+        print(
+            f"regression gate: host calibration {cal_old}s -> {cal_new}s, "
+            f"normalizing old spark walls by x{host_factor:.3f}"
+        )
 
     flagged, waived = [], []
     for name in sorted(set(new) & set(old)):
@@ -120,22 +139,23 @@ def main() -> int:
             continue
         if ns <= MIN_SPARK_S:
             continue
+        os_n = os_ * host_factor  # old wall at TODAY's host speed
         if od < DUCK_FLOOR_S:
             # oracle-floor shape: ratio denominators are milliseconds;
             # judge the spark wall itself
-            if os_ > 0 and ns > WALL_WORSEN * os_:
+            if os_n > 0 and ns > WALL_WORSEN * os_n:
                 row = (
                     f"{name}: spark wall {os_:.2f}s -> {ns:.2f}s "
-                    f"({ns / os_:.2f}x worse; oracle-floor shape, "
-                    f"old duck {od * 1000:.0f}ms)"
+                    f"({ns / os_n:.2f}x worse host-normalized; "
+                    f"oracle-floor shape, old duck {od * 1000:.0f}ms)"
                 )
             else:
                 continue
         elif (
             nr > MIN_RATIO
             and nr > RATIO_WORSEN * orr
-            and os_ > 0
-            and ns > MIN_WALL_MOVE * os_
+            and os_n > 0
+            and ns > MIN_WALL_MOVE * os_n
         ):
             row = (
                 f"{name}: ratio {orr:.2f} -> {nr:.2f} "

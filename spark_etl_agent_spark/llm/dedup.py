@@ -585,8 +585,8 @@ def incremental_neardup_verdicts_indexed(
     anti-join establishes this); same output schema and values as
     ``incremental_neardup_verdicts`` on the same documents.
 
-    The candidate-pair table feeds four consumers (both candidate-id
-    projections and both sides of the verify), so it is persisted;
+    The candidate-pair table feeds multiple consumers (the index-side
+    candidate-id projection and the verify join), so it is persisted;
     callers in long-lived sessions release it via ``scoped_caches``
     (the ``shingle_table`` discipline).
     """
@@ -602,13 +602,19 @@ def incremental_neardup_verdicts_indexed(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand_a = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    # Candidate pruning is asymmetric on purpose: only the INDEX side
+    # (the side that grows without bound at 100 TB) is pruned to the
+    # band-collided rows before its text is read and re-shingled. The
+    # batch side is micro-batch-bounded by construction, so re-shingling
+    # ALL its rows costs less than the distinct+broadcast+join a
+    # batch-side candidate prune would add (profiled one scheduling
+    # floor per micro-batch at bench scale); docs that collide with no
+    # pair drop out of the verify join untouched — values identical.
     cand_b = pairs.select(F.col("id_b").alias(id_col)).distinct()
     if broadcast_batch:
-        cand_a, cand_b = F.broadcast(cand_a), F.broadcast(cand_b)
+        cand_b = F.broadcast(cand_b)
     both = (
-        batch_art.join(cand_a, id_col)
-        .select(id_col, text_col)
+        batch_art.select(id_col, text_col)
         .unionByName(index_art.join(cand_b, id_col).select(id_col, text_col))
     )
     verified = jaccard_verify(both, pairs, text_col, id_col)
