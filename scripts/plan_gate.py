@@ -19,11 +19,18 @@ scale-critical shapes), build each query's DataFrame and parse its
    none of whose scans carries a non-empty ``PushedFilters`` — a
    filter that misses the parquet scan re-reads the whole table.
 
-Excluded from gating: streaming/foreachBatch surfaces (their work is
-inside micro-batch sinks; the returned frame is an audit envelope) and
-execute-on-build probes that return a materialized checkpoint (their
-explain is a bare RDD scan — their plans are pinned by dedicated plan
-tests instead).
+Streaming/foreachBatch surfaces and execute-on-build probes (their
+returned frame is a materialized audit envelope whose explain is a
+bare RDD scan) are gated through a SECOND pass (r10 verdict ask #5):
+the gate runs each such query and pulls every SQL execution it
+produced — micro-batch sink interiors included — from the session's
+SQL status store (``sharedState().statusStore().executionsList()``,
+each entry carrying the executed ``physicalPlanDescription``), then
+applies the same CartesianProduct and non-Identity-BNLJ checks to
+every interior plan. (The PushedFilters check stays per-declared-name
+via SELECTIVE; none of the streaming probes declares a selective
+plain-column scan — their interior scans read per-call scratch
+tables.)
 
 Waiver path (same shape as the regression gate): a line in the
 round's ``NOTES_r{N}.md``:
@@ -77,8 +84,9 @@ SELECTIVE = {
 }
 
 # foreachBatch surfaces and execute-on-build probes returning
-# materialized audit frames (explain = bare RDD scan; plan-pinned by
-# dedicated tests, not gateable from the returned frame)
+# materialized audit frames (explain = bare RDD scan, so the returned
+# frame is ungateable) — gated through the status-store INTERIORS pass
+# below instead
 EXCLUDE_TAGS = {"streaming"}
 EXCLUDE_NAMES = {
     "corpus_release_e2e",
@@ -187,6 +195,32 @@ def _check(name: str, tree: str, formatted: str) -> list:
     return problems
 
 
+def _check_interior(desc: str) -> list:
+    """The CartesianProduct / non-Identity-BNLJ checks over one
+    executed plan description from the SQL status store. Under AQE the
+    description prints both the initial and final plans — presence
+    checks are unaffected, and the BNLJ-vs-Identity count inequality is
+    preserved section-by-section (an Identity scalar attach is never
+    replanned into anything else)."""
+    problems = []
+    if "CartesianProduct" in desc:
+        problems.append("CartesianProduct in executed plan")
+    n_bnlj = desc.count("BroadcastNestedLoopJoin")
+    n_identity = desc.count("IdentityBroadcastMode")
+    if n_bnlj > n_identity:
+        problems.append(
+            f"{n_bnlj} BroadcastNestedLoopJoin vs {n_identity} "
+            "IdentityBroadcastMode build(s) — a non-scalar BNLJ"
+        )
+    return problems
+
+
+def _interior_names(registry) -> list:
+    names = {n for n, s in registry.items() if EXCLUDE_TAGS & set(s.tags)}
+    names |= {n for n in EXCLUDE_NAMES if n in registry}
+    return sorted(names)
+
+
 def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else _current_tag()
     from spark_etl_agent_spark.core.session import SparkManager
@@ -208,6 +242,8 @@ def main() -> int:
     spark = m.spark
     ship_package(spark)
     flagged, waived = [], []
+    n_interior_plans = 0
+    stream_names = _interior_names(reg)
     try:
         for name in names:
             df = reg[name].spark(spark, sf_dir)
@@ -216,10 +252,32 @@ def main() -> int:
                 row = f"{name}: {p}"
                 (waived if name in waivers else flagged).append(row)
             spark.catalog.clearCache()
+
+        # INTERIORS pass: run each streaming/execute-on-build probe and
+        # gate every SQL execution it produced (micro-batch foreachBatch
+        # bodies, maintenance rewrites, staging writes) via the status
+        # store's executed plan descriptions.
+        store = spark._jsparkSession.sharedState().statusStore()
+        for name in stream_names:
+            base_n = store.executionsList().size()
+            df = reg[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            lst = store.executionsList()
+            for i in range(base_n, lst.size()):
+                ex = lst.apply(i)
+                n_interior_plans += 1
+                for p in _check_interior(ex.physicalPlanDescription()):
+                    row = f"{name} [interior execution {i - base_n}]: {p}"
+                    (waived if name in waivers else flagged).append(row)
+            spark.catalog.clearCache()
     finally:
         m.stop()
 
-    print(f"plan gate ({tag}, {sf_dir}): {len(names)} plans audited")
+    print(
+        f"plan gate ({tag}, {sf_dir}): {len(names)} plans audited; "
+        f"{len(stream_names)} streaming/execute-on-build probes gated "
+        f"over {n_interior_plans} interior executions"
+    )
     for row in waived:
         print(f"  WAIVED  {row}")
     if flagged:

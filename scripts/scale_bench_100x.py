@@ -83,6 +83,16 @@ QUERIES = [
     # as rows grow, so k scales with N)
     "streaming_ingest_dedup_audit",
     "ann_ivf_kmeans_topk",
+    # round-11 addition (verdict ask #4): the graph family. Two rows —
+    # the gated operator as shipped (both scales sit BELOW the 4M-node
+    # broadcast gate: 160k nodes at 10x, 1.6M at 100x, so this row
+    # measures the broadcast path the gate actually picks) and the
+    # forced sort-merge posture (max_broadcast_nodes=1 — the exact
+    # physical shape the gate flips to once a graph crosses 4M nodes),
+    # so the flip's cost is a measured delta at both scales, not a
+    # cliff discovered in production.
+    "supplier_pagerank",
+    "supplier_pagerank_smj",
 ]
 
 
@@ -109,7 +119,45 @@ def _ann_ivf_kmeans_topk_scaled(spark, d: str):
     return sim.ivf_topk(emb.join(cells, "vec_id"), cell_col="cell")
 
 
-SPECIAL = {"ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk_scaled}
+def _nodes_upper_bound(blowup: int) -> int:
+    """Zero-job node bound for the blown-up graph: (|customer| +
+    |supplier|) from the base tables' parquet footers, times the
+    replica count — replicas are node-disjoint by construction."""
+    import pyarrow.parquet as pq
+
+    base = sum(
+        pq.ParquetFile(f"{SF_DIR}/{t}.parquet").metadata.num_rows
+        for t in ("customer", "supplier")
+    )
+    return base * blowup
+
+
+def _pagerank_scaled(spark, d: str, max_broadcast_nodes: int = 4_000_000):
+    """Six integer PageRank rounds over the blown-up symmetric
+    customer↔supplier edge list (same operator and knobs as the
+    registry query; the node-sized top-20 decoration is dropped — the
+    scaling story is the loop, not the final limit)."""
+    from spark_etl_agent_spark.operators.pagerank import pagerank
+
+    blowup = int(os.path.basename(d).lstrip("x"))
+    edges = spark.read.parquet(f"{d}/edges.parquet")
+    return pagerank(
+        edges,
+        iters=6,
+        symmetric=True,
+        n_nodes_hint=_nodes_upper_bound(blowup),
+        max_broadcast_nodes=max_broadcast_nodes,
+        checkpoint_every=6,
+    )
+
+
+SPECIAL = {
+    "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk_scaled,
+    "supplier_pagerank": _pagerank_scaled,
+    "supplier_pagerank_smj": lambda spark, d: _pagerank_scaled(
+        spark, d, max_broadcast_nodes=1
+    ),
+}
 
 _ALPHA = "etaoins"
 _PERMS = ["".join(p) for p in itertools.permutations(_ALPHA)]
@@ -127,6 +175,50 @@ def blow_up_docs(spark, blowup: int, out_dir: str) -> None:
     reduce(lambda a, b: a.unionAll(b), parts).repartition(npart).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/documents.parquet")
+
+
+def blow_up_edges(spark, blowup: int, out_dir: str) -> None:
+    """Replica ``r`` shifts every node id by ``r * stride`` (stride
+    even, above the base graph's max node id) — replicas are
+    node-disjoint copies of the base customer↔supplier graph, so
+    degree structure and per-replica rank values are preserved exactly
+    while edge AND node counts grow linearly with the blow-up (the
+    graph-scaling axis that matters: per round the edge list is
+    scanned and the node-sized state exchanged)."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    max_node = pairs.agg(
+        F.greatest(F.max("a"), F.max("b"))
+    ).collect()[0][0]
+    stride = ((int(max_node) // 2) + 1) * 2  # even: keeps id parity
+    parts = [
+        pairs.select(
+            (F.col("a") + F.lit(r * stride)).alias("a"),
+            (F.col("b") + F.lit(r * stride)).alias("b"),
+        )
+        for r in range(blowup)
+    ]
+    allp = reduce(lambda x, y: x.unionAll(y), parts)
+    edges = allp.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(allp.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    npart = spark.sparkContext.defaultParallelism
+    edges.repartition(npart).write.mode("overwrite").parquet(
+        f"{out_dir}/edges.parquet"
+    )
 
 
 def blow_up_embeddings(spark, blowup: int, out_dir: str) -> None:
@@ -263,6 +355,7 @@ def child_build(blowup: int) -> None:
     print(f"building {blowup}x blow-up …", flush=True)
     blow_up_docs(spark, blowup, d)
     blow_up_embeddings(spark, blowup, d)
+    blow_up_edges(spark, blowup, d)
     print(f"telemetry at {blowup}x:", flush=True)
     telemetry = band_bucket_telemetry(spark, d)
     telemetry.update(ivf_cell_telemetry(spark, d))
@@ -348,6 +441,25 @@ def main() -> None:
                 "run with the SCALED codebook k = N/512 (the registry "
                 "query pins k=4 for the fixed-size oracle): cells stay "
                 "bounded as rows grow — see telemetry.ivf_cell_width_*"
+            ),
+            "supplier_pagerank": (
+                "six integer rounds over the replica-disjoint blow-up "
+                "of the customer-supplier graph (1.17M symmetric edges "
+                "per replica; 160k nodes at 10x, 1.6M at 100x — both "
+                "below the operator's 4M-node broadcast gate, so this "
+                "row measures the path the gate actually picks; the "
+                "DuckDB oracle was already killed >600s at 10x in "
+                "SCALE_BENCH.json)"
+            ),
+            "supplier_pagerank_smj": (
+                "the same runs with max_broadcast_nodes=1 — the "
+                "sort-merge posture the gate flips to above 4M nodes "
+                "(edges hash-partitioned+sorted by src once at setup, "
+                "node-sized rank state exchanged per round). The "
+                "gated-vs-smj delta at each scale IS the measured cost "
+                "of the gate flip; its growth bound shows the "
+                "above-gate path scales, so crossing 4M nodes is a "
+                "bounded step, not a cliff"
             ),
         },
         "queries": {},
