@@ -29,6 +29,11 @@ from .text import words_of
 
 N_MINHASHES = 8
 BAND_SIZE = 2  # 8 minhashes → 4 bands of 2
+# Largest band-collision candidate set the incremental probe will
+# collect to the driver and push into the index text scan as an In
+# predicate (longs — ~64 KB at the cap); bigger sets fall back to the
+# join path. See incremental_neardup_verdicts_indexed.
+MAX_CANDIDATE_ID_PUSHDOWN = 8192
 SHINGLE_K = 3
 
 
@@ -610,13 +615,34 @@ def incremental_neardup_verdicts_indexed(
     # batch-side candidate prune would add (profiled one scheduling
     # floor per micro-batch at bench scale); docs that collide with no
     # pair drop out of the verify join untouched — values identical.
+    #
+    # The index-side text fetch is the WIDE read: a plain join against
+    # the candidate ids still scans every index row's (id, text) before
+    # the join drops non-candidates — at 100 TB that re-reads the whole
+    # corpus' text per micro-batch. Band collisions per batch are few
+    # (the LSH design point), so the common case collects the candidate
+    # id set to the driver (bounded by MAX_CANDIDATE_ID_PUSHDOWN — the
+    # k-bounded-envelope discipline, ~64 KB of longs at the cap) and
+    # pushes it into the scan as an In predicate: on the ingest index's
+    # doc_id-clustered compacted layout (``compact_table(sort_within_by=
+    # ['doc_id'])``) parquet min/max stats then SKIP the files holding
+    # no candidates (pinned by tests/test_round11_ops.py::
+    # test_band_probe_candidate_text_fetch_skips_files). A candidate
+    # set above the cap (a backfill-sized batch) falls back to the
+    # join — one full text scan, the pre-r11 posture.
     cand_b = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    if broadcast_batch:
-        cand_b = F.broadcast(cand_b)
-    both = (
-        batch_art.select(id_col, text_col)
-        .unionByName(index_art.join(cand_b, id_col).select(id_col, text_col))
-    )
+    cand_rows = cand_b.limit(MAX_CANDIDATE_ID_PUSHDOWN + 1).collect()
+    if len(cand_rows) <= MAX_CANDIDATE_ID_PUSHDOWN:
+        index_text = index_art.filter(
+            F.col(id_col).isin([r[0] for r in cand_rows])
+            if cand_rows
+            else F.lit(False)
+        ).select(id_col, text_col)
+    else:
+        if broadcast_batch:
+            cand_b = F.broadcast(cand_b)
+        index_text = index_art.join(cand_b, id_col).select(id_col, text_col)
+    both = batch_art.select(id_col, text_col).unionByName(index_text)
     verified = jaccard_verify(both, pairs, text_col, id_col)
     return _novelty_verdicts(
         batch_art.select(F.col(id_col)), verified, id_col, min_jaccard
