@@ -220,74 +220,74 @@ def _collect_modules():
 # window each round). _validate_rotation() checks the PLANNED window
 # against the artifacts committed BEFORE this round, so the check is
 # stable no matter when registry() runs within the round.
-DRIVER_WINDOW_ROUND = 10
+DRIVER_WINDOW_ROUND = 11
 
 DRIVER_WINDOW = (
-    # -- round 10 rotation. LEADS (11): the full r05 staleness cohort
-    #    — every name whose latest green driver row is still r05 —
-    #    drained to ZERO (the round-9 verdict's #1 ask; nothing may be
-    #    added ahead of them). --
-    "pmi_word_pairs",
-    "pq_encode_cells",
-    "pricing_summary",
-    "quality_linear_score",
-    "semantic_dedup_embeddings",
-    "sessionization",
-    "set_operations",
-    "simhash_near_duplicates",
-    "streaming_running_totals",
-    "streaming_stream_join",
-    "window_topk_per_group",
-    # -- r06 staleness-cohort drain (36): the alphabetically-first
-    #    names whose latest green row is r06; 12 remain for round 11
-    #    (bar: ≤20). --
-    "above_nation_average",
-    "ann_bruteforce_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_pq_recall_report",
-    "ann_recall_report",
-    "ann_sign_bucket_pairs",
-    "bigram_doc_logprob",
-    "bm25_search_topk",
-    "bpe_fertility_by_lang",
-    "bpe_pair_counts",
-    "case_when_classifier",
-    "conversion_funnel",
-    "corpus_select_budget",
-    "count_distinct_customers",
-    "countmin_heavy_hitters",
-    "cube_part_inventory",
-    "customer_order_counts",
-    "date_function_gallery",
-    "dedup_family_agreement",
-    "distinct_projection",
-    "doc_fingerprints",
-    "dsir_importance_weights",
-    "embedding_label_centroids",
-    "embedding_outlier_report",
-    "gopher_quality_rules",
-    "histogram_quantile_error",
-    "hll_distinct_trigrams",
-    "kmeans_cell_profile",
-    "lsh_band_calibration",
-    "minhash_estimate_error",
-    "multimodal_decode",
-    "multimodal_source_stats",
-    "neardup_cluster_keepers",
-    "normalized_dedup",
-    # -- NEW this round (after the drain, per the verdict's #1 ask):
-    #    the streaming-sink compaction-invariance probe (mid-stream
-    #    foreachBatch maintenance; verdict's #6 ask). --
-    "streaming_compaction_probe",
-    # -- changed-plan re-checks (2): supplier_pagerank's setup was
-    #    redesigned (broadcast-deg map-side annotation, no edge
-    #    exchange); ingest_compaction_probe exercises compact_table,
-    #    whose sorted rewrite is now range-partitioned. Values proven
-    #    unchanged locally for both. --
+    # -- round 11 rotation. LEADS (12): the full r06 staleness cohort
+    #    — every name whose latest green driver row is still r06 —
+    #    drained to ZERO (the round-10 verdict's #1 ask; nothing may
+    #    be added ahead of them). --
+    "perplexity_prune_band",
+    "scrub_duplicate_spans",
+    "semantic_decontaminate",
+    "shard_movement_report",
+    "simhash_fingerprints",
+    "source_overlap_matrix",
+    "split_leakage_audit",
+    "streaming_tumbling_agg",
+    "vocab_coverage_curve",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "zorder_curve_stats",
+    # -- changed-plan re-checks (8): supplier_pagerank's symmetric
+    #    round shape was redesigned (degree rebuilt as the group
+    #    count; single-exchange SMJ setup); the ingest-probe family
+    #    shares the indexed verdict (candidate-id In pushdown into the
+    #    index text scan) and the sink (observed-count write, one-job
+    #    batch staging, final-epilogue skip). Values proven unchanged
+    #    locally for all 8 (sf0.01 oracle parity). --
     "supplier_pagerank",
+    "streaming_compaction_probe",
+    "streaming_ingest_dedup_audit",
+    "streaming_pack_manifest",
+    "streaming_drift_audit",
+    "streaming_user_ewma",
+    "indexed_ingest_probe",
     "ingest_compaction_probe",
+    # -- r07 staleness-cohort drain (30): the alphabetically-first
+    #    names whose latest green row is r07; 17 remain for round 12
+    #    (the rotation guard forces them there: they hit
+    #    MAX_DRIVER_ROW_AGE at round 12). --
+    "agg_topk_quantities",
+    "array_functions_gallery",
+    "asof_join_clicks",
+    "band_join_parts",
+    "corpus_quality_filter",
+    "customer_order_distribution",
+    "deterministic_sample_docs",
+    "disjunctive_bracket_revenue",
+    "dominant_part_suppliers",
+    "event_type_daily_pivot",
+    "events_freshness_gate",
+    "events_tumbling_agg",
+    "exactsubstr_spans",
+    "exists_returned_orders",
+    "filter_in_upper",
+    "fk_integrity_audit",
+    "forecast_revenue",
+    "gap_fill_daily",
+    "having_big_spenders",
+    "incremental_revenue_agg",
+    "json_extraction",
+    "key_skew_report",
+    "language_id",
+    "local_supplier_volume",
+    "multiset_operations",
+    "orders_expectation_gate",
+    "pivot_linestatus",
+    "poc_projection",
+    "retailprice_histogram",
+    "revenue_concentration",
 )
 
 
