@@ -56,50 +56,53 @@ def test_driver_window_is_first_50_registry_entries():
 
     assert list(registry())[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     assert len(DRIVER_WINDOW) == 50
-    # round-10 rotation contract (the r09 verdict's #1 ask): the FULL
-    # r05 staleness cohort (11 names) LEADS — drained to zero — then
-    # the alphabetically-first 36 of the r06 cohort, then the round's
-    # new query and the two changed-plan re-checks.
-    assert DRIVER_WINDOW[:11] == (
-        "pmi_word_pairs",
-        "pq_encode_cells",
-        "pricing_summary",
-        "quality_linear_score",
-        "semantic_dedup_embeddings",
-        "sessionization",
-        "set_operations",
-        "simhash_near_duplicates",
-        "streaming_running_totals",
-        "streaming_stream_join",
-        "window_topk_per_group",
+    # round-11 rotation contract (the r10 verdict's #1 ask): the FULL
+    # r06 staleness cohort (12 names) LEADS — drained to zero — then
+    # the round's 8 changed-plan re-checks, then the
+    # alphabetically-first 30 of the r07 cohort (17 remain for round
+    # 12, where the rotation guard forces them).
+    assert DRIVER_WINDOW[:12] == (
+        "perplexity_prune_band",
+        "scrub_duplicate_spans",
+        "semantic_decontaminate",
+        "shard_movement_report",
+        "simhash_fingerprints",
+        "source_overlap_matrix",
+        "split_leakage_audit",
+        "streaming_tumbling_agg",
+        "vocab_coverage_curve",
+        "winnowing_fingerprints",
+        "winnowing_overlap_pairs",
+        "zorder_curve_stats",
     )
-    assert DRIVER_WINDOW[47] == "streaming_compaction_probe"  # new r10
     for changed in (
-        "supplier_pagerank",        # broadcast-deg setup redesign
-        "ingest_compaction_probe",  # range-partitioned compact_table
+        "supplier_pagerank",            # single-exchange symmetric SMJ
+        "streaming_compaction_probe",   # sink trims + final-epilogue skip
+        "streaming_ingest_dedup_audit",  # observed-count write
+        "streaming_pack_manifest",      # one-job batch staging
+        "streaming_drift_audit",
+        "streaming_user_ewma",
+        "indexed_ingest_probe",         # candidate-id In pushdown
+        "ingest_compaction_probe",
     ):
         assert changed in DRIVER_WINDOW, changed
-    # r06 drain: 36 in, leaving 12 for round 11 (bar: <= 20)
-    for r06 in (
-        "above_nation_average", "ann_bruteforce_topk",
-        "ann_ivf_kmeans_topk", "ann_ivfpq_topk", "ann_pq_adc_topk",
-        "ann_pq_recall_report", "ann_recall_report",
-        "ann_sign_bucket_pairs", "bigram_doc_logprob",
-        "bm25_search_topk", "bpe_fertility_by_lang", "bpe_pair_counts",
-        "case_when_classifier", "conversion_funnel",
-        "corpus_select_budget", "count_distinct_customers",
-        "countmin_heavy_hitters", "cube_part_inventory",
-        "customer_order_counts", "date_function_gallery",
-        "dedup_family_agreement", "distinct_projection",
-        "doc_fingerprints", "dsir_importance_weights",
-        "embedding_label_centroids", "embedding_outlier_report",
-        "gopher_quality_rules", "histogram_quantile_error",
-        "hll_distinct_trigrams", "kmeans_cell_profile",
-        "lsh_band_calibration", "minhash_estimate_error",
-        "multimodal_decode", "multimodal_source_stats",
-        "neardup_cluster_keepers", "normalized_dedup",
+    # r07 drain: 30 in (alphabetically first), leaving 17 for round 12
+    for r07 in (
+        "agg_topk_quantities", "array_functions_gallery",
+        "asof_join_clicks", "band_join_parts", "corpus_quality_filter",
+        "customer_order_distribution", "deterministic_sample_docs",
+        "disjunctive_bracket_revenue", "dominant_part_suppliers",
+        "event_type_daily_pivot", "events_freshness_gate",
+        "events_tumbling_agg", "exactsubstr_spans",
+        "exists_returned_orders", "filter_in_upper",
+        "fk_integrity_audit", "forecast_revenue", "gap_fill_daily",
+        "having_big_spenders", "incremental_revenue_agg",
+        "json_extraction", "key_skew_report", "language_id",
+        "local_supplier_volume", "multiset_operations",
+        "orders_expectation_gate", "pivot_linestatus", "poc_projection",
+        "retailprice_histogram", "revenue_concentration",
     ):
-        assert r06 in DRIVER_WINDOW, r06
+        assert r07 in DRIVER_WINDOW, r07
 
 
 def test_rotation_guard_fails_on_aged_out_names(monkeypatch):
@@ -113,10 +116,12 @@ def test_rotation_guard_fails_on_aged_out_names(monkeypatch):
     base.registry()
     assert base._rotation_checked
 
-    # drop a must-drain lead from the window -> its r05 row would age
-    # past 4 rounds after round 10 -> raise
+    # drop a must-drain lead from the window -> its r06 row would age
+    # past 4 rounds after round 11 -> raise
     base._rotation_checked = False
-    crippled = tuple(n for n in base.DRIVER_WINDOW if n != "pricing_summary")
+    crippled = tuple(
+        n for n in base.DRIVER_WINDOW if n != "zorder_curve_stats"
+    )
     monkeypatch.setattr(base, "DRIVER_WINDOW", crippled)
     with pytest.raises(ValueError, match="rotation contract"):
         base.registry()
