@@ -336,11 +336,20 @@ def _session(blowup: int) -> "SparkManager":
     # bench.py rule): ~10x more bytes per shuffle at 100x gets ~10x the
     # reduce partitions; AQE coalesces the small ones back at runtime
     base = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
+    # driver heap sized to the DATA like the shuffle partitioning: the
+    # single local-mode JVM runs 32 concurrent tasks against one heap,
+    # so a 100x working set needs more execution memory than 10x (the
+    # 100x graph's per-round partial aggregation OOMed a 16g heap: 32
+    # tasks x 1.6M-node hash maps; a real cluster spreads those tasks
+    # over many executor heaps)
+    default_mem = "16g" if blowup <= 10 else "28g"
     return SparkManager(
         app_name=f"scale-bench-{blowup}x",
         shuffle_partitions=max(base, base * blowup // 10),
         extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_SMOKE_DRIVER_MEM", "16g")
+            "spark.driver.memory": os.environ.get(
+                "SPARK_SMOKE_DRIVER_MEM", default_mem
+            )
         },
     )
 
@@ -417,17 +426,38 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__)], env=env, check=True
         )
 
-    shutil.rmtree(WORK, ignore_errors=True)
+    # SPARK_GRAFT_100X_RESUME=1 reuses any blow-up/telemetry/q files a
+    # crashed run left in WORK instead of rebuilding from scratch (a
+    # full pass is ~1 h; a resume re-runs only the missing children)
+    resume = os.environ.get("SPARK_GRAFT_100X_RESUME") == "1"
+    if not resume:
+        shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK, exist_ok=True)
     for blowup in SCALES:
-        run_child(f"build:{blowup}")
+        if not (
+            resume
+            and os.path.exists(f"{WORK}/telemetry_{blowup}.json")
+            and os.path.isdir(f"{WORK}/x{blowup}")
+        ):
+            run_child(f"build:{blowup}")
         for name in QUERIES:
+            if resume and os.path.exists(f"{WORK}/q_{blowup}_{name}.json"):
+                continue
             run_child(f"query:{blowup}:{name}")
 
     result = {
         "sf_dir": SF_DIR,
         "scales": list(SCALES),
         "isolation": "fresh JVM per (scale, query); cold + in-JVM warm",
+        "session": (
+            "driver heap and shuffle partitioning sized to the DATA per "
+            "scale (16g/64p at 10x, 28g/640p at 100x — see _session()): "
+            "one local-mode JVM runs 32 concurrent tasks against a "
+            "single heap, so the 100x working set needs proportionally "
+            "more execution memory (the 100x graph's per-round partial "
+            "aggregation OOMs a 16g heap; a real cluster spreads tasks "
+            "over many executor heaps)"
+        ),
         "notes": {
             "streaming_ingest_dedup_audit": (
                 "batches here grow WITH the corpus (the query streams a "

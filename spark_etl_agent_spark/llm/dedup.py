@@ -31,9 +31,16 @@ N_MINHASHES = 8
 BAND_SIZE = 2  # 8 minhashes → 4 bands of 2
 # Largest band-collision candidate set the incremental probe will
 # collect to the driver and push into the index text scan as an In
-# predicate (longs — ~64 KB at the cap); bigger sets fall back to the
-# join path. See incremental_neardup_verdicts_indexed.
-MAX_CANDIDATE_ID_PUSHDOWN = 8192
+# predicate (longs — ~8 KB at the cap); bigger sets fall back to the
+# join path. Two reasons the cap is ~1k and not larger: (1) beyond
+# ~1k scattered ids the In predicate stops skipping row groups anyway
+# (every file holds some candidate), so the join path is no worse;
+# (2) a multi-thousand-literal In inflates plan STRINGS to megabytes
+# and Spark's regex-based plan redaction machinery stack-overflows on
+# them — observed live in the 100x scale harness at a cap of 8192
+# (java.util.regex deep backtracking in the stream execution thread).
+# See incremental_neardup_verdicts_indexed.
+MAX_CANDIDATE_ID_PUSHDOWN = 1000
 SHINGLE_K = 3
 
 

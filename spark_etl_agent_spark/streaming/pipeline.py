@@ -225,7 +225,7 @@ def run_available_now(
     df: DataFrame,
     output_mode: str = "complete",
     foreach_batch: Optional[Callable] = None,
-    timeout_s: int = 120,
+    timeout_s: int = 600,
     checkpoint_dir: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Run a streaming frame over all currently-available input and stop
