@@ -151,7 +151,24 @@ def _pagerank_scaled(spark, d: str, max_broadcast_nodes: int = 4_000_000):
     )
 
 
+def _exactsubstr_spans_scaled(spark, d: str):
+    """The registry exactsubstr_spans chain run in the documented
+    100 TB hash posture (``llm/spans.py`` HASH_FN): ``xxhash64``
+    bigint gram keys instead of md5 hex strings — ~half the bytes
+    through the seed-pass shuffle, which is what spills at 100x. The
+    oracle-parity surface keeps the md5 default (cross-engine
+    collision-free counts at test scale); an order-controlled 10x A/B
+    measured the two IDENTICAL warm (16.2 s both) where the shuffle
+    fits in memory, so the knob changes nothing but the spill volume.
+    Applied at BOTH scales so the growth ratio compares like to like."""
+    from spark_etl_agent_spark.llm import spans
+
+    spans.HASH_FN = "xxhash64"
+    return registry()["exactsubstr_spans"].spark(spark, d)
+
+
 SPECIAL = {
+    "exactsubstr_spans": _exactsubstr_spans_scaled,
     "ann_ivf_kmeans_topk": _ann_ivf_kmeans_topk_scaled,
     "supplier_pagerank": _pagerank_scaled,
     "supplier_pagerank_smj": lambda spark, d: _pagerank_scaled(

@@ -27,7 +27,7 @@ rounds):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import cosine, dot, scaled
@@ -41,21 +41,38 @@ MAX_LITERAL_CELLS = 128
 
 def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (tie → lower
-    cell) — broadcast-join fallback for large codebooks. Fan-out is ×k
-    rows into a per-vector window; prefer :func:`_assign_literal`."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_sim").desc(), F.col("cell")
+    cell) — broadcast fan-out for codebooks past the literal gate.
+
+    The fan-out row drops BOTH vectors before any exchange: the
+    broadcast product projects only ``(vec_id, struct(sim, -cell))``,
+    so the per-vector argmax is a map-side partial ``max`` (at most
+    one surviving row per vector per partition crosses the wire)
+    instead of the previous per-vector ``row_number`` window, whose
+    sort dragged the ×k fan-out — embedding arrays, centroid arrays
+    and all — through a full exchange (~1 KB × N × k bytes; the 100x
+    scale harness measured that cliff the first time a scaled
+    codebook crossed MAX_LITERAL_CELLS). Struct ordering matches the
+    window exactly: highest sim wins, ties fall to the lower cell via
+    the negated id, and Spark compares NaN/null identically in both
+    forms. The vectors re-attach with one equi-join on ``vec_id``
+    (AQE broadcasts the argmax side when it is small enough)."""
+    fan = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.struct(
+            cosine(
+                dot(F.col("svec"), F.col("cvec")),
+                F.col("norm_sq"),
+                F.col("cnorm"),
+            ).alias("sim"),
+            (-F.col("cell")).alias("negcell"),
+        ).alias("cand"),
     )
-    return (
-        base.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "cell_sim",
-            cosine(dot(F.col("svec"), F.col("cvec")), F.col("norm_sq"), F.col("cnorm")),
-        )
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "svec", "norm_sq", "cell")
+    best = (
+        fan.groupBy("vec_id")
+        .agg(F.max("cand").alias("best"))
+        .select("vec_id", (-F.col("best.negcell")).alias("cell"))
     )
+    return base.select("vec_id", "svec", "norm_sq").join(best, "vec_id")
 
 
 def _dlit(x) -> str:

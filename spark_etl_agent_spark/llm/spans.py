@@ -23,10 +23,12 @@ Scale shape (the whole point):
 - run detection windows partition by document, so no partition
   exceeds one document's span count.
 
-Hashes are md5 (128-bit) so cross-engine counts are collision-free in
-both Spark and the DuckDB oracle; at 100 TB swap ``md5`` for
-``xxhash64`` to halve the shuffled key width (64-bit collisions only
-perturb *counts* of near-identical spans, not the dedup decision).
+Hashes default to md5 (128-bit) so cross-engine counts are
+collision-free in both Spark and the DuckDB oracle; the module-level
+``HASH_FN`` knob switches every seed/ladder expression to
+``xxhash64`` — the 100 TB posture (8-byte bigint shuffle keys instead
+of 32-char hex strings; 64-bit collisions only perturb *counts* of
+near-identical spans, not the dedup decision shape).
 """
 
 from __future__ import annotations
@@ -36,6 +38,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_K = 8
+
+# Gram-hash function used in every seed/ladder expression below. md5
+# (128-bit) is the DEFAULT so cross-engine counts are collision-free
+# against the DuckDB oracle at test scale; the Spark-only scale
+# harness runs the documented 100 TB posture instead —
+# ``xxhash64`` — which shuffles 8-byte bigint keys in place of
+# 32-char hex strings (~4x narrower rows through every groupBy/join
+# on the hash). A 64-bit collision can only merge two unrelated
+# grams' occurrence lists, perturbing counts of near-identical
+# spans, never the operator's decision shape; at ~1e9 grams the
+# expected number of colliding pairs is ~0.03. Read at call time so
+# callers can set ``spans.HASH_FN = "xxhash64"`` per run.
+HASH_FN = "md5"
 
 
 def scrub_duplicate_spans(
@@ -80,7 +95,7 @@ def scrub_duplicate_spans(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(__words) - {k}), "
-                f"i -> md5(array_join(slice(__words, i + 1, {k}), ' ')))"
+                f"i -> {HASH_FN}(array_join(slice(__words, i + 1, {k}), ' ')))"
             )
         ).alias("pos", "h"),
     )
@@ -192,7 +207,7 @@ def exactsubstr_dup_lens(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(__words) - {min_len}), "
-                f"i -> md5(array_join(slice(__words, i + 1, {min_len}), ' ')))"
+                f"i -> {HASH_FN}(array_join(slice(__words, i + 1, {min_len}), ' ')))"
             )
         ).alias("pos", "K"),
     )
@@ -210,7 +225,7 @@ def exactsubstr_dup_lens(
     # row per surviving position (a ≤cap-token slice), while the ladder
     # below is (cap - min_len + 1)× that — at the 100x bench scale the
     # ladder persist spilled to disk and its round-trip cost more than
-    # recomputing the md5 projection from the cached ctx (the ladder's
+    # recomputing the gram-hash projection from the cached ctx (the ladder's
     # two consumers re-derive it with zero shuffles above ctx)
     ctx = (
         surv.groupBy(id_col)
@@ -235,7 +250,7 @@ def exactsubstr_dup_lens(
             F.expr(
                 f"transform(sequence({min_len}, "
                 f"least({cap}, size(__ctx))), "
-                "l -> md5(array_join(slice(__ctx, 1, l), ' ')))"
+                f"l -> {HASH_FN}(array_join(slice(__ctx, 1, l), ' ')))"
             )
         ).alias("__li", "h"),
     ).select(
@@ -335,7 +350,7 @@ def duplicate_span_stats(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(__words) - {k}), "
-                f"i -> md5(array_join(slice(__words, i + 1, {k}), ' ')))"
+                f"i -> {HASH_FN}(array_join(slice(__words, i + 1, {k}), ' ')))"
             )
         ).alias("pos", "h"),
     )
@@ -420,7 +435,7 @@ def source_overlap_matrix(
             F.explode(
                 F.expr(
                     f"transform(sequence(0, size(__words) - {k}), "
-                    f"i -> md5(array_join(slice(__words, i + 1, {k}), ' ')))"
+                    f"i -> {HASH_FN}(array_join(slice(__words, i + 1, {k}), ' ')))"
                 )
             ).alias("h"),
         )
