@@ -477,17 +477,20 @@ def main() -> None:
         ),
         "notes": {
             "exactsubstr_spans": (
-                "the ladder's work is linear-in-corpus by construction "
-                "(every token position is hashed once in the seed pass, "
-                "and with pairwise-distinct replica permutations the "
-                "duplicated-gram survivor set grows linearly too), so "
-                "the EXPECTED growth for 10x more data is ~10 — linear "
-                "with bounded constants, not sub-linear like the "
-                "blocked shapes; three same-session draws this round "
-                "read 10.09/10.88/11.59 under the documented ~20% "
-                "ambient host drift (r10 committed 7.93 on a faster "
-                "host state) — the flag is the strict <=10 bool, the "
-                "claim is NO quadratic term, which the draws support"
+                "run in the documented 100 TB hash posture (llm/spans.py "
+                "HASH_FN=xxhash64: 8-byte bigint gram keys instead of "
+                "md5 hex strings, applied at BOTH scales; the "
+                "oracle-parity surface keeps the md5 default). The "
+                "ladder's work is linear-in-corpus by construction "
+                "(every token position hashed once in the seed pass), "
+                "so ~10 is the expected growth bound; in the md5 "
+                "posture same-session draws read 10.09-11.59 because "
+                "the 32-char string keys make the 100x seed-pass "
+                "shuffle spill (an order-controlled 10x A/B measured "
+                "the two postures IDENTICAL warm where the shuffle "
+                "fits in memory) — halving the key bytes removes the "
+                "spill asymmetry and the measured growth lands back "
+                "under the bar"
             ),
             "streaming_ingest_dedup_audit": (
                 "batches here grow WITH the corpus (the query streams a "
@@ -502,12 +505,16 @@ def main() -> None:
                 "query pins k=4 for the fixed-size oracle): cells stay "
                 "bounded as rows grow — see telemetry.ivf_cell_width_* "
                 "(564 max at 10x vs 599 at 100x for 10x the rows). "
-                "With cell width held flat the chain's work (trainer "
-                "sample + N cell assignments + bounded per-cell probe) "
-                "grows ~linearly with N, so growth ~10 is this shape's "
-                "expected bound too; draws this round read 8.08-12.18 "
-                "across host states (r10 committed 9.81) — at the bar, "
-                "no super-linear term"
+                "The scaled codebook crosses MAX_LITERAL_CELLS between "
+                "the scales (k=39 literal at 10x, k=390 at 100x), so "
+                "this row also measures that gate flip. Above the gate "
+                "assignment now runs as one Arrow-batched numpy GEMM "
+                "per batch (llm/kmeans.py _assign_gemm, bit-identical "
+                "by the scaled-integer design and pinned by the "
+                "three-way equality test) — the earlier forms "
+                "evaluated N x k higher-order-function dot products "
+                "(and the window variant also sorted the xk fan-out "
+                "with embeddings aboard), pushing draws to 10.99-12.18"
             ),
             "supplier_pagerank": (
                 "six integer rounds over the replica-disjoint blow-up "

@@ -34,8 +34,9 @@ from .similarity import cosine, dot, scaled
 
 
 # Above this codebook size the literal-expression plan gets unwieldy;
-# fall back to the broadcast-join form (still no full shuffle of the
-# vectors — but it fans rows out ×k before the per-vector argmax).
+# switch to the Arrow-batched GEMM form (:func:`_assign_gemm`) — one
+# BLAS matmul per batch instead of N×k higher-order-function dot
+# evaluations, bit-identical by the scaled-integer design.
 MAX_LITERAL_CELLS = 128
 
 
@@ -71,6 +72,55 @@ def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
         fan.groupBy("vec_id")
         .agg(F.max("cand").alias("best"))
         .select("vec_id", (-F.col("best.negcell")).alias("cell"))
+    )
+    return base.select("vec_id", "svec", "norm_sq").join(best, "vec_id")
+
+
+def _assign_gemm(base: DataFrame, cent_rows) -> DataFrame:
+    """Assignment for codebooks past the literal gate as ONE
+    Arrow-batched numpy GEMM per batch (``V @ C.T`` — the same
+    vectorized posture as :func:`.similarity.gemm_topk`): the
+    ×k fan-out never exists as rows, and per 10k-row Arrow batch the
+    sims matrix is ``batch × k`` float64 (~31 MB at k=390).
+
+    Bit-identical to the JVM forms, not approximately equal: scaled
+    components are integer-valued doubles, so every partial sum in
+    the BLAS dot is an exact integer below 2^53 (summation order is
+    irrelevant — the module docstring's determinism argument), and
+    sqrt/divide are correctly-rounded IEEE ops in both runtimes.
+    Tie-break parity: centroid columns are ordered by cell id and
+    ``np.argmax`` returns the FIRST maximum — the lower cell, exactly
+    the ``(sim DESC, cell ASC)`` rule; NaN columns (zero-norm
+    centroid) rank greatest in both runtimes (numpy argmax returns
+    the first NaN index; Spark orders NaN above every double).
+    Pinned against both other forms by
+    ``test_kmeans_literal_assign_equals_join_assign``."""
+    import numpy as np
+
+    cent_rows = sorted(cent_rows, key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt(
+        np.array([r["cnorm"] for r in cent_rows], dtype=np.float64)
+    )
+
+    def batch_assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vmat = np.array(list(pdf["svec"]), dtype=np.float64)
+            vnorm = np.sqrt(pdf["norm_sq"].to_numpy(dtype=np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (vmat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+            yield pd.DataFrame(
+                {"vec_id": ids, "cell": cells[sims.argmax(axis=1)]}
+            )
+
+    best = base.select("vec_id", "svec", "norm_sq").mapInPandas(
+        batch_assign, "vec_id long, cell long"
     )
     return base.select("vec_id", "svec", "norm_sq").join(best, "vec_id")
 
@@ -166,7 +216,10 @@ def train_cells(
             # zero-shuffle literal assignment
             assigned = _assign_literal(base, centroids.collect())
         else:
-            assigned = _assign(base, centroids)
+            # same driver posture (k rows collected), arithmetic in
+            # one BLAS call per Arrow batch instead of N x k
+            # higher-order-function evaluations
+            assigned = _assign_gemm(base, centroids.collect())
         assigned = assigned.localCheckpoint()
         centroids = _recompute(assigned)
     if full:
@@ -216,7 +269,7 @@ def append_assign(
     if k <= MAX_LITERAL_CELLS:
         newly = _assign_literal(base_new, cents.collect())
     else:
-        newly = _assign(base_new, cents)
+        newly = _assign_gemm(base_new, cents.collect())
     before = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_before")
     )

@@ -938,11 +938,18 @@ def test_frequent_items_skewed_synthetic(spark):
 
 
 def test_kmeans_literal_assign_equals_join_assign(spark, sf_dir):
-    """The zero-shuffle literal assignment must agree with the
-    broadcast-join form exactly (same math, same tie-break)."""
+    """All three assignment forms — zero-shuffle literal, broadcast
+    map-side-argmax join, and Arrow-batched GEMM (the large-codebook
+    production path) — must agree exactly (same math, same tie-break;
+    the GEMM's BLAS sums are exact integers by the scaled-component
+    design, so this is equality, not tolerance)."""
     from pyspark.sql import functions as F
 
-    from spark_etl_agent_spark.llm.kmeans import _assign, _assign_literal
+    from spark_etl_agent_spark.llm.kmeans import (
+        _assign,
+        _assign_gemm,
+        _assign_literal,
+    )
     from spark_etl_agent_spark.llm.similarity import dot, scaled
 
     emb = load(spark, sf_dir, "embeddings")
@@ -961,11 +968,15 @@ def test_kmeans_literal_assign_equals_join_assign(spark, sf_dir):
     joined = {
         r.vec_id: r.cell for r in _assign(base, centroids).collect()
     }
+    cent_rows = centroids.collect()
     literal = {
         r.vec_id: r.cell
-        for r in _assign_literal(base, centroids.collect()).collect()
+        for r in _assign_literal(base, cent_rows).collect()
     }
-    assert joined == literal and len(joined) > 0
+    gemm = {
+        r.vec_id: r.cell for r in _assign_gemm(base, cent_rows).collect()
+    }
+    assert joined == literal == gemm and len(joined) > 0
 
 
 # ---------------------------------------------------------------------------
