@@ -42,7 +42,10 @@ MAX_LITERAL_CELLS = 128
 
 def _assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (tie → lower
-    cell) — broadcast fan-out for codebooks past the literal gate.
+    cell) — the pure-JVM broadcast form, kept as the EQUALITY
+    REFERENCE the tests pin the literal and GEMM paths against (the
+    production gates route to :func:`_assign_literal` below
+    ``MAX_LITERAL_CELLS`` and :func:`_assign_gemm` above it).
 
     The fan-out row drops BOTH vectors before any exchange: the
     broadcast product projects only ``(vec_id, struct(sim, -cell))``,

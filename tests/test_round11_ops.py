@@ -170,3 +170,47 @@ def test_candidate_pushdown_fallback_above_cap(spark, tmp_path, monkeypatch):
     )
     assert base == fallback
     assert any(r[-1] is False or r[-1] == False for r in base)  # noqa: E712
+
+
+def test_train_cells_above_literal_gate_uses_gemm_and_matches_literal(
+    spark, sf_dir
+):
+    """The production path the 100x harness measures: a codebook past
+    MAX_LITERAL_CELLS must route through the Arrow-batched GEMM
+    assignment AND produce exactly the assignment the literal
+    expression form computes for the same centroids (the literal gate
+    is a plan-size heuristic, not a semantics boundary — above it the
+    literal form is merely unwieldy, so it still serves as the
+    equality reference). k=129 is the first above-gate codebook."""
+    from spark_etl_agent_spark.llm.kmeans import (
+        MAX_LITERAL_CELLS,
+        _assign_literal,
+        train_cells,
+    )
+    from spark_etl_agent_spark.llm.similarity import dot, scaled
+    from spark_etl_agent_spark.queries.base import load
+
+    k = MAX_LITERAL_CELLS + 1
+    emb = load(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: r.cell
+        for r in train_cells(emb, k=k, iters=1).collect()
+    }
+
+    base = emb.select(
+        F.col("vec_id"), scaled(F.col("embedding")).alias("svec")
+    ).withColumn("norm_sq", dot(F.col("svec"), F.col("svec")))
+    cents = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("svec").alias("cvec"),
+            F.col("norm_sq").alias("cnorm"),
+        )
+        .collect()
+    )
+    want = {
+        r.vec_id: r.cell for r in _assign_literal(base, cents).collect()
+    }
+    assert len(got) == emb.count() and got == want
