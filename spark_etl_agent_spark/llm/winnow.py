@@ -12,10 +12,11 @@ give). Downstream, fingerprint equality joins find local overlap.
 
 Scale shape: ``k``-gram hashing is a per-row projection; the window
 minima partition by document (no partition ever exceeds one document's
-span count); candidate selection is an explode(×w) plus one
-(doc, pos) equi-join — no all-pairs step anywhere. Selected density is
-~2/(w+1) of spans, so the fingerprint table SHRINKS relative to the
-corpus as w grows.
+span count); selection is decided by a SECOND window pass over the
+same per-document sort — one exchange total, no join, no explode —
+see ``winnowing_fingerprints`` for the equivalence argument. Selected
+density is ~2/(w+1) of spans, so the fingerprint table SHRINKS
+relative to the corpus as w grows.
 
 Hashes are the first 8 md5 hex digits as int64 — the repo's standard
 cross-engine integer-hash idiom (``llm.text.linear_quality_score``),
@@ -47,6 +48,20 @@ def winnowing_fingerprints(
     every tied position in the window — a pure set definition with no
     order-of-evaluation dependence, so Spark and the SQL oracle agree
     exactly.
+
+    Selection is computed join-free (guide §2.4 — remove shuffles
+    outright): since every covering window contains ``p``, its minimum
+    is ≤ ``h[p]``, so "∃ a valid covering start ``s`` with
+    ``win_min(s) = h[p]``" is equivalent to "MAX of ``win_min`` over
+    the valid covering starts ``s ∈ [p-w+1, p] ∩ [0, S]`` equals
+    ``h[p]``" — a second window pass (backward frame, invalid starts
+    masked to NULL which MAX skips) over the SAME per-document sort.
+    Every position has ≥ 1 valid covering start (``p-w+1 ≤ S`` always
+    holds for ``p ≤ n_spans-1``), so the mask never empties a frame.
+    The previous shape re-derived the span table on both sides of a
+    (doc, pos, hash) semi-join and paid an explode(×w) + DISTINCT in
+    between — two tokenize passes and three exchanges where one
+    exchange suffices.
     """
     words = F.expr(
         f"filter(split(lower({text_col}), '\\\\s+'), x -> length(x) >= 1)"
@@ -72,25 +87,30 @@ def winnowing_fingerprints(
         )
     )
     w_doc = Window.partitionBy(id_col)
-    w_frame = (
+    w_fwd = (
         Window.partitionBy(id_col)
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    starts = (
-        spans.withColumn("win_min", F.min("h").over(w_frame))
+    w_bwd = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    annotated = (
+        spans.withColumn("win_min", F.min("h").over(w_fwd))
         .withColumn("n_spans", F.count(F.lit(1)).over(w_doc))
-        .filter(
-            F.col("pos") <= F.greatest(F.col("n_spans") - w, F.lit(0))
+        .withColumn(
+            "_valid_min",
+            F.when(
+                F.col("pos") <= F.greatest(F.col("n_spans") - w, F.lit(0)),
+                F.col("win_min"),
+            ),
         )
     )
-    covered = starts.select(
-        id_col,
-        F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("pos"),
-        F.col("win_min").alias("h"),
-    ).distinct()
     return (
-        spans.join(covered, [id_col, "pos", "h"], "left_semi")
+        annotated.withColumn("_cover_max", F.max("_valid_min").over(w_bwd))
+        .filter(F.col("_cover_max") == F.col("h"))
         .select(id_col, "pos", F.col("h").alias("fp"))
     )
 
