@@ -588,12 +588,13 @@ def bigram_doc_logprob(
     words). Documents with fewer than 2 tokens have no bigrams and are
     excluded (same on both engines: empty explode).
 
-    Shape: one bigram explode → bigram counts and context counts (two
-    map-side-combined shuffles over the same exploded frame) → join the
-    bigrams back to their counts (co-partitioned with the count
-    shuffles; the Zipf-head context key is AQE skew-join territory,
-    same contract as ``unigram_doc_logprob``'s count join) → per-doc
-    int64 sum of micro-quantized log-probs. V is a scalar broadcast.
+    Shape: one bigram explode → per-(doc, bigram) counts → corpus
+    bigram counts and context counts derived by further aggregation →
+    join the (doc, bigram) rows back to their counts (the Zipf-head
+    context key is AQE skew-join territory, same contract as
+    ``unigram_doc_logprob``'s count join) → per-doc int64 sum of
+    multiplicity-weighted micro-quantized log-probs. V is a scalar
+    broadcast.
     """
     # materialize the token array once so the per-position transform
     # references it as a bound column (no split re-evaluation per
@@ -613,11 +614,20 @@ def bigram_doc_logprob(
         )
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # guide §2.3 "aggregate before you shuffle": ONE per-(doc, bigram)
+    # aggregation is the exchange subtree every consumer shares (AQE
+    # stage reuse → the corpus is tokenized once); the corpus-wide
+    # bigram counts derive from it (c2 = Σ_doc n), the context counts
+    # derive from c2 (c1 = Σ_w2 c2 — a vocab²-sized input instead of a
+    # third full bigram stream), and the score join weights each
+    # distinct (doc, bigram) row by its multiplicity (Σ n·lp ≡ Σ
+    # per-occurrence lp, exact integer identity).
+    d2 = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c2 = d2.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = c1.agg(F.count(F.lit(1)).cast("long").alias("_v"))
     scored = (
-        bg.join(c2, ["w1", "w2"])
+        d2.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .join(F.broadcast(v))
         .withColumn(
@@ -632,10 +642,13 @@ def bigram_doc_logprob(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("lp_micro").cast("long").alias("logprob_micro_sum"),
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("lp_micro"))
+        .cast("long")
+        .alias("logprob_micro_sum"),
         F.floor(
-            F.sum("lp_micro").cast("double") / F.count(F.lit(1)).cast("double")
+            F.sum(F.col("n") * F.col("lp_micro")).cast("double")
+            / F.sum("n").cast("double")
         )
         .cast("long")
         .alias("avg_logprob_micro"),
