@@ -253,6 +253,10 @@ def incremental_neardup_probe(spark, sf_dir):
         index_docs=docs.filter(F.col("doc_id") % 10 != 0),
         batch_docs=docs.filter(F.col("doc_id") % 10 == 0),
         min_jaccard=0.6,
+        # the two slices partition doc_id by `% 10` — disjoint by
+        # construction, so the guard's build-time scan job is skipped
+        # (the documented caller-has-proven-disjointness case)
+        check_disjoint_ids=False,
     )
 
 
