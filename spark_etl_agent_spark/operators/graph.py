@@ -54,10 +54,23 @@ def connected_components(
 
     # the edge list is re-joined every round — persist it so an
     # expensive upstream (an LSH pair join, a Jaccard verify) runs once,
-    # not once per round
+    # not once per round. Symmetrization is one explode over the single
+    # edge scan, NOT a union of two projections: a union's branches are
+    # distinct subtrees with no shared terminal exchange, so
+    # materializing the persist would run the upstream pair pipeline
+    # twice (guide §2.4; measured neutral at sf0.1, where stage reuse
+    # hides the duplication, but the explode form cannot regress when
+    # the upstream's exchanges are not reusable).
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
