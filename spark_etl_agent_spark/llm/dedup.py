@@ -899,28 +899,20 @@ def split_leakage_audit(
 
     Shape: the minhash/LSH candidate generation and Jaccard
     verification are the proven ``minhash_near_duplicates`` pipeline;
-    the split table adds one projection of the corpus keys and two
-    equi-joins on doc id (uniform). No new shuffle class.
+    the split assignment is a pure hash expression of the doc id
+    (``sampling.split_label``), so both ends' labels are PROJECTED
+    onto the verified pairs — no split table, no id-keyed joins.
     """
-    from .sampling import train_val_test_split
+    from .sampling import split_label
 
     pairs = lsh_candidate_pairs(minhash_signatures(df, text_col, id_col))
     verified = jaccard_verify(df, pairs, text_col, id_col)
     neardup = verified.filter(
         F.expr("n_common * 2 >= (n_a + n_b - n_common)")
     )
-    splits = train_val_test_split(
-        df.select(id_col), key_col=id_col, weights=weights, salt=salt
-    ).select(id_col, "split")
-    sa = splits.select(
-        F.col(id_col).alias("id_a"), F.col("split").alias("split_a")
-    )
-    sb = splits.select(
-        F.col(id_col).alias("id_b"), F.col("split").alias("split_b")
-    )
     return (
-        neardup.join(sa, "id_a")
-        .join(sb, "id_b")
+        neardup.withColumn("split_a", split_label(F.col("id_a"), weights, salt))
+        .withColumn("split_b", split_label(F.col("id_b"), weights, salt))
         .select(
             "id_a",
             "id_b",

@@ -36,6 +36,23 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < int(rate * _HASH_SPACE))
 
 
+def split_label(
+    key: Column,
+    weights: Tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split1",
+) -> Column:
+    """The split assignment as a pure COLUMN expression of the key —
+    usable as a projection anywhere the key is already present (no
+    split-table join needed; a join would shuffle both sides for a
+    value that is a deterministic function of one column)."""
+    b = hash_bucket(key, salt)
+    t_train = int(weights[0] * _HASH_SPACE)
+    t_val = int((weights[0] + weights[1]) * _HASH_SPACE)
+    return (
+        F.when(b < t_train, "train").when(b < t_val, "val").otherwise("test")
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key_col: str,
@@ -44,12 +61,8 @@ def train_val_test_split(
 ) -> DataFrame:
     """Assign each row a stable split label; a row's split never changes
     under repartitioning, engine change, or re-run."""
-    b = hash_bucket(F.col(key_col), salt)
-    t_train = int(weights[0] * _HASH_SPACE)
-    t_val = int((weights[0] + weights[1]) * _HASH_SPACE)
     return df.withColumn(
-        "split",
-        F.when(b < t_train, "train").when(b < t_val, "val").otherwise("test"),
+        "split", split_label(F.col(key_col), weights, salt)
     )
 
 

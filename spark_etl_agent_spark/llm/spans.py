@@ -120,10 +120,14 @@ def scrub_duplicate_spans(
         )
         .select(id_col, "pos")
     )
+    # no distinct: left_anti is set semantics — duplicate covered
+    # positions (overlapping removable spans) cost the join nothing,
+    # while a pre-join DISTINCT would pay a full hash aggregation of
+    # the covered-position table for zero row reduction downstream
     covered = removable.select(
         id_col,
         F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("tpos"),
-    ).distinct()
+    )
     kept = toks.join(covered, [id_col, "tpos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n_kept"),
