@@ -214,3 +214,74 @@ def test_train_cells_above_literal_gate_uses_gemm_and_matches_literal(
         r.vec_id: r.cell for r in _assign_literal(base, cents).collect()
     }
     assert len(got) == emb.count() and got == want
+
+
+def test_split_label_projection_matches_documented_hash(spark):
+    """``sampling.split_label`` is the pure-expression form the leakage
+    audit projects onto pair ends instead of joining a split table
+    (optimization r11): its assignment must equal the documented
+    engine-independent formula — first 8 hex digits of
+    md5(salt || str(key)) as an integer vs the weight thresholds —
+    computed here in plain Python, and must equal
+    ``train_val_test_split`` row-for-row."""
+    import hashlib
+
+    from spark_etl_agent_spark.llm.sampling import (
+        _HASH_SPACE,
+        split_label,
+        train_val_test_split,
+    )
+
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", split_label(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+
+    def ref(i):
+        b = int(hashlib.md5(f"split1{i}".encode()).hexdigest()[:8], 16)
+        if b < int(0.8 * _HASH_SPACE):
+            return "train"
+        if b < int(0.9 * _HASH_SPACE):
+            return "val"
+        return "test"
+
+    assert got == {i: ref(i) for i in ids}
+    assert len(set(got.values())) == 3  # all three splits realized
+    joined = {
+        r.doc_id: r.split
+        for r in train_val_test_split(df, key_col="doc_id").collect()
+    }
+    assert joined == got
+
+
+def test_scrub_overlapping_spans_without_covered_distinct(spark):
+    """The covered-position table feeds a left_anti join (set
+    semantics), so the pre-join DISTINCT was dropped (optimization
+    r11). Deterministic overlap-dense case: a doc made of one repeated
+    phrase produces the SAME covered position from many removable
+    spans — duplicates in the anti-join's right side must not change
+    counts or the rebuilt text."""
+    from spark_etl_agent_spark.llm.spans import scrub_duplicate_spans
+
+    phrase = "a b c"
+    rows = [
+        (0, " ".join([phrase] * 6)),   # 18 tokens, span k=3 repeats
+        (1, " ".join([phrase] * 4)),   # duplicates across docs too
+        (2, "x y z unique tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_duplicate_spans(df, k=3).collect()}
+    # doc 0 pos 0 is the global canonical occurrence of 'a b c'; every
+    # other occurrence (and every position a removable span covers) is
+    # scrubbed. Positions 0..2 of doc 0 survive; all else of docs 0/1
+    # is covered by SOME removable span.
+    assert (out[0].n_tokens, out[0].n_kept) == (18, 3)
+    assert out[0].scrubbed_text == "a b c"
+    assert (out[1].n_tokens, out[1].n_kept) == (12, 0)
+    assert out[1].scrubbed_text == ""
+    assert out[2].n_kept == out[2].n_tokens == 5
+    assert out[2].scrubbed_text == "x y z unique tokens"
