@@ -28,6 +28,80 @@ def run_query_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cal_burn(_arg) -> float:
+    """Pinned pure-CPU workload for the parallel thermometer: a 200k-
+    deep md5 chain (serial by construction — no vectorization or memory
+    bandwidth to confound it). Module-level so Pool can pickle it."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"x" * 64
+    for _ in range(200_000):
+        h = hashlib.md5(h).digest()
+    return time.perf_counter() - t0
+
+
+def host_calibration(sf_dir: str, cores: int) -> dict:
+    """Pinned-workload host thermometer, recorded in the summary so a
+    burst-contaminated bench window is machine-detectable from the
+    committed artifact instead of dossier-argued (r11 verdict ask #1).
+
+    Two probes, byte-identical every round, independent of the Spark
+    JVM: (a) the same single-thread DuckDB aggregation the committed
+    BENCH_PAIRED artifacts carry (`host_calibration_s`, ~0.06 s calm —
+    ambient per-core speed, comparable across rounds), and (b) a
+    fork-pool of `cores` pinned md5 burns — the single-thread probe
+    alone is blind to parallel-throughput theft (a noisy neighbor can
+    steal 24 of 32 cores while one thread still runs full speed; the
+    r11 bench dossier's failure mode). `parallel_throughput_x` =
+    cores × single-burn / pool-wall ≈ 17 on this host when calm
+    (16 physical cores + SMT). Runs before and after the timed loop,
+    so a mid-run burst also shows up as pre/post disagreement.
+    ~1 s total per call; best-effort — never gates, never raises.
+    """
+    import statistics
+
+    out = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        cal_sql = (
+            "SELECT l_orderkey % 1024 AS k, sum(l_extendedprice), "
+            "avg(l_discount), count(*) FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet') "
+            "GROUP BY k ORDER BY k"
+        )
+        draws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(cal_sql).fetchall()
+            draws.append(time.perf_counter() - t0)
+        con.close()
+        out["duck_single_s"] = round(statistics.median(draws), 4)
+    except Exception:
+        pass
+    try:
+        from multiprocessing import get_context
+
+        single = min(_cal_burn(None) for _ in range(2))
+        with get_context("fork").Pool(cores) as pool:
+            pool.map(_cal_burn, range(cores))  # warm the pool
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pool.map(_cal_burn, range(cores))
+                walls.append(time.perf_counter() - t0)
+        wall = min(walls)
+        out["burn_single_s"] = round(single, 4)
+        out["burn_pool_wall_s"] = round(wall, 4)
+        out["parallel_throughput_x"] = round(cores * single / wall, 2)
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     # Guarantee the result line is the ONLY stdout of this process: the
     # JVM and any library chatter that targets fd 1 is rerouted to
@@ -153,6 +227,8 @@ def main() -> None:
     pre: dict[str, set] = {}
     build_span: dict[str, tuple] = {}  # name -> (build_start, build_end)
 
+    cal_pre = host_calibration(sf_dir, cores)
+
     def build(name):
         pre[name] = _persistent_rdd_ids(spark)
         b0 = time.perf_counter()
@@ -216,6 +292,11 @@ def main() -> None:
             else:
                 release_older_than(_persistent_rdd_ids(spark))
     loop_wall = round(time.perf_counter() - t_loop0, 3)
+    # stop the JVM before the post probe: an alive 32-slot local JVM's
+    # background threads depress the fork-pool reading by ~2x even
+    # when idle, which would mis-read as a host burst
+    manager.stop()
+    cal_post = host_calibration(sf_dir, cores)
 
     # the headline number is the true wall-clock of the pipelined loop
     # (per-query charges exclude queue waits and sum-of-charges can
@@ -239,6 +320,11 @@ def main() -> None:
         "shuffle_partitions": shuffle,
         "cpus": cores,
         "queries": timings,
+        # pinned DuckDB host thermometer (single-thread + all-cores),
+        # measured immediately before and after the timed loop: lets
+        # any reader judge whether this window was calm (pre ≈ post ≈
+        # the committed history) without a measurement dossier
+        "host_calibration": {"pre": cal_pre, "post": cal_post},
         # decomposition behind each charged number: full own-build wall
         # (overlapped or not), execute wall, and the queue wait this
         # query was NOT charged for (time blocked behind earlier
@@ -277,7 +363,6 @@ def main() -> None:
     while len(line) > 1700 and top_n > 1:
         top_n -= 5
         line = emit(top_n)
-    manager.stop()
     sys.stdout.flush()
     os.dup2(real_stdout, 1)
     os.write(real_stdout, (line + "\n").encode())
