@@ -4,15 +4,24 @@ All pure DataFrame programs (no UDFs). Scale design:
 
 - exact/normalized dedup is a hash-groupBy — one shuffle on the content
   hash, map-side partial aggregation; the hash key is uniform so no skew.
-- MinHash-LSH shuffles on *band keys* (bounded-width strings). Candidate
+- MinHash-LSH shuffles on *band keys* (int64 folds of the band's
+  signature values — 8-byte shuffle/join keys). Candidate
   generation is a self-equi-join per band; only candidates are verified
   with exact Jaccard (explode + join on shingle), so the quadratic step
   never touches non-colliding documents. At 100 TB you add more bands /
   rows-per-band to tune recall vs join fan-out; the plan shape is
   unchanged.
-- The MinHash value is the *lexicographic* MIN of md5(seed || shingle):
-  hex-string order is a valid uniform hash order and is reproducible in
-  any engine with md5 (this is what makes the DuckDB oracle possible).
+- The MinHash value is the MIN over shingles of a 31-bit integer hash
+  ``h_i(s) = (A_i * base(s) + B_i) mod P`` where ``base(s)`` is the
+  first 60 bits of md5(s) reduced mod ``P = 2^31 - 1`` — one md5 per
+  shingle (not one per hash function) feeding 8 fixed affine
+  permutations (the classic universal-hash MinHash family). Everything
+  is exact int64 arithmetic reproducible in any engine with md5 (this
+  is what makes the DuckDB oracle possible), and a BIGINT min
+  aggregates in a fixed-width HashAggregate buffer — the previous
+  min-over-md5-hex-string form compiled to SortAggregate (string agg
+  buffers are not hash-eligible) and shuffled 8×32-char hex keys where
+  this shuffles 8 longs (r11 verdict ask #2).
 - SimHash: per-bit majority vote over token hashes, materialized as a
   64-char bit string; bit b of a token is extracted from its md5 hex
   nibble (position arithmetic only, no binary casts).
@@ -29,6 +38,92 @@ from .text import words_of
 
 N_MINHASHES = 8
 BAND_SIZE = 2  # 8 minhashes → 4 bands of 2
+
+# -- numeric MinHash family (r11 verdict ask #2) ---------------------------
+# h_i(s) = (A_i * base(s) + B_i) mod P over base(s) = first 60 bits of
+# md5(s) mod P. P = 2^31 - 1 (Mersenne prime); A_i/B_i are fixed
+# arbitrary constants in [1, P). All arithmetic stays inside int64
+# ((P-1)^2 + P < 2^63), wraps nowhere, and both engines (Spark bigint,
+# DuckDB BIGINT) compute it bit-identically — proven by the oracle
+# parity suite. A within-document hash collision (two shingles drawing
+# the same h_i, ~n^2/2^32 per doc) only ties the min — the min itself
+# stays deterministic and engine-identical.
+MINHASH_PRIME = 2147483647
+MINHASH_A = (
+    1103515245, 1588635695, 1117695901, 1779033703,
+    1484764045, 1865811235, 1629267613, 1013904243,
+)
+MINHASH_B = (
+    12345, 1013904223, 68909602, 1359168269,
+    776531419, 906097321, 1500450271, 2038074743,
+)
+
+# DuckDB expression: shingle list -> list of base-hash int64s (ONE md5
+# per shingle feeding all 8 permutations — the oracle twin of
+# ``_minhash_base`` below). Every oracle SQL that computes signatures
+# builds on this via ``minhash_sig_select_sql`` so Spark and DuckDB can
+# never drift apart.
+MINHASH_HV_SQL = (
+    "list_transform({shingles}, s -> "
+    "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)"
+)
+
+
+def minhash_mh_sql(i: int, hv: str = "hv") -> str:
+    """DuckDB expression for mh_i from the base-hash list column."""
+    return (
+        f"list_min(list_transform({hv}, x -> "
+        f"({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_PRIME}))"
+    )
+
+
+def minhash_sig_select_sql(
+    src: str = "sh",
+    shingles: str = "shingles",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+) -> str:
+    """DuckDB SELECT body producing ``(id, mh0..mh{n-1})`` from a CTE
+    holding a shingle-list column — the oracle twin of
+    ``minhash_signatures``. Wrap as ``sig AS (<this>)``."""
+    hv = MINHASH_HV_SQL.format(shingles=shingles)
+    mh = ",\n    ".join(
+        f"{minhash_mh_sql(i)} AS mh{i}" for i in range(n_hashes)
+    )
+    return (
+        f"SELECT {id_col},\n    {mh}\n"
+        f"  FROM (SELECT {id_col}, {hv} AS hv FROM {src}) __hv"
+    )
+
+
+def band_key_sql(cols) -> str:
+    """DuckDB band key: int64 polynomial fold of the band's mh columns
+    (injective for band_size 2 since mh < 2^31 - 1; wider bands hash —
+    both engines compute the identical fold, so bucket semantics agree
+    regardless). Twin of the Spark fold in ``_banded``."""
+    cols = list(cols)
+    k = cols[0]
+    for c in cols[1:]:
+        k = f"(({k}) % 2147483648) * 2147483647 + ({c})"
+    return k
+
+
+def bands_union_sql(
+    src: str = "sig",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> str:
+    """DuckDB banded CTE body (UNION ALL over band indexes), the twin
+    of ``_banded``: shingle-less docs (NULL signature) excluded."""
+    return "\n  UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_idx, "
+        + band_key_sql(
+            [f"mh{b * band_size + j}" for j in range(band_size)]
+        )
+        + f" AS band_key FROM {src} WHERE mh0 IS NOT NULL"
+        for b in range(n_hashes // band_size)
+    )
 # Largest band-collision candidate set the incremental probe will
 # collect to the driver and push into the index text scan as an In
 # predicate (longs — ~8 KB at the cap); bigger sets fall back to the
@@ -81,34 +176,56 @@ def shingles_of(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def _minhash_base(shingle: Column) -> Column:
+    """Base hash per shingle: first 60 bits of md5 as int64, mod P —
+    computed ONCE per shingle row and fed to all 8 affine permutations
+    (the old form paid 8 independent md5s per shingle). NULL in, NULL
+    out (shingle-less docs keep their NULL signature)."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+
+
+def _minhash_perm(hv: Column, i: int) -> Column:
+    return (
+        F.lit(MINHASH_A[i]) * hv + F.lit(MINHASH_B[i])
+    ) % F.lit(MINHASH_PRIME)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
 ) -> DataFrame:
-    """Per-document MinHash signature: mh_i = lexicographic min over
-    shingles of md5('<i>|' + shingle). NULL signature for docs with no
-    shingles.
+    """Per-document MinHash signature: mh_i = min over shingles of the
+    numeric hash family (module docstring). NULL signature for docs
+    with no shingles.
 
-    Shape: explode shingles → 8 md5s per row → groupBy(id).agg(8 mins).
-    Keeping the shingles as an array and taking 8 array_mins looks
-    cheaper (no shuffle) but Catalyst's projection collapse inlines the
-    shingle-building expression into every one of the 8 columns — an 8×
-    recompute. The explode form builds each shingle once, and the
-    min-agg is a map-side-combined shuffle on the doc id (uniform key,
-    no skew) — the shape that scales to 100 TB."""
+    Shape: explode shingles → ONE md5/base-hash per row → groupBy(id)
+    .agg(8 affine mins). Keeping the shingles as an array and taking 8
+    array_mins looks cheaper (no shuffle) but Catalyst's projection
+    collapse inlines the shingle-building expression into every one of
+    the 8 columns — an 8× recompute. The explode form builds each
+    shingle and its base hash once; the min-agg is a map-side-combined
+    HashAggregate on the doc id (uniform key, no skew; int64 buffers —
+    fixed-width, hash-agg eligible where the md5-hex min was a
+    SortAggregate) — the shape that scales to 100 TB."""
     sh = shingles_of(F.col(text_col))
     # explode_outer keeps shingle-less docs (their signature is NULL,
     # matching array_min over an empty array)
     exploded = df.select(
         F.col(id_col), F.explode_outer(sh).alias("shingle")
     )
+    hv = exploded.select(
+        F.col(id_col), _minhash_base(F.col("shingle")).alias("__hv")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(_minhash_perm(F.col("__hv"), i)).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hv.groupBy(id_col).agg(*aggs)
 
 
 def minhash_from_shingle_table(
@@ -126,11 +243,14 @@ def minhash_from_shingle_table(
     before banding), so pipelines that already built a shingle table
     (the corpus funnel) save one full tokenize + explode pass over the
     corpus by deriving the signatures from it."""
+    hv = sh.select(
+        F.col(id_col), _minhash_base(F.col("shingle")).alias("__hv")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(_minhash_perm(F.col("__hv"), i)).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hv.groupBy(id_col).agg(*aggs)
 
 
 def ingest_artifacts(
@@ -160,12 +280,17 @@ def ingest_artifacts(
             F.array_distinct(shingles_of(F.col(text_col)))
         ).alias("shingle"),
     )
+    # __hv is NULL exactly when shingle is NULL (md5/conv propagate),
+    # so the count keeps its "0 for shingle-less docs" semantics
+    hv = exploded.select(
+        F.col(id_col), _minhash_base(F.col("shingle")).alias("__hv")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(_minhash_perm(F.col("__hv"), i)).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    sig = exploded.groupBy(id_col).agg(
-        *aggs, F.count("shingle").cast("int").alias("n_shingles")
+    sig = hv.groupBy(id_col).agg(
+        *aggs, F.count("__hv").cast("int").alias("n_shingles")
     )
     return df.withColumn("content_hash", F.md5(F.col(text_col))).join(
         sig, id_col
@@ -182,10 +307,11 @@ def lsh_candidate_pairs(
     docs agreeing on any full band become candidate pairs.
 
     Shingle-less documents (< k words) carry an all-NULL signature and
-    are dropped *before* banding: ``concat_ws`` maps NULL columns to
-    ``''``, so without the filter every short doc would share
-    ``md5('')`` in all bands and form one O(n²) candidate clique — a
-    blow-up a short-doc-heavy corpus would hit at scale."""
+    are dropped *before* banding: a NULL fold key would never equi-join
+    anyway, but filtering first keeps those rows out of the banded
+    exchange entirely (and out of band-profile bucket counts) — the
+    historical hazard was every short doc sharing one band key and
+    forming an O(n²) candidate clique."""
     banded = _banded(signatures, id_col, n_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -400,18 +526,32 @@ def simhash_bits(
 # incremental (index-probe) near-dup detection
 
 
+def _band_key(cols) -> Column:
+    """int64 band key: polynomial fold of the band's mh columns.
+    Injective for band_size 2 (mh ≤ P - 1 = 2147483646 < the 2147483647
+    multiplier, so (mh_a, mh_b) → mh_a·2147483647 + mh_b is exact
+    base-2147483647 positional encoding); wider bands may collide, but
+    both engines compute the identical fold, so bucket semantics still
+    agree exactly. Replaces md5(concat_ws(...)): an 8-byte shuffle/join
+    key instead of a 32-char hex string, and no per-band md5 at all.
+    Twin of ``band_key_sql``."""
+    cols = list(cols)
+    k = cols[0]
+    for c in cols[1:]:
+        k = (k % F.lit(2147483648)) * F.lit(2147483647) + c
+    return k
+
+
 def _banded(signatures: DataFrame, id_col: str, n_hashes: int,
             band_size: int) -> DataFrame:
     """(id, band_idx, band_key) rows; shingle-less docs dropped before
-    banding (see lsh_candidate_pairs for the md5('')-clique hazard)."""
+    banding (their NULL signature would otherwise put every short doc
+    in one O(n²) candidate clique — see lsh_candidate_pairs)."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-                )
+            _band_key(
+                [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
             )
             for b in range(n_bands)
         ]

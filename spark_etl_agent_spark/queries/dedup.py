@@ -26,19 +26,13 @@ sh AS (
 )
 """
 
-_MH = ",\n    ".join(
-    "list_min(list_transform(shingles, s -> md5('%d|' || s))) AS mh%d" % (i, i)
-    for i in range(D.N_MINHASHES)
-)
-
-# mh0 IS NOT NULL mirrors llm.dedup.lsh_candidate_pairs: shingle-less
-# docs must not band (concat_ws would give them all the md5('') key)
-_BANDS = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
-    "WHERE mh0 IS NOT NULL"
-    for b in range(D.N_MINHASHES // D.BAND_SIZE)
-)
+# Numeric-minhash signature SELECT body and band union — built by the
+# operator module itself (llm.dedup.minhash_sig_select_sql /
+# bands_union_sql) so the oracle can never drift from the Spark
+# expressions. mh0 IS NOT NULL mirrors llm.dedup.lsh_candidate_pairs:
+# shingle-less docs (NULL signature) must not band.
+_SIG_BODY = D.minhash_sig_select_sql(src="sh")
+_BANDS = D.bands_union_sql(src="sig")
 
 
 def exact_dedup(spark, sf_dir):
@@ -70,9 +64,7 @@ def minhash_signatures(spark, sf_dir):
 
 MINHASH_SIGNATURES_SQL = f"""
 WITH {_SHINGLES_CTE}
-SELECT doc_id,
-    {_MH}
-FROM sh
+{_SIG_BODY}
 """
 
 
@@ -87,9 +79,7 @@ def minhash_near_duplicates(spark, sf_dir):
 MINHASH_NEAR_DUPLICATES_SQL = f"""
 WITH {_SHINGLES_CTE},
 sig AS (
-  SELECT doc_id,
-    {_MH}
-  FROM sh
+  {_SIG_BODY}
 ),
 banded AS (
   {_BANDS}
@@ -260,22 +250,13 @@ def incremental_neardup_probe(spark, sf_dir):
     )
 
 
-_PROBE_BANDS = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
-    "WHERE mh0 IS NOT NULL"
-    for b in range(D.N_MINHASHES // D.BAND_SIZE)
-)
-
 INCREMENTAL_NEARDUP_PROBE_SQL = f"""
 WITH {_SHINGLES_CTE},
 sig AS (
-  SELECT doc_id,
-    {_MH}
-  FROM sh
+  {_SIG_BODY}
 ),
 banded AS (
-  {_PROBE_BANDS}
+  {_BANDS}
 ),
 pairs AS (
   SELECT DISTINCT n.doc_id AS id_a, i.doc_id AS id_b
@@ -868,16 +849,11 @@ def _lsh_band_calibration_sql(
     banding unrolled — each config gets its own banded/bucket CTE chain
     over the shared ``sig`` CTE, mirroring llm.dedup.lsh_band_profile's
     Python loop."""
-    ctes = [f"WITH {_SHINGLES_CTE},", "sig AS (", f"  SELECT doc_id,\n    {_MH}", "  FROM sh", ")"]
+    ctes = [f"WITH {_SHINGLES_CTE},", "sig AS (", f"  {_SIG_BODY}", ")"]
     rows = []
     for ci, (n_bands, band_size) in enumerate(configs):
-        bands_union = "\n  UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', "
-            + ", ".join(
-                f"mh{b * band_size + j}" for j in range(band_size)
-            )
-            + ")) AS band_key FROM sig WHERE mh0 IS NOT NULL"
-            for b in range(n_bands)
+        bands_union = D.bands_union_sql(
+            src="sig", n_hashes=n_bands * band_size, band_size=band_size
         )
         ctes.append(
             f""", banded_{ci} AS (
@@ -941,9 +917,7 @@ _SPLIT_BUCKET = (
 SPLIT_LEAKAGE_AUDIT_SQL = f"""
 WITH {_SHINGLES_CTE},
 sig AS (
-  SELECT doc_id,
-    {_MH}
-  FROM sh
+  {_SIG_BODY}
 ),
 banded AS (
   {_BANDS}
@@ -1061,9 +1035,7 @@ _MH_MATCHES = " + ".join(
 MINHASH_ESTIMATE_ERROR_SQL = f"""
 WITH {_SHINGLES_CTE},
 sig AS (
-  SELECT doc_id,
-    {_MH}
-  FROM sh
+  {_SIG_BODY}
 ),
 banded AS (
   {_BANDS}

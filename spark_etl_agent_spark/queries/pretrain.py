@@ -486,17 +486,8 @@ def _funnel_sql() -> str:
     from ..llm import dedup as D
     from .text import GOPHER_QUALITY_RULES_SQL, GOPHER_REPETITION_RULES_SQL
 
-    mh = ",\n    ".join(
-        "list_min(list_transform(shingles, s -> md5('%d|' || s))) AS mh%d"
-        % (i, i)
-        for i in range(D.N_MINHASHES)
-    )
-    bands = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, "
-        f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
-        "WHERE mh0 IS NOT NULL"
-        for b in range(D.N_MINHASHES // D.BAND_SIZE)
-    )
+    sig_body = D.minhash_sig_select_sql(src="sh2")
+    bands = D.bands_union_sql(src="sig")
     gate = " AND ".join(_FUNNEL_FLAGS)
     return f"""
 WITH gq AS (
@@ -524,9 +515,7 @@ sh2 AS (
   FROM w2
 ),
 sig AS (
-  SELECT doc_id,
-    {mh}
-  FROM sh2
+  {sig_body}
 ),
 banded AS (
   {bands}

@@ -36,7 +36,7 @@ from ..core.scratch import scratch_dir
 from ..llm import dedup as D
 from ..llm.text import words_of
 from .base import QuerySpec, load
-from .dedup import _MH, _SHINGLES_CTE
+from .dedup import _SIG_BODY, _SHINGLES_CTE
 from .pretrain import _BUDGET, _WORDS, PACK_DOCUMENTS_SQL
 
 
@@ -366,12 +366,7 @@ acc{b} AS (
 )"""
 
 
-_AUDIT_BANDS = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band_key FROM sig "
-    "WHERE mh0 IS NOT NULL"
-    for b in range(D.N_MINHASHES // D.BAND_SIZE)
-)
+_AUDIT_BANDS = D.bands_union_sql(src="sig")
 
 def _ingest_audit_sql(slice_pred: str) -> str:
     """Unrolled three-round ingest-dedup oracle over ``slice_pred``:
@@ -384,9 +379,7 @@ def _ingest_audit_sql(slice_pred: str) -> str:
     return f"""
 WITH {sliced_shingles},
 sig AS (
-  SELECT doc_id,
-    {_MH}
-  FROM sh
+  {_SIG_BODY}
 ),
 banded AS (
   {_AUDIT_BANDS}

@@ -44,7 +44,7 @@ def _mk_index(spark, cat, name, n, clustered, require_multifile=True):
         files = cat.compact_table(name, target_file_mb=1)
     if require_multifile:
         assert files > 1, "need a multi-file index to evidence skipping"
-    return cat.read_table(name)
+    return cat.read_table(name), files
 
 
 def _text_scan_rows(verdicts_df):
@@ -98,7 +98,7 @@ def test_band_probe_candidate_text_fetch_skips_files(
     n = 60_000
     cat = Catalog(spark, str(tmp_path / "wh"))
     name = "idx_c" if clustered else "idx_rr"
-    index_art = _mk_index(spark, cat, name, n, clustered)
+    index_art, n_files = _mk_index(spark, cat, name, n, clustered)
 
     # batch: near-dups of three existing docs (identical text, new ids)
     # -> band collisions land on exactly those index docs
@@ -128,8 +128,15 @@ def test_band_probe_candidate_text_fetch_skips_files(
     assert rows == {n: False, n + 1: False, n + 2: False}
     if clustered:
         # In-pushdown + disjoint per-file doc_id ranges: the text fetch
-        # reads only the row groups holding the 3 candidates
-        assert scanned < 0.3 * n, scanned
+        # reads only the files holding the 3 candidates — at most 3 of
+        # the n_files compacted files (plus slack for uneven file
+        # sizes). The bound is expressed against the ACTUAL file count
+        # because the artifact row width sets how many 1 MB files the
+        # compaction yields (narrower numeric signatures → fewer,
+        # wider-ranged files), and a fixed fraction of n would pin the
+        # layout rather than the skipping behavior.
+        assert n_files > 3, n_files
+        assert scanned <= 2 * 3 * (n // n_files), (scanned, n_files)
     else:
         # control: round-robin files all span the full id range — the
         # stats can exclude nothing even with the pushed In predicate
@@ -141,7 +148,7 @@ def test_candidate_pushdown_fallback_above_cap(spark, tmp_path, monkeypatch):
     are identical to the pushdown path."""
     n = 2_000
     cat = Catalog(spark, str(tmp_path / "wh"))
-    index_art = _mk_index(
+    index_art, _ = _mk_index(
         spark, cat, "idx_s", n, clustered=True, require_multifile=False
     )
     batch = spark.range(n, n + 2).selectExpr(

@@ -162,6 +162,15 @@ def test_bigram_logprob_is_order_aware(spark):
     assert scores[100] > scores[101]
 
 
+def _band_key_reference(vals):
+    """Plain-Python twin of llm.dedup._band_key / band_key_sql: the
+    int64 polynomial fold over a band's mh values."""
+    k = vals[0]
+    for c in vals[1:]:
+        k = (k % 2147483648) * 2147483647 + c
+    return k
+
+
 def _band_profile_reference(sigs, configs, max_width):
     """Brute-force band profile from collected signature rows."""
     out = {}
@@ -174,12 +183,12 @@ def _band_profile_reference(sigs, configs, max_width):
             for b in range(n_bands):
                 key = (
                     b,
-                    hashlib.md5(
-                        "|".join(
+                    _band_key_reference(
+                        [
                             row[f"mh{b * band_size + j}"]
                             for j in range(band_size)
-                        ).encode()
-                    ).hexdigest(),
+                        ]
+                    ),
                 )
                 buckets[key] += 1
                 members.setdefault(key, []).append(row["doc_id"])
