@@ -220,74 +220,74 @@ def _collect_modules():
 # window each round). _validate_rotation() checks the PLANNED window
 # against the artifacts committed BEFORE this round, so the check is
 # stable no matter when registry() runs within the round.
-DRIVER_WINDOW_ROUND = 11
+DRIVER_WINDOW_ROUND = 12
 
 DRIVER_WINDOW = (
-    # -- round 11 rotation. LEADS (12): the full r06 staleness cohort
-    #    — every name whose latest green driver row is still r06 —
-    #    drained to ZERO (the round-10 verdict's #1 ask; nothing may
-    #    be added ahead of them). --
-    "perplexity_prune_band",
-    "scrub_duplicate_spans",
-    "semantic_decontaminate",
-    "shard_movement_report",
-    "simhash_fingerprints",
-    "source_overlap_matrix",
-    "split_leakage_audit",
-    "streaming_tumbling_agg",
-    "vocab_coverage_curve",
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "zorder_curve_stats",
-    # -- changed-plan re-checks (8): supplier_pagerank's symmetric
-    #    round shape was redesigned (degree rebuilt as the group
-    #    count; single-exchange SMJ setup); the ingest-probe family
-    #    shares the indexed verdict (candidate-id In pushdown into the
-    #    index text scan) and the sink (observed-count write, one-job
-    #    batch staging, final-epilogue skip). Values proven unchanged
-    #    locally for all 8 (sf0.01 oracle parity). --
-    "supplier_pagerank",
-    "streaming_compaction_probe",
-    "streaming_ingest_dedup_audit",
-    "streaming_pack_manifest",
-    "streaming_drift_audit",
-    "streaming_user_ewma",
+    # -- round 12 rotation. LEADS (12): the numeric-MinHash redesign
+    #    (r11 verdict ask #2) changed the signature value domain, so
+    #    every spec whose output carries signature values or depends
+    #    on the LSH candidate set is value-changed THIS round and must
+    #    get a driver row now (window policy rule 1). Each was proven
+    #    against its paired DuckDB oracle at sf0.001 + sf0.01 locally
+    #    before shipping. --
+    "minhash_signatures",
+    "minhash_near_duplicates",
+    "minhash_estimate_error",
+    "lsh_band_calibration",
+    "dedup_family_agreement",
+    "incremental_neardup_probe",
     "indexed_ingest_probe",
     "ingest_compaction_probe",
-    # -- r07 staleness-cohort drain (30): the alphabetically-first
-    #    names whose latest green row is r07; 17 remain for round 12
-    #    (the rotation guard forces them there: they hit
-    #    MAX_DRIVER_ROW_AGE at round 12). --
-    "agg_topk_quantities",
-    "array_functions_gallery",
-    "asof_join_clicks",
-    "band_join_parts",
-    "corpus_quality_filter",
-    "customer_order_distribution",
-    "deterministic_sample_docs",
-    "disjunctive_bracket_revenue",
-    "dominant_part_suppliers",
-    "event_type_daily_pivot",
-    "events_freshness_gate",
-    "events_tumbling_agg",
-    "exactsubstr_spans",
-    "exists_returned_orders",
-    "filter_in_upper",
-    "fk_integrity_audit",
-    "forecast_revenue",
-    "gap_fill_daily",
-    "having_big_spenders",
-    "incremental_revenue_agg",
-    "json_extraction",
-    "key_skew_report",
-    "language_id",
-    "local_supplier_volume",
-    "multiset_operations",
-    "orders_expectation_gate",
-    "pivot_linestatus",
-    "poc_projection",
-    "retailprice_histogram",
-    "revenue_concentration",
+    "split_leakage_audit",
+    "corpus_build_funnel",
+    "streaming_ingest_dedup_audit",
+    "streaming_compaction_probe",
+    # -- r07 staleness-cohort drain (17): the remainder of the r07
+    #    cohort the r11 window planned for this round — they hit
+    #    MAX_DRIVER_ROW_AGE at round 12, so nothing may displace
+    #    them. --
+    "rolling_active_users",
+    "rollup_day_by_type",
+    "rollup_returns",
+    "salted_join_hotkey",
+    "scalar_function_gallery",
+    "scd2_temporal_join",
+    "semi_anti_join",
+    "stat_moments_gallery",
+    "text_stats",
+    "timestamp_parse_roundtrip",
+    "token_counts",
+    "top_accounts_global_sort",
+    "top_revenue_orders",
+    "unigram_doc_logprob",
+    "value_outlier_fences",
+    "window_rank_family",
+    "window_running_and_lag",
+    # -- r08 staleness-cohort drain (21): alphabetically-first names
+    #    whose latest green row is r08 (corpus_build_funnel already
+    #    leads above); the rest of the r08 cohort reaches
+    #    MAX_DRIVER_ROW_AGE at round 13 and rotates there. --
+    "feature_hash_buckets",
+    "filtered_aggregates",
+    "gopher_repetition_rules",
+    "grouping_sets_revenue",
+    "hll_union_daily_users",
+    "idle_rich_customers",
+    "ivf_append_assign",
+    "large_volume_orders",
+    "lone_returner_suppliers",
+    "market_share",
+    "mg_heavy_hitter_tokens",
+    "min_cost_supplier",
+    "multimodal_wav_decode",
+    "nation_trade_volume",
+    "nation_year_profit",
+    "orders_table_profile",
+    "parts_supplier_counts",
+    "pii_scrub_report",
+    "promo_revenue_share",
+    "quantity_profile",
+    "returned_item_revenue",
 )
 
 
