@@ -56,51 +56,34 @@ def test_driver_window_is_first_50_registry_entries():
 
     assert list(registry())[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     assert len(DRIVER_WINDOW) == 50
-    # round-11 rotation contract (the r10 verdict's #1 ask): the FULL
-    # r06 staleness cohort (12 names) LEADS — drained to zero — then
-    # the round's 8 changed-plan re-checks, then the
-    # alphabetically-first 30 of the r07 cohort (17 remain for round
-    # 12, where the rotation guard forces them).
+    # round-12 rotation contract: the 12 specs whose output values
+    # changed with the numeric-MinHash redesign LEAD (window policy
+    # rule 1), then the final 17 of the r07 staleness cohort (they hit
+    # MAX_DRIVER_ROW_AGE this round — nothing may displace them), then
+    # the alphabetically-first 21 of the r08 cohort.
     assert DRIVER_WINDOW[:12] == (
-        "perplexity_prune_band",
-        "scrub_duplicate_spans",
-        "semantic_decontaminate",
-        "shard_movement_report",
-        "simhash_fingerprints",
-        "source_overlap_matrix",
-        "split_leakage_audit",
-        "streaming_tumbling_agg",
-        "vocab_coverage_curve",
-        "winnowing_fingerprints",
-        "winnowing_overlap_pairs",
-        "zorder_curve_stats",
-    )
-    for changed in (
-        "supplier_pagerank",            # single-exchange symmetric SMJ
-        "streaming_compaction_probe",   # sink trims + final-epilogue skip
-        "streaming_ingest_dedup_audit",  # observed-count write
-        "streaming_pack_manifest",      # one-job batch staging
-        "streaming_drift_audit",
-        "streaming_user_ewma",
-        "indexed_ingest_probe",         # candidate-id In pushdown
+        "minhash_signatures",
+        "minhash_near_duplicates",
+        "minhash_estimate_error",
+        "lsh_band_calibration",
+        "dedup_family_agreement",
+        "incremental_neardup_probe",
+        "indexed_ingest_probe",
         "ingest_compaction_probe",
-    ):
-        assert changed in DRIVER_WINDOW, changed
-    # r07 drain: 30 in (alphabetically first), leaving 17 for round 12
+        "split_leakage_audit",
+        "corpus_build_funnel",
+        "streaming_ingest_dedup_audit",
+        "streaming_compaction_probe",
+    )
+    # r07 drain completed: all 17 remaining r07-latest names in
     for r07 in (
-        "agg_topk_quantities", "array_functions_gallery",
-        "asof_join_clicks", "band_join_parts", "corpus_quality_filter",
-        "customer_order_distribution", "deterministic_sample_docs",
-        "disjunctive_bracket_revenue", "dominant_part_suppliers",
-        "event_type_daily_pivot", "events_freshness_gate",
-        "events_tumbling_agg", "exactsubstr_spans",
-        "exists_returned_orders", "filter_in_upper",
-        "fk_integrity_audit", "forecast_revenue", "gap_fill_daily",
-        "having_big_spenders", "incremental_revenue_agg",
-        "json_extraction", "key_skew_report", "language_id",
-        "local_supplier_volume", "multiset_operations",
-        "orders_expectation_gate", "pivot_linestatus", "poc_projection",
-        "retailprice_histogram", "revenue_concentration",
+        "rolling_active_users", "rollup_day_by_type", "rollup_returns",
+        "salted_join_hotkey", "scalar_function_gallery",
+        "scd2_temporal_join", "semi_anti_join", "stat_moments_gallery",
+        "text_stats", "timestamp_parse_roundtrip", "token_counts",
+        "top_accounts_global_sort", "top_revenue_orders",
+        "unigram_doc_logprob", "value_outlier_fences",
+        "window_rank_family", "window_running_and_lag",
     ):
         assert r07 in DRIVER_WINDOW, r07
 
@@ -116,11 +99,11 @@ def test_rotation_guard_fails_on_aged_out_names(monkeypatch):
     base.registry()
     assert base._rotation_checked
 
-    # drop a must-drain lead from the window -> its r06 row would age
-    # past 4 rounds after round 11 -> raise
+    # drop a must-drain r07-cohort name from the window -> its r07 row
+    # would age past 4 rounds after round 12 -> raise
     base._rotation_checked = False
     crippled = tuple(
-        n for n in base.DRIVER_WINDOW if n != "zorder_curve_stats"
+        n for n in base.DRIVER_WINDOW if n != "window_running_and_lag"
     )
     monkeypatch.setattr(base, "DRIVER_WINDOW", crippled)
     with pytest.raises(ValueError, match="rotation contract"):
